@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query wall-clock seconds.
+
+Timing is harness-level around a terminal action (SURVEY.md §2.4 A4) —
+``count()`` on the result, which forces the full pipeline without
+collecting payloads to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_algorithms_spark.queries import SPARK_QUERIES  # noqa: E402
+from cdc_algorithms_spark.session import get_spark  # noqa: E402
+
+# Headline queries: kept to the pipelines that represent the engine's
+# core (chunk → hash → dedup) plus the heaviest extensions.
+HEADLINE = [
+    "fixed_chunks",
+    "fixed_dedup_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("cdc-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    queries = [q for q in HEADLINE if q in SPARK_QUERIES]
+    timings: dict[str, float] = {}
+    for name in queries:
+        fn = SPARK_QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up: JIT, parquet footer cache
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Chunk-level deduplication analytics.
+
+Spark restatement of the reference's merge/dedup/metrics stage
+(ae.rs:68-91, rabin.rs:104-127, parallel.rs:101-119): a ``HashSet`` of
+chunk hashes plus byte counters becomes one shuffle on the dedup key and
+a tiny global aggregate.
+
+Both of the reference's (inconsistent) "average chunk size" definitions
+are exposed explicitly (SURVEY.md §2.4 A3):
+
+* ``avg_chunk``        = total_bytes / n_unique   (ae.rs:91, rabin.rs:127)
+* ``avg_chunk_unique`` = unique_bytes / n_unique  (parallel.rs:119,153)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stats(
+    chunks: DataFrame,
+    key_col: str = "chunk_text",
+    algo_col: str = "algo",
+    round_to: int = 6,
+) -> DataFrame:
+    """Dedup metrics per algorithm.
+
+    ``key_col`` is the identity of a chunk: ``chunk_text`` for
+    oracle-checkable runs (content equality — collision-free by
+    construction), ``hash`` for the 100 TB path where only fingerprints
+    shuffle. One partial-aggregating shuffle on (algo, key), then a global
+    agg over group summaries — never a row-per-chunk sort or window.
+    """
+    per_key = chunks.groupBy(algo_col, key_col).agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.sum("length").alias("bytes_all"),
+        F.first("length").alias("bytes_one"),
+    )
+    return (
+        per_key.groupBy(algo_col)
+        .agg(
+            F.sum("bytes_all").cast("long").alias("total_bytes"),
+            F.sum("bytes_one").cast("long").alias("unique_bytes"),
+            F.sum("occurrences").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+        )
+        .select(
+            F.col(algo_col).alias("algo"),
+            "total_bytes",
+            "unique_bytes",
+            "n_chunks",
+            "n_unique",
+            F.round(F.col("unique_bytes") / F.col("total_bytes"), round_to).alias(
+                "dedup_coeff"
+            ),
+            F.round(F.col("total_bytes") / F.col("n_unique"), round_to).alias(
+                "avg_chunk"
+            ),
+            F.round(F.col("unique_bytes") / F.col("n_unique"), round_to).alias(
+                "avg_chunk_unique"
+            ),
+        )
+    )
+
+
+def dedup_stats_by(
+    chunks: DataFrame,
+    group_cols: list[str],
+    key_col: str = "chunk_text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Dedup metrics per arbitrary grouping (e.g. per source, per lang).
+
+    Note: a chunk duplicated *across* groups counts as unique in each —
+    per-group dedup scope, matching how the reference scopes its HashSet
+    to one run.
+    """
+    per_key = chunks.groupBy(*group_cols, key_col).agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.sum("length").alias("bytes_all"),
+        F.first("length").alias("bytes_one"),
+    )
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(
+            F.sum("bytes_all").cast("long").alias("total_bytes"),
+            F.sum("bytes_one").cast("long").alias("unique_bytes"),
+            F.sum("occurrences").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+        )
+        .withColumn(
+            "dedup_coeff",
+            F.round(F.col("unique_bytes") / F.col("total_bytes"), round_to),
+        )
+        .withColumn(
+            "avg_chunk", F.round(F.col("total_bytes") / F.col("n_unique"), round_to)
+        )
+    )
+
+
+def approx_dedup_stats(
+    chunks: DataFrame,
+    key_col: str = "chunk_text",
+    algo_col: str = "algo",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Cheap estimate path for 100 TB: HyperLogLog++ distinct-chunk count
+    (``approx_count_distinct``) — single pass, no per-key shuffle state.
+
+    ``unique_bytes`` is estimated as ``n_unique_est * avg(length)``; exact
+    unique-byte accounting needs the per-key pass in :func:`dedup_stats`.
+    """
+    return (
+        chunks.groupBy(algo_col)
+        .agg(
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.approx_count_distinct(key_col, rsd).alias("n_unique_est"),
+            F.avg("length").alias("avg_len"),
+        )
+        .select(
+            F.col(algo_col).alias("algo"),
+            "total_bytes",
+            "n_chunks",
+            "n_unique_est",
+            F.round(
+                F.col("n_unique_est") * F.col("avg_len") / F.col("total_bytes"), 6
+            ).alias("dedup_coeff_est"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry pairs a PySpark implementation ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) an equivalent ANSI-SQL string the DuckDB
+oracle can run on the same parquet fixtures. The driver compares
+row-count + schema + order-insensitive value hash at sf0.01
+(``__spark_entry__.py`` re-exports these dicts).
+
+Naming rule: every computed column is aliased identically on both sides —
+the driver's compare sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_algorithms_spark.operators.chunking import fixed_chunks
+from cdc_algorithms_spark.operators.dedup import dedup_stats
+from cdc_algorithms_spark.sources.registry import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Fixed chunking (reference: fixed.rs:20-52) — pure SQL, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+FIXED_SIZE = 64  # bytes; FIXTURES.md recommends 16-64 for the ~100-500 char docs
+
+_FIXED_CHUNKS_ORACLE = f"""
+SELECT d.doc_id AS src_id,
+       'fixed{FIXED_SIZE}' AS algo,
+       CAST(u.off / {FIXED_SIZE} AS BIGINT) AS chunk_idx,
+       CAST(u.off AS BIGINT) AS "offset",
+       CAST(LEAST({FIXED_SIZE}, d.n_chars - u.off) AS BIGINT) AS length,
+       substring(d.text, CAST(u.off + 1 AS INT), {FIXED_SIZE}) AS chunk_text
+FROM documents d, UNNEST(range(0, d.n_chars, {FIXED_SIZE})) AS u(off)
+"""
+
+
+@register("fixed_chunks", _FIXED_CHUNKS_ORACLE)
+def q_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return fixed_chunks(docs, FIXED_SIZE)
+
+
+_FIXED_DEDUP_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE}),
+per_key AS (
+    SELECT algo, chunk_text,
+           COUNT(*) AS occurrences,
+           SUM(length) AS bytes_all,
+           MAX(length) AS bytes_one
+    FROM chunks GROUP BY algo, chunk_text
+)
+SELECT algo,
+       CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+       CAST(SUM(bytes_one) AS BIGINT) AS unique_bytes,
+       CAST(SUM(occurrences) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       ROUND(SUM(bytes_one) * 1.0 / SUM(bytes_all), 6) AS dedup_coeff,
+       ROUND(SUM(bytes_all) * 1.0 / COUNT(*), 6) AS avg_chunk,
+       ROUND(SUM(bytes_one) * 1.0 / COUNT(*), 6) AS avg_chunk_unique
+FROM per_key GROUP BY algo
+"""
+
+
+@register("fixed_dedup_stats", _FIXED_DEDUP_ORACLE)
+def q_fixed_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_stats(fixed_chunks(docs, FIXED_SIZE))

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` in a single JVM, but every config below
+is chosen for the 1000-executor / 100 TB posture: AQE handles runtime
+re-planning (skew joins, partition coalescing), Arrow moves UDF batches,
+and shuffle partitioning is explicit so plans are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdc-algorithms-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract), else all
+    cores. ``shuffle_partitions`` defaults to the core count — right-sized
+    for local runs; on a real cluster this would scale with executors and
+    AQE coalesces the excess.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size so pandas-UDF chunker state stays in
+        # executor memory even with multi-MB documents.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

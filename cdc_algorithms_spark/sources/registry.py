@@ -1,0 +1,63 @@
+"""Table sources.
+
+The reference reads whole files into memory (``Chunker::read_file``,
+chunker.rs:31-37) — the anti-pattern at scale (SURVEY.md §4.2). Here every
+source is a DataFrame scan: parquet fixtures for the test corpus, and the
+``binaryFile`` source for raw-file ingestion (one row per file,
+``content: binary``) so a 100 TB corpus is read split-by-split by
+executors, never materialized on one node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one fixture table as a DataFrame (parquet scan, pruned lazily)."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load every fixture table; also registers each as a temp view so
+    ``spark.sql`` queries work against the same names the DuckDB oracle uses."""
+    out = {}
+    for name in names:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def load_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Raw-file source: ``(path, modificationTime, length, content: binary)``.
+
+    Spark-native replacement for the reference's whole-file slurp
+    (chunker.rs:31-37): each file is one row, read by whichever executor
+    owns the split, so ingestion scales horizontally.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import fixed_chunks, with_chunk_hash
+from cdc_algorithms_spark.operators.dedup import dedup_stats
+from cdc_algorithms_spark.sources.registry import load_table
+from tests.oracle import compare_with_oracle
+
+
+def test_fixed_chunks_concat_property(spark, sf_dir):
+    """Concatenation: per-doc sum(length) == n_chars (FIXTURES.md invariant 1)."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, 64)
+    joined = (
+        chunks.groupBy("src_id")
+        .agg(F.sum("length").alias("total"))
+        .join(docs, F.col("src_id") == F.col("doc_id"))
+        .where(F.col("total") != F.col("n_chars"))
+    )
+    assert joined.count() == 0
+
+
+def test_fixed_chunks_bounds(spark, sf_dir):
+    """Every chunk has 1 <= length <= chunk_size; non-final chunks exactly chunk_size."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, 64).cache()
+    assert chunks.where((F.col("length") < 1) | (F.col("length") > 64)).count() == 0
+    max_idx = chunks.groupBy("src_id").agg(F.max("chunk_idx").alias("mx"))
+    nonfinal = chunks.join(max_idx, "src_id").where(F.col("chunk_idx") < F.col("mx"))
+    assert nonfinal.where(F.col("length") != 64).count() == 0
+    chunks.unpersist()
+
+
+def test_fixed_chunk_text_matches_length(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, 64)
+    assert chunks.where(F.length("chunk_text") != F.col("length")).count() == 0
+
+
+def test_hash_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    agg = F.expr("bit_xor(hash)")
+    h1 = with_chunk_hash(fixed_chunks(docs, 64)).agg(agg).collect()[0][0]
+    h2 = with_chunk_hash(fixed_chunks(docs, 64)).agg(agg).collect()[0][0]
+    assert h1 == h2
+
+
+def test_dedup_stats_sanity(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    stats = dedup_stats(fixed_chunks(docs, 64)).collect()
+    assert len(stats) == 1
+    row = stats[0].asDict()
+    assert row["algo"] == "fixed64"
+    assert 0 < row["unique_bytes"] <= row["total_bytes"]
+    assert 0 < row["dedup_coeff"] <= 1.0
+    assert row["n_unique"] <= row["n_chunks"]
+
+
+def test_fixed_chunks_oracle(spark):
+    compare_with_oracle(spark, "fixed_chunks", "/root/testdata/sf0.001")
+
+
+def test_fixed_dedup_stats_oracle(spark):
+    compare_with_oracle(spark, "fixed_dedup_stats", "/root/testdata/sf0.001")
