@@ -25,6 +25,9 @@ from cdc_algorithms_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "fixed_chunks",
     "fixed_dedup_stats",
+    "ae_dedup_stats",
+    "rabin_dedup_stats",
+    "fastcdc_dedup_stats",
 ]
 
 

@@ -1,0 +1,27 @@
+from cdc_algorithms_spark.chunkers.params import (
+    AeParams,
+    FastCdcParams,
+    RabinParams,
+    make_params,
+)
+from cdc_algorithms_spark.chunkers.core import (
+    ae_cuts_py,
+    fastcdc_cuts_py,
+    fixed_cuts,
+    rabin_cuts_py,
+)
+from cdc_algorithms_spark.chunkers.fast import ae_cuts, fastcdc_cuts, rabin_cuts
+
+__all__ = [
+    "AeParams",
+    "FastCdcParams",
+    "RabinParams",
+    "make_params",
+    "fixed_cuts",
+    "ae_cuts_py",
+    "rabin_cuts_py",
+    "fastcdc_cuts_py",
+    "ae_cuts",
+    "rabin_cuts",
+    "fastcdc_cuts",
+]

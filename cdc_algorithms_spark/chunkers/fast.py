@@ -1,0 +1,259 @@
+"""Numpy-accelerated chunk-boundary computation.
+
+Same semantics as :mod:`cdc_algorithms_spark.chunkers.core` (property-
+tested to agree byte-for-byte), but the per-byte state machines are
+restated as vectorized precomputations plus sparse candidate scans:
+
+* **AE** — the cut rule "running max unchanged for window_size bytes"
+  becomes: vectorized running-max increase positions, cut at the first
+  increase followed by a gap > window_size. Scanned in geometrically
+  growing blocks so cost stays O(n) even though AE has no max clamp.
+* **Rabin** — the windowed polynomial hash at position i is a pure
+  function of the last ``window_size`` bytes (independent of chunk
+  start), so the full fingerprint array F is computed once, vectorized,
+  and chunking reduces to jumping between sparse positions where
+  ``(F ^ seed) & mask == 0``.
+* **FastCDC** — the Gear hash ``h = (h<<1) + gear[b]`` sheds a byte's
+  influence after 64 shifts, so for positions ≥ min_size+63 past a chunk
+  start the hash equals a 64-term sliding dot product H, vectorized once;
+  only the 63-byte warm-up region after each chunk start needs exact
+  per-byte evaluation.
+
+This is the single-machine analogue of the scale story: on Spark the
+same arrays are computed per Arrow batch inside the UDF, so throughput
+is bounded by numpy, not the Python interpreter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cdc_algorithms_spark.chunkers.params import AeParams, FastCdcParams, RabinParams
+
+_M32 = np.uint64(0xFFFFFFFF)
+_U64_ONE = np.uint64(1)
+
+
+def _as_array(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return data.astype(np.uint8, copy=False)
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AE
+# ---------------------------------------------------------------------------
+
+
+def ae_cuts(data, p: AeParams) -> list[int]:
+    """AE cuts (semantics of ae.rs:95-149) via running-max gap analysis."""
+    arr = _as_array(data)
+    n = arr.size
+    if n == 0:
+        return []
+    w = p.window_size
+    cuts: list[int] = []
+    s = 0
+    block = max(4 * w, 1024)
+    while s < n:
+        cut = _ae_find_cut(arr, s, n, w, block)
+        if cut < 0:
+            break
+        cuts.append(cut)
+        s = cut + 1
+    if not cuts or cuts[-1] != n - 1:
+        cuts.append(n - 1)
+    return cuts
+
+
+def _ae_find_cut(arr: np.ndarray, s: int, n: int, w: int, block: int) -> int:
+    """First AE cut at/after chunk start s, or -1 if the chunk runs to EOF."""
+    carry_max = 0  # initial max_val = 0 (ae.rs:103)
+    last_inc = s  # max_pos starts at local 0 (ae.rs:102)
+    lo = s
+    while lo < n:
+        hi = min(n, lo + block)
+        seg = arr[lo:hi]
+        acc = np.maximum.accumulate(seg)
+        eff = np.maximum(acc, np.uint8(min(carry_max, 255)))
+        prev = np.empty_like(eff)
+        prev[0] = min(carry_max, 255)
+        prev[1:] = eff[:-1]
+        inc = np.flatnonzero(eff > prev) + lo  # strict running-max increases
+        # candidate cut: an increase (or the carried max_pos) followed by a
+        # window_size gap with no further increase
+        points = np.concatenate(([last_inc], inc))
+        nxt = np.concatenate((points[1:], [np.iinfo(np.int64).max]))
+        ok = (points + w < nxt) & (points + w < hi)
+        hits = np.flatnonzero(ok)
+        if hits.size:
+            return int(points[hits[0]] + w)
+        if inc.size:
+            last_inc = int(inc[-1])
+        carry_max = max(carry_max, int(eff[-1]))
+        lo = hi
+        block *= 2
+    return -1
+
+
+# ---------------------------------------------------------------------------
+# Rabin
+# ---------------------------------------------------------------------------
+
+
+def _rabin_fingerprints(arr: np.ndarray, p: RabinParams) -> np.ndarray:
+    """F[i] = hash of bytes (i-w+1 .. i) mod 2^32, for i >= w-1.
+
+    Uses the closed form P[i] = α^i · Σ b_j α^(−j): inverse-power scaling
+    turns the sequential recurrence into cumsum/cumprod, all mod 2^64
+    whose low 32 bits equal the mod-2^32 result (2^32 | 2^64).
+    """
+    n = arr.size
+    w = p.window_size
+    b = arr.astype(np.uint64)
+    mod = 1 << 32
+    inv_alpha = pow(p.alpha, -1, mod)
+
+    pw = np.full(n, np.uint64(p.alpha), dtype=np.uint64)
+    pw[0] = 1
+    np.cumprod(pw, out=pw)  # α^i mod 2^64 → low 32 bits correct
+
+    pw_inv = np.full(n, np.uint64(inv_alpha), dtype=np.uint64)
+    pw_inv[0] = 1
+    np.cumprod(pw_inv, out=pw_inv)
+
+    s_pref = np.cumsum(b * pw_inv)  # Σ b_j α^(−j), mod 2^64
+    prefix = (pw * s_pref) & _M32  # P[i] = Σ_{j<=i} b_j α^(i−j) mod 2^32
+
+    f = np.zeros(n, dtype=np.uint64)
+    if n > w:
+        aw = np.uint64(pow(p.alpha, w, mod))
+        f[w:] = (prefix[w:] - aw * prefix[:-w]) & _M32
+    return f
+
+
+def rabin_cuts(data, p: RabinParams) -> list[int]:
+    """Rabin cuts (semantics of rabin.rs:131-216) via sparse candidates.
+
+    Within a chunk starting at s, the reference's hash at local position
+    l >= window_size equals F[s+l] (the window never spans the chunk
+    start because pops begin only once l >= window_size), so every
+    possible hash-cut position is precomputed; the force-cut at
+    ``local == max_size`` (chunk of max_size+1 bytes, rabin.rs:157)
+    is applied while jumping.
+    """
+    arr = _as_array(data)
+    n = arr.size
+    if n == 0:
+        return []
+    w = p.window_size
+    f = _rabin_fingerprints(arr, p)
+    hit = ((f ^ np.uint64(p.seed)) & np.uint64(p.mask)) == 0
+    hit[: max(w, 1)] = False  # hash-cut needs local >= min_size > w-1
+    cand = np.flatnonzero(hit)
+
+    cuts: list[int] = []
+    s = 0
+    while s < n:
+        lo = s + p.min_size
+        hi_hash = min(s + p.max_size - 1, n - 1)  # last position a hash cut can win
+        i = np.searchsorted(cand, lo)
+        cut = -1
+        if i < cand.size and cand[i] <= hi_hash:
+            cut = int(cand[i])
+        elif s + p.max_size <= n - 1:
+            cut = s + p.max_size  # force cut (before-hash check, rabin.rs:157)
+        if cut < 0:
+            break
+        cuts.append(cut)
+        s = cut + 1
+    if not cuts or cuts[-1] != n - 1:
+        cuts.append(n - 1)
+    return cuts
+
+
+# ---------------------------------------------------------------------------
+# FastCDC
+# ---------------------------------------------------------------------------
+
+
+def _gear_hashes(arr: np.ndarray, gear_np: np.ndarray) -> np.ndarray:
+    """H[i] = Σ_{k=0..63} gear[b[i-k]] << k mod 2^64 — the Gear hash's
+    full 64-term sliding window (all older terms are shifted out)."""
+    n = arr.size
+    g = gear_np[arr]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(64):
+        if k >= n:
+            break
+        h[k:] += g[: n - k] << np.uint64(k)
+    return h
+
+
+def fastcdc_cuts(data, p: FastCdcParams) -> list[int]:
+    """FastCDC cuts (semantics of fastcdc.rs:77-134): exact 63-byte
+    warm-up per chunk, then sparse-candidate jumps on the vectorized
+    sliding Gear hash."""
+    arr = _as_array(data)
+    n = arr.size
+    if n == 0:
+        return []
+    gear_np = np.array(p.gear, dtype=np.uint64)
+    h_arr = _gear_hashes(arr, gear_np)
+    short_hit = (h_arr & np.uint64(p.short_mask)) == 0
+    long_hit = (h_arr & np.uint64(p.long_mask)) == 0
+    cand_short = np.flatnonzero(short_hit)
+    cand_long = np.flatnonzero(long_hit)
+    gear = p.gear
+    mask64 = (1 << 64) - 1
+
+    cuts: list[int] = []
+    s = 0
+    while s < n:
+        cut = -1
+        # Warm-up: hash has < 64 terms for local in [min_size, min_size+62]
+        h = 0
+        warm_end = min(p.min_size + 63, n - s)
+        for local in range(p.min_size, warm_end):
+            h = ((h << 1) + gear[arr[s + local]]) & mask64
+            if (
+                (local < p.expected_size and (h & p.short_mask) == 0)
+                or (local >= p.expected_size and (h & p.long_mask) == 0)
+                or local >= p.max_size
+            ):
+                cut = s + local
+                break
+        if cut < 0 and s + p.min_size + 63 <= n - 1:
+            a0 = s + p.min_size + 63  # hash == H from here on
+            cut = _fastcdc_jump(cand_short, cand_long, s, a0, n, p)
+        if cut < 0:
+            break
+        cuts.append(cut)
+        s = cut + 1
+    if not cuts or cuts[-1] != n - 1:
+        cuts.append(n - 1)
+    return cuts
+
+
+def _fastcdc_jump(
+    cand_short: np.ndarray,
+    cand_long: np.ndarray,
+    s: int,
+    a0: int,
+    n: int,
+    p: FastCdcParams,
+) -> int:
+    short_hi = min(s + p.expected_size - 1, n - 1)  # short mask: local < expected
+    if a0 <= short_hi:
+        i = np.searchsorted(cand_short, a0)
+        if i < cand_short.size and cand_short[i] <= short_hi:
+            return int(cand_short[i])
+    long_lo = max(a0, s + p.expected_size)
+    long_hi = min(s + p.max_size - 1, n - 1)  # beyond: force cut wins first
+    if long_lo <= long_hi:
+        i = np.searchsorted(cand_long, long_lo)
+        if i < cand_long.size and cand_long[i] <= long_hi:
+            return int(cand_long[i])
+    if s + p.max_size <= n - 1:
+        return s + p.max_size
+    return -1

@@ -17,8 +17,20 @@ payload. Filters/projections above it still push down to parquet.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.chunkers import ae_cuts, fastcdc_cuts, rabin_cuts
+from cdc_algorithms_spark.chunkers.params import make_params
+
+CHUNK_SCHEMA = (
+    "src_id long, algo string, chunk_idx long, "
+    "offset long, length long, chunk_text string"
+)
+
+_CUT_FNS = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}
 
 
 def fixed_chunks(
@@ -59,6 +71,74 @@ def fixed_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    algo: str,
+    expected_size: int,
+    seed: int = 0,
+    window_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking of each document (AE / Rabin / FastCDC).
+
+    The custom-operator surface of the engine (SURVEY.md §2.2 C2-C4):
+    boundary computation runs as an Arrow-batched ``mapInPandas`` UDF —
+    one task per input split, zero shuffles; everything downstream
+    (seam filters, hashing, dedup) is declarative Spark SQL.
+
+    Inputs are projected to ``(id, text)`` before the UDF because column
+    pruning does not reach through ``mapInPandas`` (SURVEY.md §4.1), so
+    the parquet scan reads exactly two columns.
+
+    Chunk identity: bytes are the UTF-8 encoding of ``text_col``
+    (reference operates on raw bytes, chunker.rs:31-37); offsets/lengths
+    are byte-based. The test corpus is ASCII so they equal char offsets.
+    """
+    if algo not in _CUT_FNS:
+        raise ValueError(f"unknown CDC algo {algo!r}; one of {sorted(_CUT_FNS)}")
+    params = make_params(algo, expected_size, seed, window_size=window_size)
+    cut_fn = _CUT_FNS[algo]
+    label = f"{algo}{expected_size}"
+
+    def chunk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            src_ids: list[int] = []
+            idxs: list[int] = []
+            offsets: list[int] = []
+            lengths: list[int] = []
+            texts: list[str] = []
+            for sid, text in zip(pdf["__src_id"], pdf["__text"]):
+                if text is None:
+                    continue
+                data = text.encode("utf-8")
+                prev = -1
+                for idx, cut in enumerate(cut_fn(data, params)):
+                    src_ids.append(sid)
+                    idxs.append(idx)
+                    offsets.append(prev + 1)
+                    lengths.append(cut - prev)
+                    texts.append(data[prev + 1 : cut + 1].decode("utf-8", "replace"))
+                    prev = cut
+            yield pd.DataFrame(
+                {
+                    "src_id": pd.Series(src_ids, dtype="int64"),
+                    "algo": label,
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offsets, dtype="int64"),
+                    "length": pd.Series(lengths, dtype="int64"),
+                    "chunk_text": texts,
+                }
+            )
+
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("__src_id"), F.col(text_col).alias("__text")
+    )
+    return narrow.mapInPandas(chunk_batches, CHUNK_SCHEMA)
 
 
 def with_chunk_hash(chunks: DataFrame, text_col: str = "chunk_text") -> Column | DataFrame:

@@ -16,7 +16,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdc_algorithms_spark.operators.chunking import fixed_chunks
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
 from cdc_algorithms_spark.operators.dedup import dedup_stats
 from cdc_algorithms_spark.sources.registry import load_table
 
@@ -86,3 +88,50 @@ FROM per_key GROUP BY algo
 def q_fixed_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup_stats(fixed_chunks(docs, FIXED_SIZE))
+
+
+# ---------------------------------------------------------------------------
+# CDC chunkers (reference: ae.rs / rabin.rs / fastcdc.rs) — boundary
+# computation is not SQL-expressible, so the chunk tables and dedup stats
+# get rows-only driver checks; the *_concat_check queries cross-verify the
+# chunkers' byte accounting against DuckDB (sum of chunk lengths per doc
+# must equal the fixture's n_chars — FIXTURES.md invariant 1).
+# ---------------------------------------------------------------------------
+
+# Scaled-down parameters per FIXTURES.md: docs are ~100-500 bytes (vs the
+# reference's multi-MB tar), so expected sizes are bytes-not-KiB. AE's
+# reference window formula needs expected > 256 (ae.rs:26), hence 320.
+CDC_CONFIGS: dict[str, dict] = {
+    "ae": {"algo": "ae", "expected_size": 320},          # window = 64
+    "rabin": {"algo": "rabin", "expected_size": 64, "seed": 0},
+    "fastcdc": {"algo": "fastcdc", "expected_size": 64, "seed": 1},
+}
+
+_CONCAT_ORACLE = """
+SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
+FROM documents
+"""
+
+
+def _register_cdc(name: str, conf: dict) -> None:
+    def q_chunks(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
+        return cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
+
+    def q_concat(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
+        return chunks.groupBy("src_id").agg(
+            F.sum("length").cast("long").alias("total_len")
+        )
+
+    def q_stats(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
+        return dedup_stats(chunks)
+
+    SPARK_QUERIES[f"{name}_chunks"] = q_chunks
+    SPARK_QUERIES[f"{name}_concat_check"] = q_concat
+    ORACLE_SQL[f"{name}_concat_check"] = _CONCAT_ORACLE
+    SPARK_QUERIES[f"{name}_dedup_stats"] = q_stats
+
+
+for _name, _conf in CDC_CONFIGS.items():
+    _register_cdc(_name, _conf)

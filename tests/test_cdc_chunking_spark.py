@@ -1,0 +1,75 @@
+"""Spark-level tests for the CDC chunk operator (mapInPandas path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.chunkers import ae_cuts, fastcdc_cuts, rabin_cuts
+from cdc_algorithms_spark.chunkers.params import make_params
+from cdc_algorithms_spark.operators.chunking import cdc_chunks
+from cdc_algorithms_spark.queries import CDC_CONFIGS
+from cdc_algorithms_spark.sources.registry import load_table
+from tests.oracle import compare_with_oracle
+
+ALGOS = list(CDC_CONFIGS)
+
+
+@pytest.mark.parametrize("name", ALGOS)
+def test_concat_property(spark, sf_dir, name):
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = cdc_chunks(docs, **CDC_CONFIGS[name])
+    bad = (
+        chunks.groupBy("src_id")
+        .agg(F.sum("length").alias("total"), F.count(F.lit(1)).alias("n"))
+        .join(docs, F.col("src_id") == F.col("doc_id"))
+        .where(F.col("total") != F.col("n_chars"))
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("name", ALGOS)
+def test_chunk_text_consistent(spark, sf_dir, name):
+    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS[name])
+    assert chunks.where(F.length("chunk_text") != F.col("length")).count() == 0
+
+
+@pytest.mark.parametrize("name", ALGOS)
+def test_determinism_across_partitioning(spark, sf_dir, name):
+    """Same cuts regardless of how input rows are partitioned (invariant 3)."""
+    docs = load_table(spark, "documents", sf_dir)
+    a = cdc_chunks(docs.repartition(1), **CDC_CONFIGS[name])
+    b = cdc_chunks(docs.repartition(13), **CDC_CONFIGS[name])
+    sig = lambda df: df.agg(
+        F.expr("bit_xor(xxhash64(src_id, chunk_idx, offset, length))")
+    ).collect()[0][0]
+    assert sig(a) == sig(b)
+    assert a.count() == b.count()
+
+
+def test_spark_matches_local_cuts(spark, sf_dir):
+    """The distributed operator reproduces the local algorithms exactly."""
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for name, conf in CDC_CONFIGS.items():
+        params = make_params(
+            conf["algo"], conf["expected_size"], conf.get("seed", 0),
+            window_size=conf.get("window_size"),
+        )
+        fn = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}[conf["algo"]]
+        got = (
+            cdc_chunks(docs, **conf)
+            .groupBy("src_id")
+            .agg(F.sort_array(F.collect_list("offset")).alias("offs"))
+            .collect()
+        )
+        for r in got:
+            data = rows[r["src_id"]].encode()
+            cuts = fn(data, params)
+            expected_offsets = [0] + [c + 1 for c in cuts[:-1]]
+            assert r["offs"] == expected_offsets, (name, r["src_id"])
+
+
+@pytest.mark.parametrize("name", ALGOS)
+def test_concat_check_oracle(spark, name):
+    compare_with_oracle(spark, f"{name}_concat_check", "/root/testdata/sf0.001")

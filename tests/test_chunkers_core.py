@@ -1,0 +1,155 @@
+"""Property tests: accelerated chunkers agree exactly with the
+pure-Python reference-semantic implementations, plus CDC invariants
+(FIXTURES.md §Invariants)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cdc_algorithms_spark.chunkers import (
+    AeParams,
+    FastCdcParams,
+    RabinParams,
+    ae_cuts,
+    ae_cuts_py,
+    fastcdc_cuts,
+    fastcdc_cuts_py,
+    fixed_cuts,
+    rabin_cuts,
+    rabin_cuts_py,
+)
+
+
+def corpora() -> list[bytes]:
+    rng = random.Random(42)
+    out = [
+        b"",
+        b"\x00",
+        b"a",
+        b"\x00" * 5000,          # all-zero: AE never sees an increase after pos0
+        b"\xff" * 5000,          # constant max
+        bytes(range(256)) * 20,  # monotone ramps
+        bytes(rng.randrange(256) for _ in range(10000)),
+        bytes(rng.randrange(97, 123) for _ in range(8000)),  # ascii-ish
+        bytes(rng.choice(b"ab") for _ in range(6000)),       # tiny alphabet
+    ]
+    # repetitive data: realistic dedup corpus
+    block = bytes(rng.randrange(256) for _ in range(512))
+    out.append(block * 30)
+    return out
+
+
+AE_PARAMS = [AeParams.make(320), AeParams.make(512), AeParams.make(64, window_size=17)]
+RABIN_PARAMS = [RabinParams.make(64, 0), RabinParams.make(256, 7), RabinParams.make(1024, 42)]
+FASTCDC_PARAMS = [
+    FastCdcParams.make(64, 1),
+    FastCdcParams.make(256, 0),
+    FastCdcParams.make(8192, 5),  # 13-bit branch: paper mask constants
+]
+
+
+@pytest.mark.parametrize("p", AE_PARAMS, ids=lambda p: f"ae-{p.expected_size}-{p.window_size}")
+def test_ae_fast_matches_reference(p):
+    for data in corpora():
+        assert ae_cuts(data, p) == ae_cuts_py(data, p), f"len={len(data)}"
+
+
+@pytest.mark.parametrize("p", RABIN_PARAMS, ids=lambda p: f"rabin-{p.expected_size}")
+def test_rabin_fast_matches_reference(p):
+    for data in corpora():
+        assert rabin_cuts(data, p) == rabin_cuts_py(data, p), f"len={len(data)}"
+
+
+@pytest.mark.parametrize("p", FASTCDC_PARAMS, ids=lambda p: f"fcdc-{p.expected_size}")
+def test_fastcdc_fast_matches_reference(p):
+    for data in corpora():
+        assert fastcdc_cuts(data, p) == fastcdc_cuts_py(data, p), f"len={len(data)}"
+
+
+def _check_common_invariants(cuts: list[int], n: int):
+    assert cuts == sorted(set(cuts))
+    if n == 0:
+        assert cuts == []
+    else:
+        assert cuts[-1] == n - 1
+        lengths = [cuts[0] + 1] + [b - a for a, b in zip(cuts, cuts[1:])]
+        assert sum(lengths) == n
+        assert all(ln >= 1 for ln in lengths)
+
+
+def test_invariants_all_algos():
+    rng = random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(20000))
+    for cuts, p in [
+        (ae_cuts(data, AE_PARAMS[0]), AE_PARAMS[0]),
+        (rabin_cuts(data, RABIN_PARAMS[0]), RABIN_PARAMS[0]),
+        (fastcdc_cuts(data, FASTCDC_PARAMS[0]), FASTCDC_PARAMS[0]),
+        (fixed_cuts(len(data), 64), None),
+    ]:
+        _check_common_invariants(cuts, len(data))
+
+
+def test_rabin_max_size_clamp():
+    """Non-final chunks ≤ max_size+1 (force-cut chunk is max_size+1 bytes,
+    rabin.rs:157 checks before the hash update)."""
+    p = RabinParams.make(64, 1)  # seed 1: zero-window hash never matches
+    data = b"\x00" * 10000
+    cuts = rabin_cuts(data, p)
+    lengths = [cuts[0] + 1] + [b - a for a, b in zip(cuts, cuts[1:])]
+    assert all(ln <= p.max_size + 1 for ln in lengths[:-1])
+    assert max(lengths[:-1], default=0) == p.max_size + 1
+
+
+def test_fastcdc_max_size_clamp():
+    p = FastCdcParams.make(64, 1)
+    data = b"\x00" * 20000
+    cuts = fastcdc_cuts(data, p)
+    lengths = [cuts[0] + 1] + [b - a for a, b in zip(cuts, cuts[1:])]
+    assert all(ln <= p.max_size + 1 for ln in lengths[:-1])
+
+
+def test_min_size_honored():
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    for cuts, mn in [
+        (rabin_cuts(data, RABIN_PARAMS[0]), RABIN_PARAMS[0].min_size),
+        (fastcdc_cuts(data, FASTCDC_PARAMS[0]), FASTCDC_PARAMS[0].min_size),
+    ]:
+        lengths = [cuts[0] + 1] + [b - a for a, b in zip(cuts, cuts[1:])]
+        # every non-final chunk ends at local >= min_size → length >= min_size+1
+        assert all(ln >= mn + 1 for ln in lengths[:-1])
+
+
+@pytest.mark.parametrize(
+    "fn,p",
+    [
+        (ae_cuts, AE_PARAMS[0]),
+        (rabin_cuts, RABIN_PARAMS[1]),
+        (fastcdc_cuts, FASTCDC_PARAMS[1]),
+    ],
+    ids=["ae", "rabin", "fastcdc"],
+)
+def test_shift_invariance(fn, p):
+    """CDC's defining property: prepending bytes realigns boundaries after
+    the first resynchronized cut (FIXTURES.md invariant 4)."""
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    prefix = bytes(rng.randrange(256) for _ in range(137))
+    base = set(fn(data, p))
+    shifted = {c - len(prefix) for c in fn(prefix + data, p)}
+    # after some resync point, all boundaries coincide
+    common = base & shifted
+    assert common, "no shared boundaries at all"
+    resync = min(common)
+    tail_base = {c for c in base if c >= resync}
+    tail_shift = {c for c in shifted if c >= resync}
+    assert tail_base == tail_shift
+
+
+def test_fixed_cuts_basic():
+    assert fixed_cuts(10, 4) == [3, 7, 9]
+    assert fixed_cuts(8, 4) == [3, 7]
+    assert fixed_cuts(3, 4) == [2]
+    assert fixed_cuts(0, 4) == []
