@@ -26,9 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Spark restatement of the reference benchmark ``main()`` (main.rs:16-24):
-    chunk the corpus, dedup chunk fingerprints, return the metrics row(s).
+    segment-parallel AE chunking of the corpus blob, chunk-hash dedup,
+    one metrics row (TIME is harness-level; COEFF=dedup_coeff,
+    AVG=avg_chunk per ae.rs:91).
     """
-    return _registry.SPARK_QUERIES["fixed_dedup_stats"](
+    return _registry.SPARK_QUERIES["parallel_ae_dedup_stats"](
         spark, "/root/testdata/sf0.001"
     )
 

@@ -28,6 +28,7 @@ HEADLINE = [
     "ae_dedup_stats",
     "rabin_dedup_stats",
     "fastcdc_dedup_stats",
+    "parallel_ae_dedup_stats",
 ]
 
 

@@ -10,7 +10,14 @@ from cdc_algorithms_spark.chunkers.core import (
     fixed_cuts,
     rabin_cuts_py,
 )
-from cdc_algorithms_spark.chunkers.fast import ae_cuts, fastcdc_cuts, rabin_cuts
+from cdc_algorithms_spark.chunkers.fast import (
+    ae_bounds,
+    ae_cuts,
+    fastcdc_bounds,
+    fastcdc_cuts,
+    rabin_bounds,
+    rabin_cuts,
+)
 
 __all__ = [
     "AeParams",
@@ -24,4 +31,7 @@ __all__ = [
     "ae_cuts",
     "rabin_cuts",
     "fastcdc_cuts",
+    "ae_bounds",
+    "rabin_bounds",
+    "fastcdc_bounds",
 ]

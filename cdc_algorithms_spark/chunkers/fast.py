@@ -47,6 +47,17 @@ def _as_array(data) -> np.ndarray:
 
 def ae_cuts(data, p: AeParams) -> list[int]:
     """AE cuts (semantics of ae.rs:95-149) via running-max gap analysis."""
+    return _ae_scan(data, p, final=True)
+
+
+def ae_bounds(data, p: AeParams) -> list[int]:
+    """Segment-scan variant: genuine window cuts only, no forced final
+    boundary — the per-partition body of the distributed chunker
+    (role of ``AeChunker::get_bounds``, ae.rs:31-53)."""
+    return _ae_scan(data, p, final=False)
+
+
+def _ae_scan(data, p: AeParams, final: bool) -> list[int]:
     arr = _as_array(data)
     n = arr.size
     if n == 0:
@@ -61,7 +72,7 @@ def ae_cuts(data, p: AeParams) -> list[int]:
             break
         cuts.append(cut)
         s = cut + 1
-    if not cuts or cuts[-1] != n - 1:
+    if final and (not cuts or cuts[-1] != n - 1):
         cuts.append(n - 1)
     return cuts
 
@@ -142,6 +153,24 @@ def rabin_cuts(data, p: RabinParams) -> list[int]:
     ``local == max_size`` (chunk of max_size+1 bytes, rabin.rs:157)
     is applied while jumping.
     """
+    return _rabin_scan(data, p, final=True)
+
+
+def rabin_bounds(data, p: RabinParams) -> list[int]:
+    """Segment-scan variant (role of ``RabinChunker::get_bounds``,
+    rabin.rs:61-90) — genuine cuts only, no forced final boundary.
+
+    Deliberate divergences from the reference's get_bounds, which is
+    internally inconsistent with its own sequential chunker: we keep
+    next_chunk's min/max clamps and chunk-relative bookkeeping instead
+    of get_bounds' ``last_pos = i - 1`` off-by-one (rabin.rs:80) and
+    missing max-size force cut; and we do not replicate the
+    segment-bound bug at rabin.rs:101 (right bound fixed at len/T).
+    """
+    return _rabin_scan(data, p, final=False)
+
+
+def _rabin_scan(data, p: RabinParams, final: bool) -> list[int]:
     arr = _as_array(data)
     n = arr.size
     if n == 0:
@@ -167,7 +196,7 @@ def rabin_cuts(data, p: RabinParams) -> list[int]:
             break
         cuts.append(cut)
         s = cut + 1
-    if not cuts or cuts[-1] != n - 1:
+    if final and (not cuts or cuts[-1] != n - 1):
         cuts.append(n - 1)
     return cuts
 
@@ -194,6 +223,18 @@ def fastcdc_cuts(data, p: FastCdcParams) -> list[int]:
     """FastCDC cuts (semantics of fastcdc.rs:77-134): exact 63-byte
     warm-up per chunk, then sparse-candidate jumps on the vectorized
     sliding Gear hash."""
+    return _fastcdc_scan(data, p, final=True)
+
+
+def fastcdc_bounds(data, p: FastCdcParams) -> list[int]:
+    """Segment-scan variant — genuine cuts only, no forced final
+    boundary. The reference has no FastCDC parallel path (only AE and
+    Rabin get get_bounds); this extends the same segment-overlap scheme
+    with ``max_size`` look-back (SURVEY.md §7 'what's hard' #2)."""
+    return _fastcdc_scan(data, p, final=False)
+
+
+def _fastcdc_scan(data, p: FastCdcParams, final: bool) -> list[int]:
     arr = _as_array(data)
     n = arr.size
     if n == 0:
@@ -230,7 +271,7 @@ def fastcdc_cuts(data, p: FastCdcParams) -> list[int]:
             break
         cuts.append(cut)
         s = cut + 1
-    if not cuts or cuts[-1] != n - 1:
+    if final and (not cuts or cuts[-1] != n - 1):
         cuts.append(n - 1)
     return cuts
 

@@ -135,3 +135,64 @@ def _register_cdc(name: str, conf: dict) -> None:
 
 for _name, _conf in CDC_CONFIGS.items():
     _register_cdc(_name, _conf)
+
+
+# ---------------------------------------------------------------------------
+# Segment-parallel blob chunking — the reference's benchmark path
+# (main.rs:16-24: AE parallel chunking of one large input) restated as
+# the distributed pipeline in operators/distributed.py.
+# ---------------------------------------------------------------------------
+
+from cdc_algorithms_spark.operators.distributed import parallel_chunk_blob  # noqa: E402
+
+PARALLEL_SEGMENT_LEN = 65536
+
+
+def documents_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus as ONE binary blob (reference equivalent: the benchmark
+    tar file, main.rs:17): documents concatenated in doc_id order.
+
+    Built in Spark (collect_list → concat_ws), not on the driver. This is
+    a test-scale convenience; at 100 TB blobs arrive pre-formed from
+    ``binaryFile`` sources.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("arr")
+        )
+        .select(
+            F.lit(0).cast("long").alias("src_id"),
+            F.encode(F.concat_ws("", F.col("arr.text")), "utf-8").alias("content"),
+        )
+    )
+
+
+@register("parallel_ae_dedup_stats")
+def q_parallel_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = parallel_chunk_blob(
+        documents_blob(spark, sf_dir), "ae", 320,
+        segment_len=PARALLEL_SEGMENT_LEN,
+    )
+    return dedup_stats(chunks, key_col="hash")
+
+
+@register(
+    "parallel_ae_concat_check",
+    "SELECT CAST(SUM(n_chars) AS BIGINT) AS total_len FROM documents",
+)
+def q_parallel_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = parallel_chunk_blob(
+        documents_blob(spark, sf_dir), "ae", 320,
+        segment_len=PARALLEL_SEGMENT_LEN,
+    )
+    return chunks.agg(F.sum("length").cast("long").alias("total_len"))
+
+
+@register("parallel_rabin_dedup_stats")
+def q_parallel_rabin_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = parallel_chunk_blob(
+        documents_blob(spark, sf_dir), "rabin", 256, seed=7,
+        segment_len=PARALLEL_SEGMENT_LEN,
+    )
+    return dedup_stats(chunks, key_col="hash")

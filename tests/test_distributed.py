@@ -1,0 +1,120 @@
+"""Tests for the segment-parallel blob chunking pipeline (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.chunkers import ae_cuts
+from cdc_algorithms_spark.chunkers.params import AeParams
+from cdc_algorithms_spark.operators.distributed import (
+    parallel_chunk_blob,
+    segment_blob_df,
+)
+from cdc_algorithms_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def blob(spark):
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    texts = [r["text"] for r in docs.orderBy("doc_id").collect()]
+    return "".join(texts).encode()
+
+
+@pytest.fixture(scope="module")
+def blob_df(spark, blob):
+    return spark.createDataFrame(
+        [(0, bytearray(blob))], "src_id long, content binary"
+    )
+
+
+def test_segmenting_covers_blob(spark, blob, blob_df):
+    segs = segment_blob_df(blob_df, segment_len=16384, overlap=64).collect()
+    segs.sort(key=lambda r: r["seg_idx"])
+    assert segs[0]["left"] == 0
+    assert segs[-1]["right"] == len(blob)
+    for a, b in zip(segs, segs[1:]):
+        assert a["right"] == b["left"]
+    for s in segs:
+        expected = blob[s["scan_start"] : s["right"]]
+        assert bytes(s["payload"]) == expected
+
+
+def _spans(chunks):
+    rows = sorted(chunks.collect(), key=lambda r: r["chunk_idx"])
+    return [(r["offset"], r["length"], r["hash"]) for r in rows]
+
+
+def test_parallel_ae_concat_and_contiguity(spark, blob, blob_df):
+    chunks = parallel_chunk_blob(blob_df, "ae", 320, segment_len=16384)
+    rows = _spans(chunks)
+    assert sum(ln for _, ln, _ in rows) == len(blob)
+    pos = 0
+    for off, ln, _ in rows:
+        assert off == pos
+        pos += ln
+
+
+def test_parallel_matches_single_segment_hashes(spark, blob, blob_df):
+    """Chunks with identical spans must hash identically whether they were
+    reassembled across seams (multi-segment) or not (single segment) —
+    exercises the phase-C range-join reassembly."""
+    multi = dict(
+        ((o, ln), h) for o, ln, h in _spans(
+            parallel_chunk_blob(blob_df, "ae", 320, segment_len=8192)
+        )
+    )
+    single = dict(
+        ((o, ln), h) for o, ln, h in _spans(
+            parallel_chunk_blob(blob_df, "ae", 320, segment_len=len(blob) + 1)
+        )
+    )
+    common = set(multi) & set(single)
+    assert len(common) >= 0.8 * len(single), "seam drift too large"
+    for span in common:
+        assert multi[span] == single[span], f"hash mismatch at {span}"
+
+
+def test_parallel_close_to_sequential(spark, blob, blob_df):
+    """Segment-parallel cuts agree with the sequential algorithm away from
+    seams (the reference's seam rule is approximate, SURVEY.md §7)."""
+    p = AeParams.make(320)
+    seq_cuts = set(ae_cuts(blob, p))
+    par_ends = {
+        o + ln - 1 for o, ln, _ in _spans(
+            parallel_chunk_blob(blob_df, "ae", 320, segment_len=8192)
+        )
+    }
+    agreement = len(seq_cuts & par_ends) / len(seq_cuts)
+    assert agreement > 0.9, f"only {agreement:.1%} of sequential cuts reproduced"
+
+
+def test_parallel_deterministic(spark, blob_df):
+    a = _spans(parallel_chunk_blob(blob_df, "rabin", 256, seed=7, segment_len=8192))
+    b = _spans(parallel_chunk_blob(blob_df, "rabin", 256, seed=7, segment_len=8192))
+    assert a == b
+
+
+def test_parallel_rabin_bounds_respected(spark, blob_df):
+    chunks = parallel_chunk_blob(blob_df, "rabin", 256, seed=7, segment_len=8192)
+    mx = chunks.agg(F.max("length")).collect()[0][0]
+    # Interior chunks respect max_size+1, but a seam chunk can stretch
+    # further: the next segment scans from right-overlap with fresh state,
+    # so its first cut can land up to max_size past that warm-up start
+    # (same property as the reference's get_bounds warm-start, rabin.rs:64).
+    max_size, window = 256 * 4, 256 // 4 - 1
+    assert mx <= 2 * (max_size + 1) + window
+
+
+def test_multiple_blobs(spark, blob):
+    third = len(blob) // 3
+    df = spark.createDataFrame(
+        [(1, bytearray(blob[:third])), (2, bytearray(blob[third:]))],
+        "src_id long, content binary",
+    )
+    chunks = parallel_chunk_blob(df, "ae", 320, segment_len=4096)
+    per_src = {
+        r["src_id"]: r["total"]
+        for r in chunks.groupBy("src_id").agg(F.sum("length").alias("total")).collect()
+    }
+    assert per_src == {1: third, 2: len(blob) - third}
