@@ -29,6 +29,9 @@ HEADLINE = [
     "rabin_dedup_stats",
     "fastcdc_dedup_stats",
     "parallel_ae_dedup_stats",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "snapshot_diff_fixed",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Snapshot diff — change detection between two chunked corpus versions.
+
+The "CDC-for-delta-sync" reading of the reference (SURVEY.md §7 M3):
+chunk both snapshots, compare chunk identity sets per source; identical
+content regions produce identical chunks regardless of byte shifts
+(the defining CDC property), so an edit near the front of a document
+only invalidates the chunks it touches.
+
+All of it is declarative: per-side aggregation then a full-outer join on
+(src_id, chunk identity) — at scale this is one shuffle per side on the
+same key, and Catalyst/AQE pick the join strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old_chunks: DataFrame,
+    new_chunks: DataFrame,
+    key_col: str = "chunk_text",
+) -> DataFrame:
+    """Per-(src, chunk-identity) classification.
+
+    Returns ``(src_id, status, n_old, n_new, chunk_bytes)`` where status is
+    ``unchanged`` (identity present in both), ``deleted`` (old only) or
+    ``inserted`` (new only). Multiplicity-aware: a chunk occurring 3× in
+    old and 1× in new is still ``unchanged`` but the counts expose the
+    delta.
+    """
+    agg = lambda df, cnt: df.groupBy("src_id", key_col).agg(
+        F.count(F.lit(1)).alias(cnt), F.first("length").alias(f"_len_{cnt}")
+    )
+    old = agg(old_chunks, "n_old")
+    new = agg(new_chunks, "n_new")
+    joined = old.join(new, ["src_id", key_col], "full_outer")
+    return joined.select(
+        "src_id",
+        F.col(key_col),
+        F.when(F.col("n_old").isNotNull() & F.col("n_new").isNotNull(), "unchanged")
+        .when(F.col("n_old").isNotNull(), "deleted")
+        .otherwise("inserted")
+        .alias("status"),
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("_len_n_old", "_len_n_new").cast("long").alias("chunk_bytes"),
+    )
+
+
+def snapshot_diff_summary(
+    old_chunks: DataFrame,
+    new_chunks: DataFrame,
+    key_col: str = "chunk_text",
+) -> DataFrame:
+    """Corpus-level rollup: chunks/bytes per status."""
+    d = snapshot_diff(old_chunks, new_chunks, key_col)
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunk_ids"),
+            F.sum("chunk_bytes").cast("long").alias("bytes"),
+        )
+        .orderBy("status")
+    )
+
+
+def change_ratio(
+    old_chunks: DataFrame,
+    new_chunks: DataFrame,
+    key_col: str = "chunk_text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source change ratio: fraction of new-snapshot chunk identities
+    that did not exist in the old snapshot — the delta-sync cost of the
+    update (bytes that must be re-transferred)."""
+    d = snapshot_diff(old_chunks, new_chunks, key_col)
+    return (
+        d.groupBy("src_id")
+        .agg(
+            F.sum(F.when(F.col("status") == "inserted", F.col("chunk_bytes")))
+            .alias("_ins"),
+            F.sum(F.when(F.col("status") != "deleted", F.col("chunk_bytes")))
+            .alias("_new_total"),
+        )
+        .select(
+            "src_id",
+            F.coalesce("_ins", F.lit(0)).cast("long").alias("inserted_bytes"),
+            F.coalesce("_new_total", F.lit(0)).cast("long").alias("new_bytes"),
+            F.round(
+                F.coalesce("_ins", F.lit(0))
+                / F.greatest("_new_total", F.lit(1)),
+                round_to,
+            ).alias("change_ratio"),
+        )
+    )
+
+
+def perturb_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic "next snapshot" of the documents table
+    (FIXTURES.md derived fixtures): every 10th doc gets a prefix insertion
+    (byte shift — CDC must realign), every 10th+5 doc gets an in-place
+    edit, the rest are untouched. SQL-expressible so the whole diff
+    pipeline stays DuckDB-oracle-checkable.
+    """
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.lit("PREFIX-SHIFT "), F.col("text")))
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.lit("EDITED "), F.substring(F.col("text"), 8, 1 << 30)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        F.length(
+            F.when(F.col("doc_id") % 10 == 0, F.concat(F.lit("PREFIX-SHIFT "), F.col("text")))
+            .when(
+                F.col("doc_id") % 10 == 5,
+                F.concat(F.lit("EDITED "), F.substring(F.col("text"), 8, 1 << 30)),
+            )
+            .otherwise(F.col("text"))
+        ).cast("long").alias("n_chars"),
+    )
+
+
+# DuckDB mirror of perturb_documents (kept adjacent so they evolve together).
+PERTURB_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 10 = 0 THEN 'PREFIX-SHIFT ' || text
+         WHEN doc_id % 10 = 5 THEN 'EDITED ' || substring(text, 8)
+         ELSE text
+       END AS text,
+       lang, source,
+       CAST(length(CASE
+         WHEN doc_id % 10 = 0 THEN 'PREFIX-SHIFT ' || text
+         WHEN doc_id % 10 = 5 THEN 'EDITED ' || substring(text, 8)
+         ELSE text
+       END) AS BIGINT) AS n_chars
+FROM documents
+"""

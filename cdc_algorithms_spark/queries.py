@@ -196,3 +196,11 @@ def q_parallel_rabin_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment_len=PARALLEL_SEGMENT_LEN,
     )
     return dedup_stats(chunks, key_col="hash")
+
+
+# ---------------------------------------------------------------------------
+# Extension query modules (imported for their @register side effects).
+# ---------------------------------------------------------------------------
+
+from cdc_algorithms_spark import queries_diff  # noqa: E402,F401
+from cdc_algorithms_spark import queries_relational  # noqa: E402,F401

@@ -1,0 +1,105 @@
+"""Change-detection queries: snapshot diff between the documents table
+and a deterministically perturbed "next snapshot" (operators/diff.py).
+
+The fixed-chunk variants are end-to-end SQL-expressible (perturbation,
+chunking, diff, rollup) so DuckDB verifies the whole pipeline; the AE
+variant demonstrates the same diff over CDC chunks (rows-only check) —
+where the prefix-shifted docs show CDC's realignment: most of a shifted
+doc's chunks come back 'unchanged', while fixed-grid chunking sees the
+entire doc as changed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
+from cdc_algorithms_spark.operators.diff import (
+    PERTURB_SQL,
+    change_ratio,
+    perturb_documents,
+    snapshot_diff_summary,
+)
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+_SIZE = 64
+
+_DIFF_CHUNKS_SQL = f"""
+new_docs AS ({PERTURB_SQL}),
+old_chunks AS (
+  SELECT d.doc_id AS src_id,
+         substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM documents d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+new_chunks AS (
+  SELECT d.doc_id AS src_id,
+         substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM new_docs d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+o AS (SELECT src_id, chunk_text, COUNT(*) AS n_old, MAX(length) AS len_o
+      FROM old_chunks GROUP BY src_id, chunk_text),
+n AS (SELECT src_id, chunk_text, COUNT(*) AS n_new, MAX(length) AS len_n
+      FROM new_chunks GROUP BY src_id, chunk_text),
+j AS (
+  SELECT COALESCE(o.src_id, n.src_id) AS src_id,
+         CASE WHEN o.chunk_text IS NOT NULL AND n.chunk_text IS NOT NULL
+                THEN 'unchanged'
+              WHEN o.chunk_text IS NOT NULL THEN 'deleted'
+              ELSE 'inserted' END AS status,
+         COALESCE(o.len_o, n.len_n) AS chunk_bytes
+  FROM o FULL OUTER JOIN n
+    ON o.src_id = n.src_id AND o.chunk_text = n.chunk_text
+)
+"""
+
+_DIFF_SUMMARY_ORACLE = f"""
+WITH {_DIFF_CHUNKS_SQL}
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_chunk_ids,
+       CAST(SUM(chunk_bytes) AS BIGINT) AS bytes
+FROM j GROUP BY status
+"""
+
+_CHANGE_RATIO_ORACLE = f"""
+WITH {_DIFF_CHUNKS_SQL}
+SELECT src_id,
+       CAST(COALESCE(SUM(CASE WHEN status = 'inserted' THEN chunk_bytes END), 0)
+            AS BIGINT) AS inserted_bytes,
+       CAST(COALESCE(SUM(CASE WHEN status != 'deleted' THEN chunk_bytes END), 0)
+            AS BIGINT) AS new_bytes,
+       ROUND(COALESCE(SUM(CASE WHEN status = 'inserted' THEN chunk_bytes END), 0)
+             * 1.0 /
+             GREATEST(COALESCE(SUM(CASE WHEN status != 'deleted' THEN chunk_bytes END), 0), 1),
+             6) AS change_ratio
+FROM j GROUP BY src_id
+"""
+
+
+@register("snapshot_diff_fixed", _DIFF_SUMMARY_ORACLE)
+def snapshot_diff_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE)
+    return snapshot_diff_summary(old, new)
+
+
+@register("change_ratio_fixed", _CHANGE_RATIO_ORACLE)
+def change_ratio_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE)
+    return change_ratio(old, new)
+
+
+@register("snapshot_diff_ae")
+def snapshot_diff_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff: prefix-shifted docs realign (rows-only driver check;
+    the CDC-vs-fixed contrast is asserted in tests/test_diff.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = cdc_chunks(docs, "ae", 320)
+    new = cdc_chunks(perturb_documents(docs), "ae", 320)
+    return snapshot_diff_summary(old, new)

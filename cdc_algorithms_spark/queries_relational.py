@@ -1,0 +1,323 @@
+"""Relational analytics suite (SURVEY.md §2.5).
+
+The reference has no relational operators; these queries exercise the
+Spark built-ins the engine composes around the chunk tables — joins
+(broadcast + shuffle), aggregations, window functions, set ops, rollup,
+JSON extraction, top-k — each with a DuckDB oracle so the driver's value
+compare covers them fully.
+
+Scale notes baked into each query:
+* dimension tables (region/nation/part/supplier) are broadcast —
+  ``F.broadcast`` makes the intent explicit rather than trusting the
+  10 MB autoBroadcast threshold at 100 TB;
+* aggregate doubles are rounded on both sides so value hashes are
+  stable across summation orders;
+* timestamps are projected to epoch-day/strings before output (driver
+  hashes values — engine-specific timestamp rendering would diverge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+
+# --- TPC-H Q1 style: pricing summary ---------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 style: top-k join (shipping priority) ------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(epoch_ms(o.o_orderdate) / 86400000 AS BIGINT) AS orderdate_day
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias(
+                "orderdate_day"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 style: multi-way join, revenue per nation --------------------
+
+_Q5_ORACLE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("q5_nation_revenue", _Q5_ORACLE)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+# --- Broadcast-join aggregate: volume per brand ----------------------------
+
+_BRAND_ORACLE = """
+SELECT p.p_brand AS brand,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("brand_volume", _BRAND_ORACLE)
+def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+# --- Window function: top order per customer -------------------------------
+
+_TOP_ORDER_ORACLE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("top_order_per_customer", _TOP_ORDER_ORACLE)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+# --- JSON extraction over the events stream table --------------------------
+
+_EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_stats", _EVENTS_JSON_ORACLE)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias(
+            "sum_k"
+        ),
+    )
+
+
+# --- Batch sessionization (gap rule) over events ---------------------------
+
+_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(MAX(session_no) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+@register("user_sessions", _SESSIONS_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) as window functions —
+    the batch twin of streaming ``session_window`` (SURVEY.md §2.5)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_no", F.sum("new_session").over(w_cum))
+    return sess.groupBy("user_id").agg(
+        F.max("session_no").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# --- Set operation: intersect of distinct user sets ------------------------
+
+_INTERSECT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@register("purchase_and_error_users", _INTERSECT_ORACLE)
+def purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.intersect(erring).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# --- Rollup over documents -------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
+@register("docs_rollup", _ROLLUP_ORACLE)
+def docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -31,9 +31,19 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one fixture table as a DataFrame (parquet scan, pruned lazily)."""
+    """Load one fixture table as a DataFrame (parquet scan, pruned lazily).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as a
+    long only (``nanosAsLong``, session.py); convert to a proper timestamp
+    at µs precision here so downstream queries see a timestamp column.
+    """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,62 @@
+"""Change-detection semantics: CDC chunking must realign after byte
+shifts where fixed-grid chunking cannot (the reference's raison d'être)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
+from cdc_algorithms_spark.operators.diff import (
+    perturb_documents,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from cdc_algorithms_spark.sources.registry import load_table
+
+
+def _unchanged_bytes_for_shifted(spark, sf_dir, chunker):
+    docs = load_table(spark, "documents", sf_dir)
+    shifted_ids = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    old = chunker(docs)
+    new = chunker(perturb_documents(docs))
+    d = snapshot_diff(old, new).join(
+        shifted_ids, F.col("src_id") == F.col("doc_id")
+    )
+    row = (
+        d.agg(
+            F.sum(F.when(F.col("status") == "unchanged", F.col("chunk_bytes"))).alias("u"),
+            F.sum("chunk_bytes").alias("t"),
+        ).collect()[0]
+    )
+    return (row["u"] or 0) / row["t"]
+
+
+def test_cdc_realigns_after_shift_fixed_does_not(spark, sf_dir):
+    fixed_frac = _unchanged_bytes_for_shifted(
+        spark, sf_dir, lambda d: fixed_chunks(d, 64)
+    )
+    ae_frac = _unchanged_bytes_for_shifted(
+        spark, sf_dir, lambda d: cdc_chunks(d, "rabin", 64)
+    )
+    # Fixed-grid chunks almost all shift out of alignment; CDC chunks
+    # resynchronize after the first boundary past the insertion.
+    assert ae_frac > fixed_frac + 0.2, (fixed_frac, ae_frac)
+
+
+def test_untouched_docs_fully_unchanged(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, 64)
+    new = fixed_chunks(perturb_documents(docs), 64)
+    d = snapshot_diff(old, new).where(
+        (F.col("src_id") % 10 != 0) & (F.col("src_id") % 10 != 5)
+    )
+    assert d.where(F.col("status") != "unchanged").count() == 0
+
+
+def test_summary_statuses(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    s = snapshot_diff_summary(
+        fixed_chunks(docs, 64), fixed_chunks(perturb_documents(docs), 64)
+    ).collect()
+    statuses = {r["status"] for r in s}
+    assert statuses == {"unchanged", "inserted", "deleted"}

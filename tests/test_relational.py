@@ -1,0 +1,33 @@
+"""Oracle-verified relational suite + snapshot-diff queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_algorithms_spark import queries as registry
+from tests.oracle import compare_with_oracle
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "brand_volume",
+    "top_order_per_customer",
+    "events_json_stats",
+    "user_sessions",
+    "purchase_and_error_users",
+    "docs_rollup",
+    "snapshot_diff_fixed",
+    "change_ratio_fixed",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_oracle_equivalence(spark, name):
+    compare_with_oracle(spark, name, "/root/testdata/sf0.001")
+
+
+def test_all_registered(spark):
+    for name in RELATIONAL:
+        assert name in registry.SPARK_QUERIES
+        assert name in registry.ORACLE_SQL or name == "snapshot_diff_ae"
