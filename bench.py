@@ -32,6 +32,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
     "snapshot_diff_fixed",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "quality_scores",
 ]
 
 

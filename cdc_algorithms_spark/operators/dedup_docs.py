@@ -1,0 +1,328 @@
+"""Document-level deduplication — the training-data-pipeline extension
+(task brief; SURVEY.md §7 M4): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Design stance per operator:
+
+* **exact_dedup** — one shuffle on a content key; `row_number` picks the
+  canonical survivor deterministically.
+* **ngram_jaccard_pairs** — the *exact* near-dup join: an inverted index
+  on shingles (explode → self-join on shingle → count = |A∩B|), never a
+  cross join; |A∪B| from per-doc distinct counts. At 100 TB the shingle
+  join is the scalable formulation (pairs sharing zero shingles never
+  meet), and hot shingles can be dropped by document frequency (the
+  ``max_df`` knob) — the standard skew guard.
+* **minhash_lsh_pairs** — the approximate path: k minhashes from JVM
+  ``hash(shingle, seed)``, banded; only same-band buckets join. Tunable
+  (bands, rows) recall/precision; candidates are Jaccard-verified.
+* **simhash_pairs** — 64-bit sign fingerprint of word-hash vectors;
+  near-dup = hamming distance ≤ k, found via 4×16-bit band buckets
+  (hamming ≤ 3 ⇒ at least one band identical) and verified with
+  ``bit_count(xor)``.
+* **embedding_near_dup_pairs** — cosine ≥ τ over `array<float>`; exact
+  via self-join is reserved for small/verification scales, the LSH
+  bucket path lives in operators/similarity.py.
+
+Everything is Catalyst expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.functions.arrays import cosine_similarity
+from cdc_algorithms_spark.functions.text import word_shingles, words
+
+
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact duplicate groups: ``(doc_id, canonical_id, group_size)``.
+
+    ``normalize`` lower-cases and collapses whitespace first (the usual
+    exact-dedup definition for web corpora). Survivor = lowest id.
+    """
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
+    keyed = docs.select(F.col(id_col).alias("doc_id"), key.alias("__key"))
+    w = Window.partitionBy("__key")
+    return (
+        keyed.withColumn(
+            "canonical_id", F.min("doc_id").over(w).cast("long")
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select(F.col("doc_id").cast("long"), "canonical_id", "group_size")
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc — the inverted-index base."""
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and
+    jaccard ≥ threshold, jaccard = |A∩B| / |A∪B| over distinct shingles.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the self-join — the skew guard that keeps the hottest key from
+    dominating the shuffle at corpus scale (stop-shingles contribute
+    little to Jaccard but quadratic join work).
+    """
+    sh = doc_shingles(docs, n, id_col, text_col)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(df_counts.where(F.col("df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<int>) — k minhashes over distinct shingles.
+
+    Hash family: Spark's Murmur3 ``hash(shingle, seed_i)`` — JVM-side,
+    vectorized per row via ``transform``/``array_min``; no Python.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, n))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.hash(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified.
+
+    ``num_hashes`` must divide into ``bands`` (rows = num_hashes/bands);
+    same-band-hash docs become candidates (one shuffle on band key),
+    then candidates are verified with exact shingle Jaccard — so output
+    precision is exact; only recall depends on the banding.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    c1 = banded.alias("x")
+    c2 = banded.alias("y")
+    candidates = (
+        c1.join(
+            c2,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over word hashes.
+
+    Two Murmur3 32-bit hashes (different seeds) form the 64 bit
+    channels; each bit of the fingerprint is the sign of the summed ±1
+    votes across words. Pure aggregation — explode + 64 conditional
+    sums in one groupBy pass.
+    """
+    w = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(words(text_col)).alias("word"),
+    ).select(
+        "doc_id",
+        F.hash("word").alias("h_lo"),
+        F.hash("word", F.lit(777)).alias("h_hi"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                (F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32)
+                 .bitwiseAND(F.lit(1))) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: with 4 bands of 16 bits, any pair within
+    hamming ≤ 3 shares at least one exact band → candidates come from 4
+    cheap equality joins, verified with ``bit_count(xor)``.
+    """
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (verification-scale; the bucketed
+    scale path is operators/similarity.py::lsh_topk)."""
+    a = emb.select(
+        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

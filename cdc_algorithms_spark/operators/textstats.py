@@ -1,0 +1,146 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting (task brief).
+
+Every operator is a pure column expression (whole-stage codegen, DuckDB-
+mirrorable); the fingerprinting one reuses the CDC machinery's identity
+idea at the n-gram level (winnowing-style min-hash selection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.functions.text import char_ngrams, words
+
+# Tiny deterministic stopword profiles per language — the n-gram/stopword
+# heuristic tier of language ID (a real pipeline would plug fastText or
+# CLD3 here; the operator contract stays the same).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "con"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "avec", "une"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    ws = words(text_col)
+    return {
+        lang: F.size(
+            F.filter(ws, lambda w: w.isin(*markers))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_hits) — argmax of marker-word hits, ties
+    broken by language code order, 'und' (undetermined) when no marker
+    matched at all."""
+    scores = lang_scores(text_col)
+    best = None
+    for lang in sorted(scores):  # deterministic tie-break: lexicographic
+        cand = F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(
+            cand["hits"] > best["hits"], cand
+        ).otherwise(best)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features follow the usual web-corpus filters: doc length, mean word
+    length, alpha ratio, punctuation ratio, stopword ratio, repetition
+    (distinct-word fraction).
+    """
+    t = F.col(text_col)
+    ws = words(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    all_stop = [m for ms in LANG_MARKERS.values() for m in ms]
+    stop_ratio = F.size(F.filter(ws, lambda w: w.isin(*all_stop))) / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n_chars
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[^.,;:!?'\"()]", "")) / n_chars
+    )
+    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
+    mean_word_len = (F.length(F.regexp_replace(t, r"\s+", ""))) / n_words
+    length_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    composite = (
+        0.3 * length_score
+        + 0.2 * alpha_ratio
+        + 0.2 * distinct_ratio
+        + 0.15 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.15 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(composite, 6).alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens and a BPE-ish sub-token count (letter runs,
+    digit runs, and single punctuation marks — the pre-tokenizer split
+    most BPE vocabularies assume), plus a ~chars/4 budget estimate."""
+    t = F.col(text_col)
+    ws_tokens = F.size(words(text_col))
+    bpe_ish = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("bpe_tokens"),
+        F.ceil(F.length(t) / 4.0).cast("long").alias("budget_tokens"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    ngram: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing-style fingerprints: hash character n-grams, keep the
+    minimum hash of each sliding window of ``window`` consecutive
+    n-grams, distinct — a compact, shift-tolerant document signature
+    (rolling-hash identity, same role as chunk hashes in the reference,
+    at sub-chunk granularity).
+    """
+    grams = char_ngrams(text_col, ngram)
+    hashes = F.transform(grams, lambda g: F.hash(g))
+    nh = F.size(hashes)
+    mins = F.when(nh <= window, F.array(F.array_min(hashes))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nh - F.lit(window)),
+            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )

@@ -1,0 +1,333 @@
+"""Training-data pipeline queries: document dedup, similarity search,
+text analysis, multimodal plumbing (task brief; registered as
+first-class operators alongside SURVEY.md §2).
+
+Oracle pairing: content-defined computations (word shingles, Jaccard,
+cosine, regex token counts) are mirrored in DuckDB list/regex functions;
+hash-family-dependent paths (MinHash, SimHash, LSH buckets, winnowing
+fingerprints — Spark Murmur3 vs DuckDB hash differ) get rows-only
+driver checks plus property tests in tests/test_training_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.dedup_docs import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdc_algorithms_spark.operators.multimodal import (
+    extract_features,
+    media_summary,
+    sample_frames,
+    synthesize_media,
+)
+from cdc_algorithms_spark.operators.similarity import brute_force_topk, lsh_topk
+from cdc_algorithms_spark.operators.textstats import (
+    LANG_MARKERS,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+# Shared DuckDB building blocks ---------------------------------------------
+
+_WORDS_CTE = r"""
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM documents
+)
+"""
+
+
+def _shingles_cte(n: int) -> str:
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+{n - 1}], ' ') AS shingle
+  FROM w, UNNEST(range(1, greatest(len(words) - {n - 1}, 1) + 1)) AS t(i)
+)
+"""
+
+
+# --- Exact dedup -----------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS key
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY key) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS group_size
+FROM keyed
+"""
+
+
+@register("exact_dedup_docs", _EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+# --- Exact n-gram Jaccard near-dup (inverted index join) -------------------
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.8
+
+_JACCARD_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT * FROM (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register("minhash_lsh_pairs")
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=JACCARD_N,
+        num_hashes=32,
+        bands=8,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+# --- Embedding near-dup + similarity search --------------------------------
+
+COSINE_THRESHOLD = 0.4
+
+_EMB_NEAR_DUP_ORACLE = f"""
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
+@register("embedding_near_dup", _EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=COSINE_THRESHOLD
+    )
+
+
+ANN_K = 5
+ANN_QUERIES = 8  # vec_id < 8 are the query set
+
+_ANN_ORACLE = f"""
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) DESC,
+                     c.vec_id) AS BIGINT) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {ANN_QUERIES}
+) WHERE rank <= {ANN_K}
+"""
+
+
+@register("ann_bruteforce_topk", _ANN_ORACLE)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(queries, emb, k=ANN_K)
+
+
+@register("ann_lsh_topk")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(queries, emb, k=ANN_K, dim=64, bits=4)
+
+
+# --- Text analysis ---------------------------------------------------------
+
+# lang marker hits: flat per-language aggregate, mirrored with list_filter
+_LANG_HITS_ORACLE = f"""
+WITH {_WORDS_CTE},
+m(lang, markers) AS (VALUES {", ".join(
+    "('" + lang + "', [" + ", ".join("'" + w + "'" for w in ms) + "])"
+    for lang, ms in sorted(LANG_MARKERS.items())
+)})
+SELECT m.lang AS lang,
+       CAST(COALESCE(SUM(len(list_filter(w.words, x -> list_contains(m.markers, x)))), 0)
+            AS BIGINT) AS total_hits
+FROM m CROSS JOIN w
+GROUP BY m.lang
+"""
+
+
+@register("lang_marker_hits", _LANG_HITS_ORACLE)
+def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import lang_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = lang_scores("text")
+    per_doc = docs.select(
+        *[scores[lang].alias(lang) for lang in sorted(scores)]
+    )
+    stacked = per_doc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lang).alias("lang"), F.col(lang).alias("hits"))
+                    for lang in sorted(scores)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.groupBy(F.col("s.lang").alias("lang")).agg(
+        F.sum("s.hits").cast("long").alias("total_hits")
+    )
+
+
+@register("language_id")
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, "documents", sf_dir))
+
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars,
+         len(words) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(words) AS mean_word_len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
+         len(list_filter(words, x -> list_contains(__ALL_STOP__, x))) * 1.0 / len(words) AS stop_ratio,
+         len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio,
+         least(n_chars / 200.0, 1.0) AS length_score
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(0.3 * length_score + 0.2 * alpha_ratio + 0.2 * distinct_ratio
+             + 0.15 * least(stop_ratio * 5, 1.0)
+             + 0.15 * (1 - least(punct_ratio * 10, 1.0)), 6) AS quality_score
+FROM feat
+""".replace(
+    "__ALL_STOP__",
+    "[" + ", ".join(
+        "'" + w + "'" for ms in LANG_MARKERS.values() for w in ms
+    ) + "]",
+)
+
+
+@register("quality_scores", _QUALITY_ORACLE)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, "documents", sf_dir))
+
+
+_TOKENS_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+            AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS budget_tokens
+FROM documents
+"""
+
+
+@register("token_counts", _TOKENS_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, "documents", sf_dir))
+
+
+@register("doc_fingerprints")
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+# --- Multimodal plumbing ---------------------------------------------------
+
+_MEDIA_SUMMARY_ORACLE = """
+SELECT 'image' AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       ROUND(AVG(length(text) % 640 + 16), 4) AS avg_width,
+       ROUND(AVG(length(text) * 10), 4) AS avg_duration_ms
+FROM documents
+"""
+
+
+@register("media_summary", _MEDIA_SUMMARY_ORACLE)
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return media_summary(media)
+
+
+_FRAME_COUNT_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(len(range(0, length(text), 256)) AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+FROM documents
+"""
+
+
+@register("media_frame_counts", _FRAME_COUNT_ORACLE)
+def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    frames = sample_frames(media, frame_bytes=256)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.length("frame")).cast("long").alias("total_bytes"),
+    )
+
+
+@register("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return extract_features(media)
