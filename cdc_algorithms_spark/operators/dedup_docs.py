@@ -139,21 +139,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<int>) — k minhashes over distinct shingles.
 
-    Hash family: Spark's Murmur3 ``hash(shingle, seed_i)`` — JVM-side,
-    vectorized per row via ``transform``/``array_min``; no Python.
+    Hash family: Spark's Murmur3 ``hash(shingle, i)`` — JVM-side, no
+    Python. The signature is a *nested* ``transform`` over a
+    ``sequence(0, k-1)`` rather than k unrolled ``array_min`` columns:
+    unrolling inlines the whole shingle expression k times and the
+    generated Janino code blows past the JIT budget (seconds of compile
+    per plan); the nested loop form stays tiny and the shingle array is
+    materialized once per row first.
     """
     shingles = F.array_distinct(word_shingles(text_col, n))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.hash(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.hash(s, i))
+        ),
     )
     return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
-    )
+        F.col(id_col).cast("long").alias("doc_id"), shingles.alias("__sh")
+    ).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -175,17 +178,29 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes, id_col, text_col)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
+    # Band hashes are ONE nested higher-order-function expression that
+    # references the shingle array exactly once. Unrolling `sig[i]` per
+    # band lets CollapseProject inline the whole signature computation
+    # into every reference → a generated method far past the JIT/Janino
+    # budget (observed ~10 s of compile per plan at ANY data size).
+    # hash(array<int>) is a supported Murmur3 input, so each band hashes
+    # its row-slice of minhashes directly.
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(
+            F.transform(
+                F.sequence(b * rows, b * rows + (rows - 1)),
+                lambda i: F.array_min(
+                    F.transform(F.col("__sh"), lambda s: F.hash(s, i))
+                ),
             )
-        ).alias("band", "band_hash"),
+        ),
+    )
+    shingles = F.array_distinct(word_shingles(text_col, n))
+    banded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), shingles.alias("__sh")
+    ).select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
     c1 = banded.alias("x")
     c2 = banded.alias("y")
