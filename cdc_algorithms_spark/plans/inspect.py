@@ -1,0 +1,87 @@
+"""Helpers to read a DataFrame's physical plan as data.
+
+All helpers parse the formatted explain output (same text
+``df.explain("formatted")`` prints). They are test/diagnostic utilities
+— nothing here runs in the data path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain text for ``df`` (without printing it)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — each is a full
+    repartition of its input over the network at scale. Broadcast
+    exchanges are excluded (they ship only the small side)."""
+    plan = physical_plan(df, "simple")
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast hash/nested-loop joins (small side shipped to
+    every executor; no shuffle of the big side)."""
+    plan = physical_plan(df, "simple")
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The ``PushedFilters`` lists from every parquet scan in the plan."""
+    plan = physical_plan(df, "formatted")
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column names each parquet scan actually reads (``ReadSchema``) —
+    the column-pruning witness: a 2-column projection must not scan 16."""
+    plan = physical_plan(df, "formatted")
+    out = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        out.append([c.split(":")[0].strip() for c in m.split(",") if c.strip()])
+    return out
+
+
+def python_eval_count(df: DataFrame) -> int:
+    """Number of Python-evaluation operators (BatchEvalPython = row
+    UDFs, ArrowEvalPython = pandas UDFs, MapInPandas/FlatMapGroupsInPandas
+    included). Relational queries must report 0 — Python belongs only to
+    the chunker surface."""
+    plan = physical_plan(df, "simple")
+    return len(
+        re.findall(
+            r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            plan,
+        )
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans (wider is generally better —
+    fused JVM loops with no row materialization between operators)."""
+    # AQE wraps the plan in AdaptiveSparkPlan, which reports 0 codegen
+    # subtrees before execution — plan without AQE for the inspection
+    # (physical planning happens lazily per explain call, so toggling
+    # the conf here does not affect how the DataFrame later executes).
+    # A no-op filter derives a fresh QueryExecution (the old one caches
+    # its physical plan, so toggling the conf alone wouldn't replan).
+    from pyspark.sql import functions as F
+
+    fresh = df.where(F.lit(True))
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan(fresh, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0

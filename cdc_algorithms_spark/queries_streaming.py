@@ -1,0 +1,161 @@
+"""Streaming queries for the driver registry.
+
+Each query drives a real Structured Streaming pipeline over the fixture
+data split into deterministic micro-batch stages (streaming/runner.py),
+then returns the sink as a batch DataFrame — so streaming semantics get
+the same DuckDB-oracle value checks as batch queries: the oracle states
+what the *converged* result must be, and the streaming run must arrive
+at it incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.queries_relational import _SESSIONS_ORACLE
+from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.streaming import (
+    incremental_unique_chunks,
+    run_staged_stream,
+    sessionize,
+    stateful_cdc_chunks,
+)
+
+_FIXED_SIZE = 64
+
+_UNIQUE_CHUNKS_ORACLE = f"""
+WITH chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_FIXED_SIZE}) AS chunk_text,
+         CAST(LEAST({_FIXED_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM documents d, UNNEST(range(0, d.n_chars, {_FIXED_SIZE})) AS u(off)
+),
+per_key AS (SELECT chunk_text, MAX(length) AS bytes_one FROM chunks GROUP BY chunk_text)
+SELECT 'fixed{_FIXED_SIZE}' AS algo,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(bytes_one) AS BIGINT) AS unique_bytes
+FROM per_key
+"""
+
+
+@register("streaming_unique_chunks_stats", _UNIQUE_CHUNKS_ORACLE)
+def streaming_unique_chunks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fed in 3 micro-batches → streaming dropDuplicates on
+    chunk hash; the converged unique-chunk set must equal the batch one."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    stages = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink = run_staged_stream(
+        spark, stages, lambda s: incremental_unique_chunks(s, _FIXED_SIZE)
+    )
+    return sink.groupBy("algo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("length").cast("long").alias("unique_bytes"),
+    )
+
+
+_EVENT_COUNTS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_event_type_counts", _EVENT_COUNTS_ORACLE)
+def streaming_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode running aggregation over a 2-stage event stream."""
+    ev = load_table(spark, "events", sf_dir)
+    stages = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+    sink = run_staged_stream(
+        spark,
+        stages,
+        lambda s: s.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("raw_value"),
+        ),
+        output_mode="complete",
+    )
+    return sink.select(
+        "event_type", "n_events", F.round("raw_value", 4).alias("total_value")
+    )
+
+
+@register("streaming_user_sessions", _SESSIONS_ORACLE)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked ``session_window`` sessionization, append mode.
+
+    Events arrive in two ts-ordered stages; a third stage carries one
+    far-future sentinel event (user −1) that advances the watermark past
+    every real session so append mode flushes them all — the sentinel's
+    own open session is never emitted, so no filtering is needed. The
+    converged per-user rollup must match the batch lag/cumsum oracle.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    early = ev.where(F.unix_micros("ts") <= cutoff)
+    late = ev.where(F.unix_micros("ts") > cutoff)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "sentinel", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).select(ev.columns)
+    sink = run_staged_stream(spark, [early, late, sentinel], sessionize)
+    return sink.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+_STATEFUL_CONCAT_ORACLE = """
+SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
+FROM documents
+"""
+
+
+@register("streaming_stateful_ae_concat_check", _STATEFUL_CONCAT_ORACLE)
+def streaming_stateful_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful chunker byte accounting: every document's text arrives as
+    two fragments in separate micro-batches; emitted chunk lengths must
+    reassemble every document exactly (FIXTURES.md invariant 1)."""
+    sink = _stateful_ae_sink(spark, sf_dir)
+    return sink.groupBy("src_id").agg(
+        F.sum("length").cast("long").alias("total_len")
+    )
+
+
+@register("streaming_stateful_ae_chunks")
+def streaming_stateful_ae_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full chunk rows from the stateful streaming chunker (rows-only
+    driver check; exact equality with batch cdc_chunks is asserted in
+    tests/test_streaming.py)."""
+    return _stateful_ae_sink(spark, sf_dir)
+
+
+def _stateful_ae_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    half = (F.length("text") / 2).cast("int")
+    frag0 = docs.select(
+        F.col("doc_id").cast("long").alias("src_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.expr("substring(text, 1, cast(length(text)/2 as int))").alias("text"),
+        F.lit(False).alias("eof"),
+    )
+    frag1 = docs.select(
+        F.col("doc_id").cast("long").alias("src_id"),
+        F.lit(1).cast("long").alias("seq"),
+        F.expr(
+            "substring(text, cast(length(text)/2 as int) + 1, length(text))"
+        ).alias("text"),
+        F.lit(True).alias("eof"),
+    )
+    return run_staged_stream(
+        spark, [frag0, frag1], lambda s: stateful_cdc_chunks(s, "ae", 320)
+    )

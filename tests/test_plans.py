@@ -1,0 +1,70 @@
+"""Plan-quality pins (the 100 TB gate, SURVEY.md §4).
+
+These tests assert properties of the PHYSICAL PLAN, not results: filters
+pushed to parquet, columns pruned, small dimensions broadcast, Python
+confined to the chunker surface, shuffle counts bounded. A change that
+silently de-optimizes a query fails here instead of surfacing as a
+cluster-scale slowdown.
+"""
+
+from __future__ import annotations
+
+from cdc_algorithms_spark import plans as P
+from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return SPARK_QUERIES[name](spark, SF_DIR)
+
+
+def test_q1_pushdown_pruning_and_single_shuffle(spark):
+    df = _q(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in P.pushed_filters(df)), "filter not pushed to scan"
+    (cols,) = P.read_schema_columns(df)
+    assert len(cols) <= 7, f"column pruning lost: scan reads {cols}"
+    assert P.python_eval_count(df) == 0
+    assert P.exchange_count(df) == 1  # exactly the groupBy shuffle
+    assert P.codegen_stage_count(df) >= 1
+
+
+def test_q5_broadcasts_small_dims(spark):
+    df = _q(spark, "q5_nation_revenue")
+    # region/nation/supplier/customer are all broadcast — only the
+    # lineitem→orders side may shuffle.
+    assert P.broadcast_join_count(df) >= 3
+    assert P.exchange_count(df) <= 2
+    assert P.python_eval_count(df) == 0
+
+
+def test_fixed_chunking_is_pure_jvm_and_shuffle_free(spark):
+    df = _q(spark, "fixed_chunks")
+    assert P.python_eval_count(df) == 0
+    assert P.exchange_count(df) == 0
+
+
+def test_cdc_chunking_is_one_python_stage_no_shuffle(spark):
+    df = _q(spark, "ae_chunks")
+    assert P.python_eval_count(df) == 1  # exactly the mapInPandas chunker
+    assert P.exchange_count(df) == 0  # chunking itself never shuffles
+
+
+def test_dedup_stats_shuffles_only_hashes(spark):
+    df = _q(spark, "ae_dedup_stats")
+    assert P.exchange_count(df) <= 2  # per-key dedup + final rollup
+    # scans feeding the chunker read only (id, text)
+    for cols in P.read_schema_columns(df):
+        assert len(cols) <= 2, f"chunker input not pruned: {cols}"
+
+
+def test_near_dup_ops_stay_jvm_side(spark):
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "exact_dedup_docs",
+                 "ann_bruteforce_topk", "quality_scores", "token_counts"):
+        df = _q(spark, name)
+        assert P.python_eval_count(df) == 0, f"{name} fell off the JVM path"
+
+
+def test_ann_filter_pushdown(spark):
+    df = _q(spark, "ann_bruteforce_topk")
+    assert any("vec_id" in f for f in P.pushed_filters(df))

@@ -1,0 +1,104 @@
+"""Streaming suite: staged micro-batch runs must converge to the batch
+results — the defining property of the incremental engine (SURVEY.md §7
+Milestone 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks, with_chunk_hash
+from cdc_algorithms_spark.queries import SPARK_QUERIES
+from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.streaming import (
+    incremental_unique_chunks,
+    run_staged_stream,
+    stateful_cdc_chunks,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_incremental_unique_chunks_matches_batch(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    stages = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink = run_staged_stream(spark, stages, lambda s: incremental_unique_chunks(s, 64))
+
+    got = {r["hash"] for r in sink.select("hash").collect()}
+    want = {
+        r["hash"]
+        for r in with_chunk_hash(fixed_chunks(docs, 64)).select("hash").distinct().collect()
+    }
+    assert got == want
+    # first-occurrence: each hash emitted exactly once across all batches
+    assert sink.count() == len(want)
+
+
+def test_streaming_sessions_match_batch(spark):
+    res = SPARK_QUERIES["streaming_user_sessions"](spark, SF_DIR)
+    batch = SPARK_QUERIES["user_sessions"](spark, SF_DIR)
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_stateful_chunker_matches_batch_exactly(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").limit(50)
+    # three uneven fragments per doc, eof on the last
+    frags = []
+    for i, (lo, hi, eof) in enumerate(
+        [("1", "cast(length(text)*0.3 as int)", False),
+         ("cast(length(text)*0.3 as int) + 1", "cast(length(text)*0.7 as int) - cast(length(text)*0.3 as int)", False),
+         ("cast(length(text)*0.7 as int) + 1", "length(text)", True)]
+    ):
+        frags.append(
+            docs.select(
+                F.col("doc_id").cast("long").alias("src_id"),
+                F.lit(i).cast("long").alias("seq"),
+                F.expr(f"substring(text, {lo}, {hi})").alias("text"),
+                F.lit(eof).alias("eof"),
+            )
+        )
+    for algo, size, seed in [("ae", 320, 0), ("rabin", 64, 0), ("fastcdc", 64, 1)]:
+        sink = run_staged_stream(
+            spark, frags, lambda s: stateful_cdc_chunks(s, algo, size, seed)
+        )
+        got = sorted(map(tuple, sink.collect()))
+        want = sorted(
+            map(
+                tuple,
+                cdc_chunks(docs, algo, size, seed).withColumnRenamed("doc_id", "src_id").collect(),
+            )
+        )
+        assert got == want, f"{algo}: streaming != batch"
+
+
+def test_streaming_event_counts_complete_mode(spark):
+    res = SPARK_QUERIES["streaming_event_type_counts"](spark, SF_DIR)
+    ev = load_table(spark, "events", SF_DIR)
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, res.collect())) == want
+
+
+def test_streaming_unique_chunks_stats_query(spark):
+    res = SPARK_QUERIES["streaming_unique_chunks_stats"](spark, SF_DIR).collect()
+    assert len(res) == 1
+    row = res[0]
+    docs = load_table(spark, "documents", SF_DIR)
+    want = (
+        with_chunk_hash(fixed_chunks(docs, 64))
+        .groupBy("hash")
+        .agg(F.max("length").alias("len_one"))
+        .agg(F.count(F.lit(1)), F.sum("len_one"))
+        .first()
+    )
+    assert (row["n_unique"], row["unique_bytes"]) == (want[0], want[1])
