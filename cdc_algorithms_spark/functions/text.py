@@ -23,8 +23,26 @@ def word_shingles(text: Column | str, n: int) -> Column:
 
     Documents shorter than n words produce one shingle of all words, so
     no document silently drops out of dedup.
+
+    PERFORMANCE: this composes ``words`` (a regex split) INSIDE the
+    shingle transform's lambda, so Catalyst re-evaluates the split per
+    shingle — O(words²) regex work per row. Operators on the hot path
+    must bind the word array to a column first and use
+    :func:`shingles_of_words` (see ``operators/dedup_docs.py``); this
+    convenience form is for ad-hoc/small-input use.
     """
-    ws = words(text)
+    return shingles_of_words(words(text), n)
+
+
+def shingles_of_words(ws: Column, n: int) -> Column:
+    """n-word shingles over an already-computed word array.
+
+    Pass a *bound column* (e.g. ``F.col("__ws")`` from a previous
+    select), not an inline expression: ``ws`` is referenced four times
+    here, which doubles as the CollapseProject barrier that keeps the
+    upstream split materialized once per row instead of inlined into
+    the per-shingle lambda.
+    """
     k = F.size(ws)
     return F.when(k <= n, F.array(F.array_join(ws, " "))).otherwise(
         F.transform(

@@ -99,6 +99,30 @@ def dedup_stats_by(
     )
 
 
+def chunk_size_histogram(
+    chunks: DataFrame,
+    bucket_width: int = 16,
+    algo_col: str = "algo",
+) -> DataFrame:
+    """Chunk-size distribution: fixed-width buckets of ``length``.
+
+    The paper-level diagnostic for CDC tuning (normalized chunking
+    exists precisely to narrow this distribution, fastcdc.rs:23-48).
+    One partial-aggregating shuffle on (algo, bucket); bucket bounds are
+    ``[bucket_lo, bucket_lo + bucket_width)``.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    bucket_lo = (F.floor(F.col("length") / bucket_width) * bucket_width).cast("long")
+    return (
+        chunks.groupBy(F.col(algo_col).alias("algo"), bucket_lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("bytes"),
+        )
+    )
+
+
 def approx_dedup_stats(
     chunks: DataFrame,
     key_col: str = "chunk_text",

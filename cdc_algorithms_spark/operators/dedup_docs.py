@@ -32,7 +32,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.functions.arrays import cosine_similarity
-from cdc_algorithms_spark.functions.text import word_shingles, words
+from cdc_algorithms_spark.functions.text import shingles_of_words, words
+
+
+def _shingle_arrays(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, __sh: array<string>) — distinct shingles per doc.
+
+    Two selects on purpose: the word array binds to ``__ws`` first, and
+    the shingle expression references it 4× — a CollapseProject barrier
+    (Catalyst only inlines aliases referenced once), so the regex split
+    runs once per row instead of once per shingle.
+    """
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words(text_col).alias("__ws"),
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles_of_words(F.col("__ws"), n)).alias("__sh"),
+    )
 
 
 def exact_dedup(
@@ -67,11 +86,8 @@ def doc_shingles(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, shingle) rows, distinct per doc — the inverted-index base."""
-    return (
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
-        )
+    return _shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("__sh").alias("shingle")
     )
 
 
@@ -92,6 +108,18 @@ def ngram_jaccard_pairs(
     before the self-join — the skew guard that keeps the hottest key from
     dominating the shuffle at corpus scale (stop-shingles contribute
     little to Jaccard but quadratic join work).
+
+    Scale design — **prefix filtering** (the PPJoin family): for
+    Jaccard ≥ t, two docs must share a shingle within the first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles of a global rarest-first ordering
+    (if all common shingles sat in A's suffix of length ⌈t|A|⌉−1, the
+    overlap couldn't reach the required ⌈t·max(|A|,|B|)⌉; the first
+    common shingle in the global order is therefore inside both
+    prefixes). So only prefixes join — rare shingles by construction —
+    which cuts candidate pairs by orders of magnitude while remaining
+    EXACT: verification against full shingle sets decides membership.
+    The shingle table is persisted once and reused by the df ranking,
+    the prefix join, and the verification sets.
     """
     sh = doc_shingles(docs, n, id_col, text_col)
     if max_df is not None:
@@ -100,31 +128,48 @@ def ngram_jaccard_pairs(
             sh.join(df_counts.where(F.col("df") <= max_df), "shingle")
             .select("doc_id", "shingle")
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    # One shuffle attaches document frequency (count over a shingle
+    # window — no second shuffle for a join), one groupBy builds each
+    # doc's shingle list sorted rarest-first. That single persisted
+    # table serves BOTH roles: its array is the verification set, its
+    # head slice is the prefix.
+    w_sh = Window.partitionBy("shingle")
+    sets = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.col("ord.shingle").alias("sh"),
+            F.size("ord").alias("sz"),
+        )
+        .persist()
+    )
+    prefix = sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
+        ).alias("shingle"),
+    )
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -147,16 +192,15 @@ def minhash_signatures(
     per plan); the nested loop form stays tiny and the shingle array is
     materialized once per row first.
     """
-    shingles = F.array_distinct(word_shingles(text_col, n))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(F.col("__sh"), lambda s: F.hash(s, i))
         ),
     )
-    return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), shingles.alias("__sh")
-    ).select("doc_id", sig.alias("sig"))
+    return _shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", sig.alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -196,12 +240,12 @@ def minhash_lsh_pairs(
             )
         ),
     )
-    shingles = F.array_distinct(word_shingles(text_col, n))
-    banded = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), shingles.alias("__sh")
-    ).select(
+    # persisted: the signature computation runs once, not once per
+    # self-join side (Catalyst's ReusedExchange does not fire here — the
+    # two sides' pruned projections differ, so the subplans aren't equal)
+    banded = _shingle_arrays(docs, n, id_col, text_col).select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    )
+    ).persist()
     c1 = banded.alias("x")
     c2 = banded.alias("y")
     candidates = (
@@ -218,7 +262,7 @@ def minhash_lsh_pairs(
     )
     sh = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh")
-    )
+    ).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -131,8 +131,11 @@ def doc_fingerprints(
     (rolling-hash identity, same role as chunk hashes in the reference,
     at sub-chunk granularity).
     """
-    grams = char_ngrams(text_col, ngram)
-    hashes = F.transform(grams, lambda g: F.hash(g))
+    # Bind the n-gram hash array to a column first: ``__h`` is referenced
+    # three times below, which stops CollapseProject from inlining the
+    # n-gram + hash computation into the per-window lambda (that inlining
+    # would re-hash the whole document once per window position).
+    hashes = F.col("__h")
     nh = F.size(hashes)
     mins = F.when(nh <= window, F.array(F.array_min(hashes))).otherwise(
         F.transform(
@@ -142,5 +145,8 @@ def doc_fingerprints(
     )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
+        F.transform(char_ngrams(text_col, ngram), lambda g: F.hash(g)).alias("__h"),
+    ).select(
+        "doc_id",
         F.explode(F.array_distinct(mins)).alias("fingerprint"),
     )

@@ -138,6 +138,52 @@ for _name, _conf in CDC_CONFIGS.items():
 
 
 # ---------------------------------------------------------------------------
+# Chunk-size distribution + approximate dedup (SURVEY.md §7 M2, §2.5)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = 16
+
+_FIXED_HIST_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE})
+SELECT algo,
+       CAST(length // {_HIST_BUCKET} * {_HIST_BUCKET} AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(length) AS BIGINT) AS bytes
+FROM chunks GROUP BY algo, bucket_lo
+"""
+
+
+@register("chunk_size_histogram_fixed", _FIXED_HIST_ORACLE)
+def q_chunk_size_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup import chunk_size_histogram
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_size_histogram(fixed_chunks(docs, FIXED_SIZE), _HIST_BUCKET)
+
+
+@register("chunk_size_histogram_ae")
+def q_chunk_size_histogram_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AE chunk-size distribution (rows-only check; AE's lack of a max
+    clamp shows up as a long right tail vs Rabin/FastCDC)."""
+    from cdc_algorithms_spark.operators.dedup import chunk_size_histogram
+
+    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS["ae"])
+    return chunk_size_histogram(chunks, _HIST_BUCKET)
+
+
+@register("ae_dedup_stats_approx")
+def q_ae_dedup_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ fast path (SURVEY.md §2.5): estimated distinct-chunk
+    count — the single-pass 100 TB alternative to exact per-key dedup.
+    Rows-only driver check; estimate-vs-exact tolerance is asserted in
+    tests/test_training_ops.py."""
+    from cdc_algorithms_spark.operators.dedup import approx_dedup_stats
+
+    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS["ae"])
+    return approx_dedup_stats(chunks)
+
+
+# ---------------------------------------------------------------------------
 # Segment-parallel blob chunking — the reference's benchmark path
 # (main.rs:16-24: AE parallel chunking of one large input) restated as
 # the distributed pipeline in operators/distributed.py.

@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` under
+        # every explode; pushed below projections it re-inlines the
+        # generator's full expression into the predicate — for the shingle
+        # pipelines that re-ran the regex split ~9× per row (measured 4×
+        # slowdown). Our generator inputs are built non-empty, so the
+        # inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Bound Arrow batch size so pandas-UDF chunker state stays in
         # executor memory even with multi-MB documents.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

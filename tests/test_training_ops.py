@@ -136,3 +136,34 @@ def test_media_features_strict_raises(spark, sf_dir):
     media = synthesize_media(load_table(spark, "documents", sf_dir).limit(1))
     with pytest.raises(NotImplementedError):
         extract_features(media, strict=True)
+
+
+def test_chunk_size_histogram_accounts_all_bytes(spark):
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+    from cdc_algorithms_spark.operators.dedup import chunk_size_histogram
+    from cdc_algorithms_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = cdc_chunks(docs, "ae", 320)
+    hist = chunk_size_histogram(chunks, 16)
+    total = hist.agg(F.sum("bytes"), F.sum("n_chunks")).first()
+    want = chunks.agg(F.sum("length"), F.count(F.lit(1))).first()
+    assert (total[0], total[1]) == (want[0], want[1])
+    # buckets are aligned and non-overlapping
+    rows = hist.collect()
+    assert all(r["bucket_lo"] % 16 == 0 for r in rows)
+
+
+def test_approx_dedup_within_tolerance(spark):
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+    from cdc_algorithms_spark.operators.dedup import approx_dedup_stats, dedup_stats
+    from cdc_algorithms_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = cdc_chunks(docs, "ae", 320)
+    est = approx_dedup_stats(chunks).first()
+    exact = dedup_stats(chunks).first()
+    assert abs(est["n_unique_est"] - exact["n_unique"]) / exact["n_unique"] < 0.05
