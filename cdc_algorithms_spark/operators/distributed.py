@@ -143,7 +143,16 @@ def parallel_chunk_blob(
     bound_fn = _BOUND_FNS[algo]
     label = f"parallel_{algo}{expected_size}"
 
-    segments = segment_blob_df(blobs, segment_len, overlap, id_col, content_col)
+    # Persisted: the segment table feeds BOTH the cut scan (Phase A) and
+    # the content hashing range-join (Phase C); without it each phase
+    # re-reads the source and re-slices every blob. MEMORY_AND_DISK —
+    # at scale this spills to executor-local disk, which still beats two
+    # full source scans.
+    from pyspark.storagelevel import StorageLevel
+
+    segments = segment_blob_df(
+        blobs, segment_len, overlap, id_col, content_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- Phase A: per-segment scan ---------------------------------------
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -174,11 +183,11 @@ def parallel_chunk_blob(
     cuts = segments.mapInPandas(scan, "src_id long, cut long, blob_len long")
 
     # Sentinel per blob: the final boundary always exists, even for blobs
-    # whose scan found no cuts at all.
-    sentinels = blobs.where(F.length(content_col) > 0).select(
-        F.col(id_col).cast("long").alias("src_id"),
-        (F.length(content_col) - 1).cast("long").alias("cut"),
-        F.length(content_col).cast("long").alias("blob_len"),
+    # whose scan found no cuts at all. Derived from the persisted segment
+    # table (blob_len is constant per blob) so the source isn't re-read.
+    sentinels = segments.groupBy("src_id").agg(
+        (F.max("blob_len") - 1).cast("long").alias("cut"),
+        F.max("blob_len").cast("long").alias("blob_len"),
     )
     all_cuts = cuts.unionByName(sentinels)
 

@@ -245,6 +245,26 @@ def q_parallel_rabin_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# binaryFile-source chunking — the reference's real use case (chunking a
+# tar on disk, main.rs:17) over Spark's binary file source: each parquet
+# fixture file is treated as an opaque blob and CDC-chunked. Rows-only
+# driver check (DuckDB cannot hash raw file bytes); byte conservation is
+# asserted in tests/test_binary_source.py.
+# ---------------------------------------------------------------------------
+
+from cdc_algorithms_spark.sources.registry import load_binary_files  # noqa: E402
+
+
+@register("binaryfile_ae_dedup_stats")
+def q_binaryfile_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = load_binary_files(spark, sf_dir, "*.parquet").select(
+        F.xxhash64("path").alias("src_id"), F.col("content")
+    )
+    chunks = parallel_chunk_blob(files, "ae", 4096, segment_len=262144)
+    return dedup_stats(chunks, key_col="hash")
+
+
+# ---------------------------------------------------------------------------
 # Extension query modules (imported for their @register side effects).
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,51 @@
+"""binaryFile-source ingestion + distributed chunking over real files —
+the reference's actual input shape (a tar on disk, main.rs:17), here the
+read-only parquet fixtures treated as opaque blobs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.distributed import parallel_chunk_blob
+from cdc_algorithms_spark.queries import SPARK_QUERIES
+from cdc_algorithms_spark.sources.registry import load_binary_files
+
+from tests.conftest import SF_DIR
+
+
+def test_binary_file_source_schema(spark):
+    files = load_binary_files(spark, SF_DIR, "*.parquet")
+    assert {"path", "length", "content"} <= set(files.columns)
+    n = files.count()
+    assert n == 10  # one per fixture table
+    row = files.select("length", F.length("content").alias("l2")).first()
+    assert row["length"] == row["l2"]
+
+
+def test_chunk_real_binary_files_conserves_bytes(spark):
+    files = load_binary_files(spark, SF_DIR, "*.parquet").select(
+        F.xxhash64("path").alias("src_id"), "content", F.length("content").alias("n")
+    )
+    chunks = parallel_chunk_blob(files, "ae", 4096, segment_len=262144)
+    got = chunks.groupBy("src_id").agg(F.sum("length").alias("total"))
+    want = files.select("src_id", F.col("n").cast("long").alias("total"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # offsets are contiguous per blob
+    bad = (
+        chunks.withColumn(
+            "prev_end",
+            F.lag(F.col("offset") + F.col("length")).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("src_id").orderBy("offset")
+            ),
+        )
+        .where(F.col("prev_end").isNotNull() & (F.col("prev_end") != F.col("offset")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_binaryfile_query_registered(spark):
+    res = SPARK_QUERIES["binaryfile_ae_dedup_stats"](spark, SF_DIR).collect()
+    assert len(res) == 1
+    assert res[0]["total_bytes"] > 0
