@@ -16,7 +16,14 @@ Two tiers (task brief):
   lowest-confidence bits), turning O(|Q|·|C|) into O(|Q|·|C|/2^bits)
   expected.
 
-Both return ``(query_id, rank, vec_id, cosine)``.
+* :func:`ivf_topk` — the other scale path: IVF (inverted-file) search.
+  Centroids come from a few DataFrame-native Lloyd iterations (centroid
+  state is k·dim floats — bounded model state, legitimately collected to
+  the driver and re-broadcast as literals, exactly like MLlib's KMeans
+  driver loop); each corpus vector is assigned to its nearest-centroid
+  cell once, and a query probes only its ``nprobe`` nearest cells.
+
+All return ``(query_id, rank, vec_id, cosine)``.
 """
 
 from __future__ import annotations
@@ -75,6 +82,120 @@ def lsh_bucket(vec_col, dim: int, bits: int, seed: int = 42):
         d = dot_product(vec_col, _hyperplane(dim, b, seed))
         acc = acc + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return acc
+
+
+def _sq_dist_to(vec_col, centroid: list[float]):
+    """Squared L2 distance from a vector column to a literal centroid."""
+    lit_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cell(vec_col, centroids: list[list[float]]):
+    """1-based index of the nearest centroid — a pure expression."""
+    dists = F.array(*[_sq_dist_to(vec_col, c) for c in centroids])
+    return F.array_position(dists, F.array_min(dists)).cast("long")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations, all data-side work in DataFrames.
+
+    Init = k pseudo-random corpus vectors (ordered by ``xxhash64(id,
+    seed)`` — stable across runs/partitionings). Each iteration: nearest
+    -cell assignment is a codegen'd expression; new centroids are
+    per-dimension means via ``posexplode`` + groupBy — one shuffle of
+    (cell, dim, value) triples, never vectors to the driver. Only the
+    k·dim centroid matrix is collected per iteration.
+    """
+    init = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(corpus_id), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(map(float, r["v"])) for r in init]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _nearest_cell(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(vec_col).alias("d", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("ord"))
+            .select("cell", F.col("ord.m").alias("centroid"))
+            .collect()
+        )
+        new = {int(r["cell"]): list(map(float, r["centroid"])) for r in means}
+        # empty cells keep their previous centroid
+        cents = [new.get(i + 1, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only within the query's ``nprobe``
+    nearest centroid cells.
+
+    Scale shape: the corpus is partitioned into ``nlist`` cells by one
+    narrow expression pass; the probe join is an equi-join on cell id,
+    so each corpus row meets only the queries probing its cell —
+    O(|Q|·|C|·nprobe/nlist) expected work, and the cell assignment can
+    be persisted/bucketed once and reused across query batches.
+    """
+    cents = kmeans_centroids(corpus, nlist, dim, iters, corpus_id, vec_col, seed)
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    dists = F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in cents])
+    # nprobe nearest cells: sort (distance, index) pairs, keep the head.
+    # named_struct via SQL — Column.alias inside HOF lambdas is rejected.
+    probes = F.expr(
+        "slice(transform(array_sort(transform(__d, (d, i) -> "
+        "named_struct('d', d, 'i', i))), s -> cast(s.i + 1 as bigint)), "
+        f"1, {nprobe})"
+    )
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        dists.alias("__d"),
+    ).select("query_id", "qv", F.explode(probes).alias("cell"))
+    scored = F.broadcast(q).join(c, "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
 
 
 def lsh_topk(

@@ -272,3 +272,4 @@ from cdc_algorithms_spark import queries_diff  # noqa: E402,F401
 from cdc_algorithms_spark import queries_relational  # noqa: E402,F401
 from cdc_algorithms_spark import queries_text  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming  # noqa: E402,F401
+from cdc_algorithms_spark import queries_streaming_diff  # noqa: E402,F401

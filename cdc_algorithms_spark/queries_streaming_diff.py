@@ -1,0 +1,85 @@
+"""Streaming change-feed query: stateful per-source chunk diff between
+two corpus versions, oracle-checked against the SQL multiset diff.
+
+The stream carries (src_id, version, text): version 0 = the documents
+table, version 1 = the deterministically perturbed copy (diff.py's
+PERTURB_SQL), in separate micro-batches so the diff state crosses a
+batch boundary. The DuckDB oracle recomputes both versions' fixed-chunk
+multisets and the same inserted/deleted/unchanged accounting per
+(src_id, version).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.diff import PERTURB_SQL, perturb_documents
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.streaming import chunk_change_feed, run_staged_stream
+
+_SIZE = 64
+
+_CHANGE_FEED_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL}),
+oc AS (
+  SELECT d.doc_id AS src_id,
+         substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS len
+  FROM documents d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+nc AS (
+  SELECT d.doc_id AS src_id,
+         substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS len
+  FROM new_docs d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+o AS (SELECT src_id, chunk_text, COUNT(*) AS n, MAX(len) AS len
+      FROM oc GROUP BY src_id, chunk_text),
+n AS (SELECT src_id, chunk_text, COUNT(*) AS n, MAX(len) AS len
+      FROM nc GROUP BY src_id, chunk_text),
+v0 AS (
+  SELECT src_id, CAST(0 AS BIGINT) AS version,
+         CAST(SUM(n) AS BIGINT) AS n_inserted,
+         CAST(0 AS BIGINT) AS n_deleted,
+         CAST(0 AS BIGINT) AS n_unchanged,
+         CAST(SUM(n * len) AS BIGINT) AS inserted_bytes,
+         1.0 AS change_ratio
+  FROM o GROUP BY src_id
+),
+v1 AS (
+  SELECT COALESCE(o.src_id, n.src_id) AS src_id, CAST(1 AS BIGINT) AS version,
+         CAST(SUM(GREATEST(COALESCE(n.n, 0) - COALESCE(o.n, 0), 0)) AS BIGINT) AS n_inserted,
+         CAST(SUM(GREATEST(COALESCE(o.n, 0) - COALESCE(n.n, 0), 0)) AS BIGINT) AS n_deleted,
+         CAST(SUM(LEAST(COALESCE(o.n, 0), COALESCE(n.n, 0))) AS BIGINT) AS n_unchanged,
+         CAST(SUM(GREATEST(COALESCE(n.n, 0) - COALESCE(o.n, 0), 0)
+                  * COALESCE(n.len, o.len)) AS BIGINT) AS inserted_bytes,
+         ROUND(SUM(GREATEST(COALESCE(n.n, 0) - COALESCE(o.n, 0), 0)
+                   * COALESCE(n.len, o.len)) * 1.0
+               / GREATEST(SUM(COALESCE(n.n, 0) * COALESCE(n.len, 0)), 1), 6)
+           AS change_ratio
+  FROM o FULL OUTER JOIN n
+    ON o.src_id = n.src_id AND o.chunk_text = n.chunk_text
+  GROUP BY COALESCE(o.src_id, n.src_id)
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1
+"""
+
+
+@register("streaming_change_feed", _CHANGE_FEED_ORACLE)
+def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    v0 = docs.select(
+        F.col("doc_id").cast("long").alias("src_id"),
+        F.lit(0).cast("long").alias("version"),
+        "text",
+    )
+    v1 = perturb_documents(docs).select(
+        F.col("doc_id").cast("long").alias("src_id"),
+        F.lit(1).cast("long").alias("version"),
+        "text",
+    )
+    return run_staged_stream(
+        spark, [v0, v1], lambda s: chunk_change_feed(s, _SIZE)
+    )

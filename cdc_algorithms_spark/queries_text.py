@@ -181,6 +181,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=ANN_K, dim=64, bits=4)
 
 
+@register("ann_ivf_topk")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed ANN (rows-only driver check; recall vs brute force
+    is asserted in tests/test_training_ops.py)."""
+    from cdc_algorithms_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(queries, emb, k=ANN_K, dim=64, nlist=16, nprobe=4)
+
+
 # --- Text analysis ---------------------------------------------------------
 
 # lang marker hits: flat per-language aggregate, mirrored with list_filter

@@ -16,6 +16,7 @@ from cdc_algorithms_spark.streaming.dedup_stream import (
 )
 from cdc_algorithms_spark.streaming.sessions import sessionize
 from cdc_algorithms_spark.streaming.stateful import stateful_cdc_chunks
+from cdc_algorithms_spark.streaming.change_feed import chunk_change_feed
 
 __all__ = [
     "run_staged_stream",
@@ -23,4 +24,5 @@ __all__ = [
     "streaming_dedup_stats",
     "sessionize",
     "stateful_cdc_chunks",
+    "chunk_change_feed",
 ]

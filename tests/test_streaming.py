@@ -102,3 +102,43 @@ def test_streaming_unique_chunks_stats_query(spark):
         .first()
     )
     assert (row["n_unique"], row["unique_bytes"]) == (want[0], want[1])
+
+
+def test_change_feed_matches_oracle_semantics(spark):
+    """Streaming stateful diff == batch multiset diff of fixed chunks."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.operators.diff import perturb_documents
+
+    res = SPARK_QUERIES["streaming_change_feed"](spark, SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    old_c = fixed_chunks(docs, 64).groupBy("src_id", "chunk_text").agg(
+        F.count(F.lit(1)).alias("n_old"), F.max("length").alias("len")
+    )
+    new_c = fixed_chunks(perturb_documents(docs), 64).groupBy(
+        "src_id", "chunk_text"
+    ).agg(F.count(F.lit(1)).alias("n_new"), F.max("length").alias("len2"))
+    j = old_c.join(new_c, ["src_id", "chunk_text"], "full_outer").select(
+        "src_id",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("len", "len2").alias("len"),
+    )
+    want = (
+        j.groupBy("src_id")
+        .agg(
+            F.sum(F.greatest(F.col("n_new") - F.col("n_old"), F.lit(0))).alias("ins"),
+            F.sum(F.greatest(F.col("n_old") - F.col("n_new"), F.lit(0))).alias("del_"),
+            F.sum(F.least("n_old", "n_new")).alias("unch"),
+        )
+        .collect()
+    )
+    want_map = {r["src_id"]: (r["ins"], r["del_"], r["unch"]) for r in want}
+    got_v1 = {
+        r["src_id"]: (r["n_inserted"], r["n_deleted"], r["n_unchanged"])
+        for r in res.where(F.col("version") == 1).collect()
+    }
+    assert got_v1 == want_map
+    # v0: everything inserted, ratio exactly 1
+    v0 = res.where(F.col("version") == 0)
+    assert v0.where(F.col("n_deleted") != 0).count() == 0
+    assert v0.where(F.col("change_ratio") != 1.0).count() == 0

@@ -167,3 +167,23 @@ def test_approx_dedup_within_tolerance(spark):
     est = approx_dedup_stats(chunks).first()
     exact = dedup_stats(chunks).first()
     assert abs(est["n_unique_est"] - exact["n_unique"]) / exact["n_unique"] < 0.05
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from cdc_algorithms_spark.operators.similarity import brute_force_topk, ivf_topk
+    from cdc_algorithms_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, k=5)
+    approx = ivf_topk(queries, emb, k=5, dim=64, nlist=16, nprobe=4)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # a query vector drawn from the corpus must find itself (cos=1, in
+    # its own cell by construction)
+    assert all((q, q) in approx_set for q in range(8))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall {recall:.1%}"
