@@ -112,35 +112,90 @@ def _ae_find_cut(arr: np.ndarray, s: int, n: int, w: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _rabin_fingerprints(arr: np.ndarray, p: RabinParams) -> np.ndarray:
-    """F[i] = hash of bytes (i-w+1 .. i) mod 2^32, for i >= w-1.
+_RABIN_BLOCK = 1 << 18  # 256 Ki elements → scratch fits in L2/L3
 
-    Uses the closed form P[i] = α^i · Σ b_j α^(−j): inverse-power scaling
-    turns the sequential recurrence into cumsum/cumprod, all mod 2^64
-    whose low 32 bits equal the mod-2^32 result (2^32 | 2^64).
+
+def _rabin_hit_candidates(arr: np.ndarray, p: RabinParams) -> np.ndarray:
+    """Sorted positions i (i ≥ window_size) where the windowed Rabin
+    fingerprint satisfies the cut predicate ``(F ^ seed) & mask == 0``.
+
+    F[i] = P[i] − α^w·P[i−w] mod 2^32 with P[i] = α^i·Σ b_j α^(−j)
+    (arithmetic mod 2^64; low 32 bits exact because 2^32 | 2^64),
+    evaluated BLOCKWISE with preallocated scratch and a rolling w-tail
+    of P — no n-sized arrays at all. The whole-array formulation paid a
+    fresh 8n-byte allocation + page-fault sweep per operation (measured
+    ~5 MB/s at 64 MiB); this form touches O(block) memory per pass and
+    only materializes the (sparse) candidate positions.
     """
     n = arr.size
     w = p.window_size
-    b = arr.astype(np.uint64)
     mod = 1 << 32
     inv_alpha = pow(p.alpha, -1, mod)
+    B = max(min(_RABIN_BLOCK, n), min(2 * w, n))
 
-    pw = np.full(n, np.uint64(p.alpha), dtype=np.uint64)
-    pw[0] = 1
-    np.cumprod(pw, out=pw)  # α^i mod 2^64 → low 32 bits correct
+    pw_t = np.full(B, np.uint64(p.alpha), dtype=np.uint64)
+    pw_t[0] = 1
+    np.cumprod(pw_t, out=pw_t)  # α^t
+    pwi_t = np.full(B, np.uint64(inv_alpha), dtype=np.uint64)
+    pwi_t[0] = 1
+    np.cumprod(pwi_t, out=pwi_t)  # α^(−t)
+    p_blk = np.empty(B, dtype=np.uint64)
+    shifted = np.empty(B, dtype=np.uint64)
+    hist = np.empty(w, dtype=np.uint64)  # P over the last w positions
+    aw = np.uint64(pow(p.alpha, w, mod))
+    seed64 = np.uint64(p.seed)
+    mask64 = np.uint64(p.mask)
 
-    pw_inv = np.full(n, np.uint64(inv_alpha), dtype=np.uint64)
-    pw_inv[0] = 1
-    np.cumprod(pw_inv, out=pw_inv)
+    hits: list[np.ndarray] = []
+    carry = np.uint64(0)  # Σ_{j<lo} b_j α^(−j)
+    for lo in range(0, n, B):
+        hi = min(lo + B, n)
+        m = hi - lo
+        blk = p_blk[:m]
+        np.multiply(arr[lo:hi].astype(np.uint64), pwi_t[:m], out=blk)
+        if lo:
+            blk *= np.uint64(pow(inv_alpha, lo, 1 << 64))
+        np.add(blk[:1], carry, out=blk[:1])
+        np.cumsum(blk, out=blk)
+        carry = blk[-1]
+        np.multiply(blk, pw_t[:m], out=blk)
+        if lo:
+            blk *= np.uint64(pow(p.alpha, lo, 1 << 64))
+        blk &= _M32  # P[lo..hi)
 
-    s_pref = np.cumsum(b * pw_inv)  # Σ b_j α^(−j), mod 2^64
-    prefix = (pw * s_pref) & _M32  # P[i] = Σ_{j<=i} b_j α^(i−j) mod 2^32
+        # F[i] needs P[i-w]: first min(w, m) positions draw from hist
+        sh = shifted[:m]
+        k = min(w, m)
+        if lo == 0:
+            # no fingerprint before position w: placeholder values,
+            # filtered below via idx >= w
+            sh[:k] = blk[:k]
+        else:
+            # hist[j] = P[lo-w+j], so position lo+t reads hist[t]
+            sh[:k] = hist[:k]
+        if m > w:
+            sh[w:] = blk[: m - w]
+        f = sh
+        np.multiply(sh, aw, out=f)
+        np.subtract(blk, f, out=f)
+        f &= _M32
+        f ^= seed64
+        f &= mask64
+        idx = np.flatnonzero(f == 0)
+        if lo == 0:
+            idx = idx[idx >= w]
+        if idx.size:
+            hits.append(idx + lo)
 
-    f = np.zeros(n, dtype=np.uint64)
-    if n > w:
-        aw = np.uint64(pow(p.alpha, w, mod))
-        f[w:] = (prefix[w:] - aw * prefix[:-w]) & _M32
-    return f
+        # roll P history
+        if m >= w:
+            hist[:] = blk[m - w :]
+        else:
+            hist[:-m] = hist[m:]
+            hist[-m:] = blk
+    if not hits:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(hits)
 
 
 def rabin_cuts(data, p: RabinParams) -> list[int]:
@@ -175,11 +230,7 @@ def _rabin_scan(data, p: RabinParams, final: bool) -> list[int]:
     n = arr.size
     if n == 0:
         return []
-    w = p.window_size
-    f = _rabin_fingerprints(arr, p)
-    hit = ((f ^ np.uint64(p.seed)) & np.uint64(p.mask)) == 0
-    hit[: max(w, 1)] = False  # hash-cut needs local >= min_size > w-1
-    cand = np.flatnonzero(hit)
+    cand = _rabin_hit_candidates(arr, p)
 
     cuts: list[int] = []
     s = 0
@@ -206,17 +257,68 @@ def _rabin_scan(data, p: RabinParams, final: bool) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def _gear_hashes(arr: np.ndarray, gear_np: np.ndarray) -> np.ndarray:
-    """H[i] = Σ_{k=0..63} gear[b[i-k]] << k mod 2^64 — the Gear hash's
-    full 64-term sliding window (all older terms are shifted out)."""
+_GEAR_BLOCK = 1 << 18  # 256 Ki elements of scratch → cache-resident
+
+
+def _gear_hit_candidates(
+    arr: np.ndarray, gear_np: np.ndarray, p: FastCdcParams
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted positions where the full 64-term sliding Gear hash
+    satisfies the short / long mask (two sorted arrays).
+
+    H[i] = Σ_{k=0..63} gear[b[i-k]] << k mod 2^64 — mod-2^64 wraparound
+    sheds terms with k ≥ 64, so the sliding hash IS this dot product.
+    Two key reductions vs the naive form (measured 5 MB/s at 64 MiB):
+
+    * **blockwise scratch** — the shifted-add passes run over an
+      L2-resident block with in-place ``<<= 1`` between passes (zero
+      temporaries, no n-sized arrays; only sparse candidates persist);
+    * **mask-bit cutoff** — the predicates only read bits of
+      ``short_mask | long_mask``; a term ``g << k`` cannot touch any
+      masked bit once ``k`` exceeds the masks' highest set bit, so the
+      pass loop stops there (50 passes instead of 64 for the paper's
+      8 KiB masks).
+    """
     n = arr.size
-    g = gear_np[arr]
-    h = np.zeros(n, dtype=np.uint64)
-    for k in range(64):
-        if k >= n:
-            break
-        h[k:] += g[: n - k] << np.uint64(k)
-    return h
+    both = p.short_mask | p.long_mask
+    kmax = min(63, both.bit_length() - 1)
+    B = min(_GEAR_BLOCK, n)
+    sh = np.empty(B + 63, dtype=np.uint64)
+    acc = np.empty(B, dtype=np.uint64)
+    one = np.uint64(1)
+    s_mask = np.uint64(p.short_mask)
+    l_mask = np.uint64(p.long_mask)
+    short_hits: list[np.ndarray] = []
+    long_hits: list[np.ndarray] = []
+    for lo in range(0, n, B):
+        hi = min(lo + B, n)
+        m = hi - lo
+        head = min(63, lo)  # overlap from previous block (absent at start)
+        blk = sh[: head + m]
+        np.take(gear_np, arr[lo - head : hi], out=blk)
+        a = acc[:m]
+        a[:] = blk[head:]  # k = 0 term
+        for k in range(1, kmax + 1):
+            if k > head + m - 1:
+                break
+            blk <<= one
+            # term g[i-k] << k; for lo>0 head==63 covers every k ≤ 63,
+            # at the array start missing terms simply don't exist
+            if head - k >= 0:
+                a += blk[head - k : head - k + m]
+            else:
+                a[k - head :] += blk[: m - (k - head)]
+        s_idx = np.flatnonzero((a & s_mask) == 0)
+        if s_idx.size:
+            short_hits.append(s_idx + lo)
+        l_idx = np.flatnonzero((a & l_mask) == 0)
+        if l_idx.size:
+            long_hits.append(l_idx + lo)
+    empty = np.empty(0, dtype=np.int64)
+    return (
+        np.concatenate(short_hits) if short_hits else empty,
+        np.concatenate(long_hits) if long_hits else empty,
+    )
 
 
 def fastcdc_cuts(data, p: FastCdcParams) -> list[int]:
@@ -240,11 +342,7 @@ def _fastcdc_scan(data, p: FastCdcParams, final: bool) -> list[int]:
     if n == 0:
         return []
     gear_np = np.array(p.gear, dtype=np.uint64)
-    h_arr = _gear_hashes(arr, gear_np)
-    short_hit = (h_arr & np.uint64(p.short_mask)) == 0
-    long_hit = (h_arr & np.uint64(p.long_mask)) == 0
-    cand_short = np.flatnonzero(short_hit)
-    cand_long = np.flatnonzero(long_hit)
+    cand_short, cand_long = _gear_hit_candidates(arr, gear_np, p)
     gear = p.gear
     mask64 = (1 << 64) - 1
 

@@ -1,0 +1,36 @@
+"""Single-thread chunker throughput floors (regression pins).
+
+Floors sit ~2-3× below measured (AE ~130 MB/s, Rabin ~100 MB/s, FastCDC
+~13 MB/s on random 64 MiB) so scheduler noise doesn't flake, but a
+return of the page-fault-bound whole-array formulations (~3-5 MB/s)
+fails loudly. Spark fans these out per-core, so node throughput is
+~32× the single-thread number.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from cdc_algorithms_spark.chunkers import fast
+from cdc_algorithms_spark.chunkers.params import make_params
+
+_DATA = np.random.default_rng(42).integers(0, 256, 16 << 20, dtype=np.uint8).tobytes()
+_MB = len(_DATA) / 2**20
+
+
+@pytest.mark.parametrize(
+    "algo,floor_mbps",
+    [("ae", 40.0), ("rabin", 30.0), ("fastcdc", 5.0)],
+)
+def test_chunker_throughput_floor(algo, floor_mbps):
+    p = make_params(algo, 16384, 1)
+    fn = getattr(fast, f"{algo}_cuts")
+    fn(_DATA[: 1 << 20], p)  # warm scratch allocations
+    t0 = time.monotonic()
+    cuts = fn(_DATA, p)
+    mbps = _MB / (time.monotonic() - t0)
+    assert cuts, "no cuts produced"
+    assert mbps >= floor_mbps, f"{algo}: {mbps:.0f} MB/s < floor {floor_mbps}"
