@@ -134,11 +134,30 @@ def parallel_chunk_blob(
     ``hash = xxhash64(chunk bytes)`` (the reference's DefaultHasher role,
     ae.rs:75-78).
     """
+    if overlap is None:
+        overlap = _default_overlap(
+            make_params(algo, expected_size, seed, window_size=window_size)
+        )
+    segments = segment_blob_df(blobs, segment_len, overlap, id_col, content_col)
+    return chunk_segments(segments, algo, expected_size, seed, window_size)
+
+
+def chunk_segments(
+    segments: DataFrame,
+    algo: str,
+    expected_size: int,
+    seed: int = 0,
+    window_size: int | None = None,
+) -> DataFrame:
+    """The segment→chunk pipeline over a prebuilt segment table
+    (``src_id, seg_idx, left, right, blob_len, scan_start, payload``) —
+    shared by :func:`parallel_chunk_blob` (in-memory blobs) and
+    :func:`cdc_algorithms_spark.sources.segmented_files.segment_file_ranges`
+    (executor-side range reads of files, the no-whole-blob 100 TB path).
+    """
     if algo not in _BOUND_FNS:
         raise ValueError(f"unknown CDC algo {algo!r}; one of {sorted(_BOUND_FNS)}")
     params = make_params(algo, expected_size, seed, window_size=window_size)
-    if overlap is None:
-        overlap = _default_overlap(params)
     spacing = _merge_spacing(params)
     bound_fn = _BOUND_FNS[algo]
     label = f"parallel_{algo}{expected_size}"
@@ -150,9 +169,7 @@ def parallel_chunk_blob(
     # full source scans.
     from pyspark.storagelevel import StorageLevel
 
-    segments = segment_blob_df(
-        blobs, segment_len, overlap, id_col, content_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- Phase A: per-segment scan ---------------------------------------
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -264,6 +264,21 @@ def q_binaryfile_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stats(chunks, key_col="hash")
 
 
+@register("file_ranges_ae_dedup_stats")
+def q_file_ranges_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same files and params as binaryfile_ae_dedup_stats but via
+    executor-side range reads (sources/segmented_files.py) — no whole
+    blob is ever materialized. The two queries' stats are asserted
+    identical in tests/test_binary_source.py."""
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.segmented_files import segment_file_ranges
+
+    segs = segment_file_ranges(
+        spark, f"{sf_dir}/*.parquet", segment_len=262144, overlap=4096 - 256
+    )
+    return dedup_stats(chunk_segments(segs, "ae", 4096), key_col="hash")
+
+
 # ---------------------------------------------------------------------------
 # Extension query modules (imported for their @register side effects).
 # ---------------------------------------------------------------------------

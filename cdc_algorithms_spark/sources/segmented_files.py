@@ -1,0 +1,104 @@
+"""Range-read file source: segment huge files WITHOUT ever materializing
+a whole blob anywhere.
+
+``binaryFile`` (sources/registry.py) puts one whole file per row — fine
+up to tens of MB, fatal for a 10 GB blob (one executor holds it all;
+the reference has the same flaw via ``read_file``, chunker.rs:31-37).
+This source is the 100 TB shape from SURVEY.md §4.3: the DRIVER only
+lists paths and sizes (metadata); each EXECUTOR opens the file itself
+and reads just its assigned ``[left - overlap, right)`` byte range, so
+peak memory per task is ``segment_len + overlap`` regardless of file
+size, and segments of one file fan out across the cluster.
+
+Locally this uses plain ``open()``/``seek``; on a real cluster the same
+row shape would be produced with the object store's range-GET (fsspec /
+S3 Range headers) — only ``_read_range`` changes.
+
+The output schema matches ``operators/distributed.py::segment_blob_df``,
+so ``chunk_segments`` runs the identical cut-scan / seam-merge / hash
+pipeline over it.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEGMENT_SCHEMA = (
+    "src_id long, seg_idx long, left long, right long, "
+    "blob_len long, scan_start long, payload binary"
+)
+
+
+def list_file_ranges(
+    spark: SparkSession,
+    path_glob: str,
+    segment_len: int,
+    overlap: int,
+) -> DataFrame:
+    """Driver-side metadata listing → one row per (file, segment range).
+
+    Only paths/offsets leave the driver — bytes never do. Deterministic
+    ``src_id`` = xxhash64 of the path (computed in Spark for engine
+    consistency with other sources).
+    """
+    if segment_len <= 0 or overlap < 0:
+        raise ValueError(f"bad segment_len={segment_len} overlap={overlap}")
+    rows = []
+    for path in sorted(_glob.glob(path_glob)):
+        size = os.path.getsize(path)
+        if size == 0:
+            continue
+        for seg_idx, left in enumerate(range(0, size, segment_len)):
+            rows.append((path, seg_idx, left, min(left + segment_len, size), size))
+    meta = spark.createDataFrame(
+        rows, "path string, seg_idx long, left long, right long, blob_len long"
+    )
+    return meta.select(
+        F.xxhash64("path").alias("src_id"),
+        "path",
+        "seg_idx",
+        "left",
+        "right",
+        "blob_len",
+        F.greatest(F.col("left") - overlap, F.lit(0)).alias("scan_start"),
+    )
+
+
+def segment_file_ranges(
+    spark: SparkSession,
+    path_glob: str,
+    segment_len: int,
+    overlap: int,
+) -> DataFrame:
+    """Executor-side range reads → the standard segment table.
+
+    ``repartition`` by (src_id, seg_idx) first so ranges of one big file
+    spread over all tasks instead of clustering in one input split.
+    """
+    meta = list_file_ranges(spark, path_glob, segment_len, overlap)
+
+    def read_ranges(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for path, scan_start, right in zip(
+                pdf["path"], pdf["scan_start"], pdf["right"]
+            ):
+                with open(path, "rb") as f:
+                    f.seek(int(scan_start))
+                    payloads.append(f.read(int(right - scan_start)))
+            out = pdf[
+                ["src_id", "seg_idx", "left", "right", "blob_len", "scan_start"]
+            ].copy()
+            out["payload"] = payloads
+            yield out
+
+    return meta.repartition("src_id", "seg_idx").mapInPandas(
+        read_ranges, SEGMENT_SCHEMA
+    )

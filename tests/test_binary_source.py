@@ -49,3 +49,28 @@ def test_binaryfile_query_registered(spark):
     res = SPARK_QUERIES["binaryfile_ae_dedup_stats"](spark, SF_DIR).collect()
     assert len(res) == 1
     assert res[0]["total_bytes"] > 0
+
+
+def test_range_read_path_equals_whole_blob_path(spark):
+    """Executor-side range reads must produce byte-identical chunks to
+    the whole-blob pipeline (same files, same params)."""
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.segmented_files import segment_file_ranges
+
+    files = load_binary_files(spark, SF_DIR, "*.parquet").select(
+        F.xxhash64(F.regexp_replace("path", "^file:", "")).alias("src_id"),
+        "content",
+    )
+    via_blob = parallel_chunk_blob(files, "ae", 4096, segment_len=262144)
+    segs = segment_file_ranges(
+        spark, f"{SF_DIR}/*.parquet", segment_len=262144, overlap=4096 - 256
+    )
+    via_ranges = chunk_segments(segs, "ae", 4096)
+    a = sorted(map(tuple, via_blob.select("src_id", "offset", "length", "hash").collect()))
+    b = sorted(map(tuple, via_ranges.select("src_id", "offset", "length", "hash").collect()))
+    assert a == b
+
+
+def test_file_ranges_query_registered(spark):
+    res = SPARK_QUERIES["file_ranges_ae_dedup_stats"](spark, SF_DIR).collect()
+    assert len(res) == 1 and res[0]["total_bytes"] > 0
