@@ -321,3 +321,56 @@ def docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- Cube over events (grouping-sets family, completing rollup above) ------
+
+_CUBE_ORACLE = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY CUBE(event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT))
+"""
+
+
+@register("events_cube", _CUBE_ORACLE)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day"), "value"
+    )
+    return ev.cube("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --- UDAF surface: pandas grouped-aggregate (Arrow-batched) ----------------
+
+_MEDIAN_ORACLE = """
+WITH chunks AS (
+  SELECT 'fixed64' AS algo,
+         CAST(LEAST(64, d.n_chars - u.off) AS BIGINT) AS length
+  FROM documents d, UNNEST(range(0, d.n_chars, 64)) AS u(off)
+)
+SELECT algo, ROUND(MEDIAN(length), 4) AS median_len,
+       ROUND(STDDEV_POP(length), 4) AS stddev_len
+FROM chunks GROUP BY algo
+"""
+
+
+@register("chunk_len_median_udaf", _MEDIAN_ORACLE)
+def chunk_len_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's UDAF surface (SURVEY.md §2.5): a pandas grouped
+    aggregate (Arrow-batched, numpy-evaluated) computing median + pop
+    stddev of chunk lengths — value-checked against DuckDB's MEDIAN /
+    STDDEV_POP. Built-ins can't express exact distributed median without
+    percentile_approx; the UDAF runs numpy per group."""
+    from cdc_algorithms_spark.functions.udafs import median_udaf, stddev_pop_udaf
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+
+    chunks = fixed_chunks(load_table(spark, "documents", sf_dir), 64)
+    return chunks.groupBy("algo").agg(
+        F.round(median_udaf("length"), 4).alias("median_len"),
+        F.round(stddev_pop_udaf("length"), 4).alias("stddev_len"),
+    )
