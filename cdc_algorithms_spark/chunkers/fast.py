@@ -65,7 +65,11 @@ def _ae_scan(data, p: AeParams, final: bool) -> list[int]:
     w = p.window_size
     cuts: list[int] = []
     s = 0
-    block = max(4 * w, 1024)
+    # The cut typically lands just past one window (records go quiet
+    # quickly), so the first scan block barely exceeds w — scanning 4·w
+    # up front was ~4× wasted bytes per chunk (measured 2.4× slower).
+    # Blocks still grow geometrically for adversarial monotone inputs.
+    block = max(w + (w >> 2) + 64, 1024)
     while s < n:
         cut = _ae_find_cut(arr, s, n, w, block)
         if cut < 0:
