@@ -272,24 +272,21 @@ def _gear_hit_candidates(
 
     H[i] = Σ_{k=0..63} gear[b[i-k]] << k mod 2^64 — mod-2^64 wraparound
     sheds terms with k ≥ 64, so the sliding hash IS this dot product.
-    Two key reductions vs the naive form (measured 5 MB/s at 64 MiB):
+    Two key reductions vs the naive 64-pass form (measured 5 MB/s at
+    64 MiB):
 
-    * **blockwise scratch** — the shifted-add passes run over an
-      L2-resident block with in-place ``<<= 1`` between passes (zero
-      temporaries, no n-sized arrays; only sparse candidates persist);
-    * **mask-bit cutoff** — the predicates only read bits of
-      ``short_mask | long_mask``; a term ``g << k`` cannot touch any
-      masked bit once ``k`` exceeds the masks' highest set bit, so the
-      pass loop stops there (50 passes instead of 64 for the paper's
-      8 KiB masks).
+    * **doubling** — A_0 = g, A_{t+1}[i] = A_t[i] + (A_t[i−2^t] << 2^t)
+      reaches the full 64-term window in 6 shifted-add passes (the
+      window doubles each pass), an O(log w) evaluation of the sliding
+      polynomial instead of O(w);
+    * **blockwise scratch** — those passes ping-pong between two
+      L2-resident buffers with a 63-element head overlap; no n-sized
+      arrays, only sparse candidate positions persist.
     """
     n = arr.size
-    both = p.short_mask | p.long_mask
-    kmax = min(63, both.bit_length() - 1)
     B = min(_GEAR_BLOCK, n)
-    sh = np.empty(B + 63, dtype=np.uint64)
-    acc = np.empty(B, dtype=np.uint64)
-    one = np.uint64(1)
+    buf_a = np.empty(B + 63, dtype=np.uint64)
+    buf_b = np.empty(B + 63, dtype=np.uint64)
     s_mask = np.uint64(p.short_mask)
     l_mask = np.uint64(p.long_mask)
     short_hits: list[np.ndarray] = []
@@ -298,20 +295,25 @@ def _gear_hit_candidates(
         hi = min(lo + B, n)
         m = hi - lo
         head = min(63, lo)  # overlap from previous block (absent at start)
-        blk = sh[: head + m]
-        np.take(gear_np, arr[lo - head : hi], out=blk)
-        a = acc[:m]
-        a[:] = blk[head:]  # k = 0 term
-        for k in range(1, kmax + 1):
-            if k > head + m - 1:
+        L = head + m
+        cur = buf_a[:L]
+        nxt = buf_b[:L]
+        np.take(gear_np, arr[lo - head : hi], out=cur)
+        # Doubling: A_{t+1}[i] = A_t[i] + (A_t[i−2^t] << 2^t) turns the
+        # 64-term window into 6 shifted-add passes (window doubles each
+        # pass; terms beyond the array start simply don't exist, which
+        # matches the per-byte hash's warm-from-zero behavior). Ping-pong
+        # buffers — an in-place a[k:] += a[:-k] would read already-
+        # updated elements.
+        for t in range(6):
+            step = 1 << t
+            if step >= L:
                 break
-            blk <<= one
-            # term g[i-k] << k; for lo>0 head==63 covers every k ≤ 63,
-            # at the array start missing terms simply don't exist
-            if head - k >= 0:
-                a += blk[head - k : head - k + m]
-            else:
-                a[k - head :] += blk[: m - (k - head)]
+            np.left_shift(cur[: L - step], np.uint64(step), out=nxt[step:])
+            nxt[step:] += cur[step:]
+            nxt[:step] = cur[:step]
+            cur, nxt = nxt, cur
+        a = cur[head:]
         s_idx = np.flatnonzero((a & s_mask) == 0)
         if s_idx.size:
             short_hits.append(s_idx + lo)

@@ -23,7 +23,7 @@ _MB = len(_DATA) / 2**20
 
 @pytest.mark.parametrize(
     "algo,floor_mbps",
-    [("ae", 100.0), ("rabin", 30.0), ("fastcdc", 5.0)],
+    [("ae", 100.0), ("rabin", 30.0), ("fastcdc", 15.0)],
 )
 def test_chunker_throughput_floor(algo, floor_mbps):
     p = make_params(algo, 16384, 1)
