@@ -23,19 +23,36 @@ from cdc_algorithms_spark.session import get_spark  # noqa: E402
 # Headline queries: kept to the pipelines that represent the engine's
 # core (chunk → hash → dedup) plus the heaviest extensions.
 HEADLINE = [
+    # core chunk → hash → dedup pipelines
     "fixed_chunks",
     "fixed_dedup_stats",
     "ae_dedup_stats",
     "rabin_dedup_stats",
     "fastcdc_dedup_stats",
     "parallel_ae_dedup_stats",
+    "binaryfile_ae_dedup_stats",
+    "file_ranges_ae_dedup_stats",
+    # relational suite
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_nation_revenue",
+    "top_order_per_customer",
+    "events_cube",
+    "user_sessions",
+    # change detection
     "snapshot_diff_fixed",
+    "change_ratio_fixed",
+    # training-data extensions
+    "exact_dedup_docs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
 ]
 
 

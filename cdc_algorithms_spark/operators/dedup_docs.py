@@ -367,21 +367,70 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (verification-scale; the bucketed
-    scale path is operators/similarity.py::lsh_topk)."""
-    a = emb.select(
-        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va")
+    """EXACT cosine near-dup pairs via block-nested-loop matrix products.
+
+    The naive formulation (self-join + per-pair HOF cosine) evaluates an
+    interpreted ~64-term expression per pair and recomputes both norms
+    every time — measured 70 s for 2000 vectors. Instead: vectors are
+    hashed into ``n_blocks`` buckets, every bucket *pair* becomes one
+    ``applyInPandas`` group, and the group computes the normalized
+    ``X @ Yᵀ`` with BLAS — the standard distributed exact-all-pairs
+    shape. Work is still O(n²·d) (it must be — the result is exact) but
+    the kernel runs at matrix-multiply speed, each task holds only two
+    blocks, and adding blocks scales the same total work out across the
+    cluster. Row replication factor is ``n_blocks`` (each vector joins
+    every pair it participates in) — size blocks so a pair fits task
+    memory.
+    """
+    v = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    b = emb.select(
-        F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb")
+    tagged = v.select(
+        "vid",
+        "vec",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        # `other` sweeps 0..n_blocks-1 exactly once per row, so every
+        # unordered pair (p_lo, p_hi) gets each participating row once —
+        # no dedup shuffle needed
+        F.least("blk", "other").alias("p_lo"),
+        F.greatest("blk", "other").alias("p_hi"),
+        "vid",
+        "vec",
+        "blk",
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("va", "vb"), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+
+    def compute(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = int(key[0]), int(key[1])
+        left = pdf[pdf["blk"] == lo]
+        X = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        xid = left["vid"].to_numpy()
+        if lo == hi:
+            C = np.round(X @ X.T, 6)
+            ii, jj = np.nonzero(C >= threshold)
+            keep = xid[ii] < xid[jj]
+            ia, ib, cs = xid[ii][keep], xid[jj][keep], C[ii, jj][keep]
+        else:
+            right = pdf[pdf["blk"] == hi]
+            Y = np.stack(right["vec"].to_numpy()).astype(np.float64)
+            Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+            yid = right["vid"].to_numpy()
+            C = np.round(X @ Y.T, 6)
+            ii, jj = np.nonzero(C >= threshold)
+            a, b = xid[ii], yid[jj]
+            ia, ib = np.minimum(a, b), np.maximum(a, b)
+            cs = C[ii, jj]
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    return tagged.groupBy("p_lo", "p_hi").applyInPandas(
+        compute, "id_a long, id_b long, cosine double"
     )

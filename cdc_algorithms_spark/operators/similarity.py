@@ -61,25 +61,26 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, bit: int, seed: int):
-    """Deterministic pseudo-random hyperplane as a column expression:
-    component j of plane `bit` = hash-derived value in [-1, 1]."""
-    return F.array(
-        *[
-            (
-                F.hash(F.lit(seed), F.lit(bit), F.lit(j)).cast("double")
-                / F.lit(float(1 << 31))
-            )
-            for j in range(dim)
-        ]
-    )
+def _hyperplanes(dim: int, bits: int, seed: int):
+    """Deterministic pseudo-random hyperplanes, generated driver-side.
+
+    Materialized as plain Python lists and embedded as ARRAY LITERALS —
+    the previous form built dim expression nodes per plane
+    (hash(seed,bit,j) each), which ballooned the plan and its Janino
+    compile to multiple seconds per query."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, (bits, dim)).tolist()
 
 
 def lsh_bucket(vec_col, dim: int, bits: int, seed: int = 42):
-    """Sign-LSH bucket id: bit b = sign(v · plane_b). Pure expression."""
+    """Sign-LSH bucket id: bit b = sign(v · plane_b). Pure expression
+    over literal plane arrays — reproducible across runs and engines."""
+    planes = _hyperplanes(dim, bits, seed)
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        d = dot_product(vec_col, _hyperplane(dim, b, seed))
+        d = dot_product(vec_col, F.lit(planes[b]))
         acc = acc + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return acc
 
@@ -205,21 +206,42 @@ def lsh_topk(
     dim: int = 64,
     bits: int = 4,
     seed: int = 42,
+    multiprobe: int = 2,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket.
+    """Approximate top-k: rank only within the query's probed buckets.
 
-    Recall/latency knob: ``bits`` (2^bits buckets). The corpus is
-    bucketed once (a cheap narrow projection); the join is an equi-join
-    on bucket id, so Spark shuffles each corpus row to exactly one
-    reducer group instead of |Q| of them.
+    Recall/latency knobs: ``bits`` (2^bits buckets) and ``multiprobe``
+    (additionally probe the buckets reached by flipping the query's
+    lowest-|margin| sign bits — the classic multi-probe LSH trick:
+    near-zero margins are exactly the hyperplanes a true neighbor most
+    likely sits on the other side of). The corpus is bucketed once; the
+    probe join stays an equi-join on bucket id, with the query side
+    replicated ``multiprobe+1``×, so each corpus row still shuffles to
+    its one bucket group.
     """
-    q = queries.select(
+    planes = _hyperplanes(dim, bits, seed)
+    margins = F.array(
+        *[F.abs(dot_product(F.col("qv"), F.lit(planes[b]))) for b in range(bits)]
+    )
+    q0 = queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(vec_col, dim, bits, seed).alias("bucket"),
+        lsh_bucket(vec_col, dim, bits, seed).alias("__bucket"),
+        margins.alias("__m"),
+    )
+    flips = (
+        "transform(array_sort(transform(__m, (m, i) -> named_struct('m', m, 'i', i))), "
+        "s -> s.i)"
+    )
+    probes = F.expr(
+        f"concat(array(__bucket), transform(slice({flips}, 1, {multiprobe}), "
+        "i -> __bucket ^ cast(pow(2, i) as bigint)))"
+    )
+    q = q0.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
     )
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("vec_id"),
