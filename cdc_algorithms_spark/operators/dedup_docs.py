@@ -330,7 +330,9 @@ def simhash_pairs(
     hamming ≤ 3 shares at least one exact band → candidates come from 4
     cheap equality joins, verified with ``bit_count(xor)``.
     """
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    # persisted: the 64-aggregate fingerprint pass runs once, not once
+    # per self-join side (same ReusedExchange gap as minhash above)
+    fps = simhash_fingerprints(docs, id_col, text_col).persist()
     banded = fps.select(
         "doc_id",
         "simhash",

@@ -171,6 +171,46 @@ def q_chunk_size_histogram_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_size_histogram(chunks, _HIST_BUCKET)
 
 
+_BY_LANG_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE}),
+labeled AS (
+  SELECT d.lang, c.chunk_text, c.length
+  FROM chunks c JOIN documents d ON c.src_id = d.doc_id
+),
+per_key AS (
+  SELECT lang, chunk_text,
+         COUNT(*) AS occurrences,
+         SUM(length) AS bytes_all,
+         MAX(length) AS bytes_one
+  FROM labeled GROUP BY lang, chunk_text
+)
+SELECT lang,
+       CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+       CAST(SUM(bytes_one) AS BIGINT) AS unique_bytes,
+       CAST(SUM(occurrences) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       ROUND(SUM(bytes_one) * 1.0 / SUM(bytes_all), 6) AS dedup_coeff,
+       ROUND(SUM(bytes_all) * 1.0 / COUNT(*), 6) AS avg_chunk
+FROM per_key GROUP BY lang
+"""
+
+
+@register("dedup_stats_by_lang", _BY_LANG_ORACLE)
+def q_dedup_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group dedup scope (operators/dedup.py::dedup_stats_by) with a
+    chunk→metadata broadcast join: chunks carry only src_id, the lang
+    dimension joins in from documents (the fact/dim shape at scale)."""
+    from cdc_algorithms_spark.operators.dedup import dedup_stats_by
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, FIXED_SIZE)
+    labeled = chunks.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("src_id"), "lang")),
+        "src_id",
+    )
+    return dedup_stats_by(labeled, ["lang"])
+
+
 @register("ae_dedup_stats_approx")
 def q_ae_dedup_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ fast path (SURVEY.md §2.5): estimated distinct-chunk
