@@ -39,6 +39,8 @@ HEADLINE = [
     "top_order_per_customer",
     "events_cube",
     "user_sessions",
+    "asof_last_view_before_purchase",
+    "order_pairs_within_30d",
     # change detection
     "snapshot_diff_fixed",
     "change_ratio_fixed",
