@@ -8,6 +8,9 @@ idea at the n-gram level (winnowing-style min-hash selection).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -149,4 +152,55 @@ def doc_fingerprints(
     ).select(
         "doc_id",
         F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )
+
+
+def doc_fingerprints_fast(
+    docs: DataFrame,
+    ngram: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints, Arrow-vectorized fast path.
+
+    Same shape as :func:`doc_fingerprints` (doc_id, fingerprint rows,
+    distinct per doc) but the n-gram hashing runs in numpy instead of
+    Catalyst higher-order functions — Spark evaluates ``transform``
+    lambdas interpreted, per element, which made the expression version
+    ~2.6 s/1.5 M n-grams at sf0.1; the Horner-scheme polynomial hash
+    below is ``ngram`` shifted multiply-adds over the whole byte buffer.
+    Fingerprint VALUES differ from the expression version (byte-level
+    FNV-style hash vs Murmur3 over UTF-8 substrings); both are opaque
+    64-bit identities, so consumers must not mix the two variants.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mult = np.uint64(1099511628211)  # FNV-1a prime: odd → bijective mod 2^64
+
+    @pandas_udf("array<long>")
+    def _winnow(texts: "pd.Series") -> "pd.Series":
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            n = b.size
+            if n == 0:
+                out.append([])
+                continue
+            m = max(1, n - ngram + 1)
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(min(ngram, n)):
+                h = h * mult + b[j : j + m]
+            if m <= window:
+                mins = h.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(h, window).min(
+                    axis=1
+                )
+            out.append(np.unique(mins).view(np.int64))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_winnow(F.col(text_col))).alias("fingerprint"),
     )

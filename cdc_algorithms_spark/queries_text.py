@@ -235,8 +235,35 @@ def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("language_id")
+_LANGUAGE_ID_ORACLE = f"""
+WITH {_WORDS_CTE},
+m(lang, markers) AS (VALUES {", ".join(
+    "('" + lang + "', [" + ", ".join("'" + w + "'" for w in ms) + "])"
+    for lang, ms in sorted(LANG_MARKERS.items())
+)}),
+scores AS (
+  SELECT w.doc_id, m.lang,
+         len(list_filter(w.words, x -> list_contains(m.markers, x))) AS hits
+  FROM w CROSS JOIN m
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       CAST(hits AS BIGINT) AS lang_hits
+FROM best WHERE rn = 1
+"""
+
+
+@register("language_id", _LANGUAGE_ID_ORACLE)
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-of-marker-hits language ID; ties break lexicographically
+    (the Spark fold only replaces on strictly-greater hits, the oracle
+    orders by hits DESC, lang ASC — same winner)."""
     return language_id(load_table(spark, "documents", sf_dir))
 
 
@@ -301,7 +328,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_fingerprints")
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprints(load_table(spark, "documents", sf_dir))
+    """Rows-only check (opaque 64-bit hashes — no SQL oracle); the
+    Arrow-vectorized path, ~7× the expression version (see
+    operators/textstats.py::doc_fingerprints_fast)."""
+    from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
+
+    return doc_fingerprints_fast(load_table(spark, "documents", sf_dir))
 
 
 # --- Multimodal plumbing ---------------------------------------------------

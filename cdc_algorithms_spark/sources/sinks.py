@@ -1,0 +1,68 @@
+"""Chunk sinks: persist chunk tables and content-addressed chunk stores.
+
+The reference's sink is ``output.write_all(&self.buffer[..i+1])`` — chunk
+bytes appended to a caller-supplied buffer (SURVEY.md §2.1 S4;
+fastcdc.rs:107-110, ae.rs:123-126). The Spark restatement is a parquet
+write of the chunk DataFrame; these helpers pin the two layouts that
+stay healthy at 100 TB:
+
+* ``write_chunk_table`` — the full (src_id, chunk_idx, …) table,
+  partitioned by ``algo`` so per-algorithm scans prune directories;
+  repartitioned on the partition columns first so each output dir gets
+  a bounded number of files instead of (num_tasks × num_algos).
+* ``write_chunk_store`` — the DEDUPLICATED content-addressed store
+  (one row per distinct hash, the "HashSet" of ae.rs:75-84 made
+  durable). Laid out by 2-hex-digit hash prefix: 256 balanced
+  directories (xxhash64 is uniform), so point lookups prune 255/256 of
+  the data and incremental loads append without rewriting history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_chunk_table(
+    chunks: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = ("algo",),
+) -> None:
+    """Persist a chunk table partitioned by ``partition_cols``."""
+    (
+        chunks.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_chunk_store(
+    chunks: DataFrame,
+    path: str,
+    hash_col: str = "hash",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the distinct-chunk content store, hash-prefix partitioned.
+
+    ``dropDuplicates`` on the hash keeps the first-seen payload per
+    content id (any is equivalent — equal hash ⇒ equal bytes for our
+    64-bit identity model, collisions accepted like the reference's
+    DefaultHasher dedup, ae.rs:75-84).
+    """
+    prefix = F.lpad(F.hex(F.col(hash_col)), 16, "0").substr(1, 2)
+    (
+        chunks.dropDuplicates([hash_col])
+        .withColumn("hash_prefix", F.lower(prefix))
+        .repartition(F.col("hash_prefix"))
+        .write.mode(mode)
+        .partitionBy("hash_prefix")
+        .parquet(path)
+    )
+
+
+def read_chunk_store(spark, path: str) -> DataFrame:
+    """Load a chunk store written by :func:`write_chunk_store`; the
+    ``hash_prefix`` partition column comes back for pruned lookups."""
+    return spark.read.parquet(path)

@@ -1,0 +1,50 @@
+"""Round-trip tests for the chunk sinks (SURVEY.md §2.1 S4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.chunking import fixed_chunks
+from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.sources.sinks import (
+    read_chunk_store,
+    write_chunk_store,
+    write_chunk_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunk_table_roundtrip(spark, tmp_path):
+    chunks = fixed_chunks(load_table(spark, "documents", SF_DIR), 64)
+    out = str(tmp_path / "chunk_table")
+    write_chunk_table(chunks, out)
+    back = spark.read.parquet(out)
+    assert back.count() == chunks.count()
+    # algo became a partition directory, values survive the round trip
+    assert os.path.isdir(os.path.join(out, "algo=fixed64"))
+    a = chunks.agg(F.sum("length"), F.count(F.lit(1))).collect()[0]
+    b = back.agg(F.sum("length"), F.count(F.lit(1))).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_chunk_store_dedups_and_prunes(spark, tmp_path):
+    chunks = fixed_chunks(load_table(spark, "documents", SF_DIR), 64).withColumn(
+        "hash", F.xxhash64("chunk_text")
+    )
+    out = str(tmp_path / "chunk_store")
+    write_chunk_store(chunks, out)
+    store = read_chunk_store(spark, out)
+    n_unique = chunks.select("hash").distinct().count()
+    assert store.count() == n_unique
+    assert store.select("hash").distinct().count() == n_unique
+    # hash-prefix layout: partition dirs exist and a prefix-filtered scan
+    # returns exactly that prefix's rows
+    some = store.select("hash_prefix").first()["hash_prefix"]
+    assert os.path.isdir(os.path.join(out, f"hash_prefix={some}"))
+    pruned = store.where(F.col("hash_prefix") == some)
+    assert pruned.count() == store.where(
+        F.lower(F.lpad(F.hex(F.col("hash")), 16, "0").substr(1, 2)) == some
+    ).count()

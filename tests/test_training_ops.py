@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "embedding_near_dup",
     "ann_bruteforce_topk",
     "lang_marker_hits",
+    "language_id",
     "quality_scores",
     "token_counts",
     "media_summary",
@@ -90,13 +91,17 @@ def test_lsh_topk_is_subset_with_decent_recall(spark, sf_dir):
             assert r["cosine"] == pytest.approx(1.0)
 
 
-def test_doc_fingerprints_shift_tolerant(spark, sf_dir):
+@pytest.mark.parametrize("variant", ["expr", "fast"])
+def test_doc_fingerprints_shift_tolerant(spark, sf_dir, variant):
+    from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
+
+    fp_fn = doc_fingerprints if variant == "expr" else doc_fingerprints_fast
     docs = load_table(spark, "documents", sf_dir).limit(30)
     shifted = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.lit("zzz prefix "), F.col("text")).alias("text"),
     )
-    fp = doc_fingerprints(docs.select("doc_id", "text").unionByName(shifted))
+    fp = fp_fn(docs.select("doc_id", "text").unionByName(shifted))
     base = (
         fp.where(F.col("doc_id") < 100000)
         .groupBy("doc_id")
