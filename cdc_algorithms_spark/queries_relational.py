@@ -345,6 +345,29 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Explicit GROUPING SETS (the general form rollup/cube specialize) ------
+
+_GROUPING_SETS_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
+@register("docs_grouping_sets", _GROUPING_SETS_ORACLE)
+def docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent one-dimension rollups in a single pass — an Expand
+    node feeding one hash aggregate, not two scans + union (the shape
+    that matters at 100 TB: the fact table is read once)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupingSets([["lang"], ["source"]], "lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # --- UDAF surface: pandas grouped-aggregate (Arrow-batched) ----------------
 
 _MEDIAN_ORACLE = """

@@ -82,6 +82,76 @@ def streaming_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOWED_COUNTS_ORACLE = """
+SELECT CAST(epoch(date_trunc('day', ts::TIMESTAMP)) AS BIGINT) AS window_start_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_windowed_event_counts", _WINDOWED_COUNTS_ORACLE)
+def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, append mode (SURVEY.md
+    §2.5 streaming-only ops: tumbling windows + watermarks + late data).
+
+    Events arrive in two ts-ordered stages (no row is behind the
+    watermark when it arrives, so nothing is dropped as late — the
+    late-drop semantics themselves are pinned in
+    tests/test_streaming.py); a final far-future sentinel advances the
+    watermark past every real day so append mode flushes all windows.
+    The sentinel's own window stays open and is never emitted. Windows
+    are epoch-aligned UTC days, so the converged result must equal the
+    batch ``date_trunc('day')`` rollup. Window starts are compared as
+    epoch seconds — timestamp objects round-trip differently through
+    Spark (µs) and DuckDB (ns)."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    early = ev.where(F.unix_micros("ts") <= cutoff)
+    late = ev.where(F.unix_micros("ts") > cutoff)
+    sentinel = _sentinel_event(spark, ev)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("value").alias("raw_value"),
+            )
+        )
+
+    sink = run_staged_stream(spark, [early, late, sentinel], build)
+    return sink.select(
+        F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+        "event_type",
+        "n_events",
+        F.round("raw_value", 4).alias("total_value"),
+    )
+
+
+def _sentinel_event(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """One event at year 2100 (user/event −1): pushes the watermark past
+    every real timestamp so open windows/sessions flush in append mode."""
+    return (
+        spark.createDataFrame(
+            [(-1, -1, "sentinel", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        )
+        .select(
+            "event_id",
+            F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .select(ev.columns)
+    )
+
+
 @register("streaming_user_sessions", _SESSIONS_ORACLE)
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked ``session_window`` sessionization, append mode.
@@ -96,18 +166,9 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
     early = ev.where(F.unix_micros("ts") <= cutoff)
     late = ev.where(F.unix_micros("ts") > cutoff)
-    sentinel = spark.createDataFrame(
-        [(-1, -1, "sentinel", 0.0, "{}")],
-        "event_id long, user_id long, event_type string, value double, props string",
-    ).select(
-        "event_id",
-        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    ).select(ev.columns)
-    sink = run_staged_stream(spark, [early, late, sentinel], sessionize)
+    sink = run_staged_stream(
+        spark, [early, late, _sentinel_event(spark, ev)], sessionize
+    )
     return sink.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),

@@ -62,6 +62,36 @@ def write_chunk_store(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int,
+    bucket_col: str = "hash",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a parquet table hash-bucketed on ``bucket_col``.
+
+    Bucketing is the durable form of co-located joins: two tables
+    bucketed on the same key with the same bucket count join (and
+    groupBy on that key aggregates) WITHOUT a shuffle — the scan itself
+    reports ``HashPartitioning(key, n)`` so Catalyst drops the Exchange
+    on both sides. At 100 TB that removes the single largest network
+    step from every snapshot-diff / chunk-store join; the price is paid
+    once at write time. ``sortBy`` additionally orders within buckets so
+    sort-merge joins skip their Sort when files-per-bucket is 1.
+    """
+    (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def read_chunk_store(spark, path: str) -> DataFrame:
     """Load a chunk store written by :func:`write_chunk_store`; the
     ``hash_prefix`` partition column comes back for pruned lookups."""

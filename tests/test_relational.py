@@ -17,6 +17,7 @@ RELATIONAL = [
     "user_sessions",
     "purchase_and_error_users",
     "docs_rollup",
+    "docs_grouping_sets",
     "snapshot_diff_fixed",
     "change_ratio_fixed",
 ]

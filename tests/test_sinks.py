@@ -48,3 +48,39 @@ def test_chunk_store_dedups_and_prunes(spark, tmp_path):
     assert pruned.count() == store.where(
         F.lower(F.lpad(F.hex(F.col("hash")), 16, "0").substr(1, 2)) == some
     ).count()
+
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
+    """Co-located joins: same key, same bucket count -> scans come back
+    HashPartitioning(hash, n), so neither the join nor a groupBy on the
+    bucket column needs an Exchange."""
+    from cdc_algorithms_spark.plans.inspect import exchange_count
+    from cdc_algorithms_spark.sources.sinks import write_bucketed
+
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = fixed_chunks(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    perturbed = fixed_chunks(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" tail"))), 64
+    ).withColumn("hash", F.xxhash64("chunk_text"))
+
+    write_bucketed(chunks, "t_bucket_a", str(tmp_path / "a"), 8)
+    write_bucketed(perturbed, "t_bucket_b", str(tmp_path / "b"), 8)
+    a = spark.table("t_bucket_a")
+    b = spark.table("t_bucket_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "hash").select(a["src_id"], b["src_id"], "hash")
+        assert exchange_count(joined) == 0
+        agg = a.groupBy("hash").agg(F.count(F.lit(1)).alias("n"))
+        assert exchange_count(agg) == 0
+        # and the co-located join is still correct
+        expect = (
+            chunks.select("hash").join(perturbed.select("hash"), "hash").count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")

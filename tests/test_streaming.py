@@ -142,3 +142,39 @@ def test_change_feed_matches_oracle_semantics(spark):
     v0 = res.where(F.col("version") == 0)
     assert v0.where(F.col("n_deleted") != 0).count() == 0
     assert v0.where(F.col("change_ratio") != 1.0).count() == 0
+
+
+def test_windowed_agg_drops_late_data(spark):
+    """Watermark semantics pinned: a row whose tumbling window is already
+    past the watermark when it arrives is dropped, not re-aggregated."""
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    # batch 1 carries a far-future row, so the watermark jumps past 2024
+    on_time = ev([(1, "2024-01-01 06:00:00", 1.0), (2, "2100-01-01 00:00:00", 0.0)])
+    # batch 2's row lands in a window whose end < watermark -> expired, dropped
+    late = ev([(3, "2024-01-02 06:00:00", 1.0)])
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    sink = run_staged_stream(spark, [on_time, late], build)
+    rows = sink.select(F.col("w.start").alias("start"), "n").collect()
+    assert [(r["start"].isoformat(), r["n"]) for r in rows] == [
+        ("2024-01-01T00:00:00", 1)
+    ]
+
+
+def test_streaming_windowed_counts_match_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_windowed_event_counts", SF_DIR)
