@@ -142,3 +142,52 @@ SELECT doc_id,
        END) AS BIGINT) AS n_chars
 FROM documents
 """
+
+
+def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
+    """Per-source transfer plan for delta sync against an existing store.
+
+    The operational payoff of chunk-level dedup (the reference's whole
+    point): to ship the new snapshot to a replica that already holds the
+    old snapshot's content-addressed store, a chunk costs bytes only if
+    its content is new — and globally only once. Per new chunk:
+
+    * ``reused_old`` — identity already in the old store: 0 bytes.
+    * ``transfer`` — first occurrence (by (src_id, offset) order) of a
+      new identity: its length is shipped.
+    * ``dedup_new`` — later occurrence of a new identity: 0 bytes,
+      deduplicated within the transfer itself.
+
+    Identity here is ``chunk_text`` so the whole plan is oracle-checkable;
+    the scale path swaps in ``xxhash64(chunk_text)`` before the shuffle so
+    the window + join move 8-byte keys, not payloads.
+    """
+    from pyspark.sql import Window
+
+    store = old_chunks.select("chunk_text").distinct().withColumn(
+        "in_store", F.lit(True)
+    )
+    w = Window.partitionBy("chunk_text").orderBy("src_id", "offset")
+    classified = (
+        new_chunks.withColumn("rn", F.row_number().over(w))
+        .join(store, "chunk_text", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("in_store").isNotNull(), "reused_old")
+            .when(F.col("rn") == 1, "transfer")
+            .otherwise("dedup_new"),
+        )
+    )
+    zero = F.lit(0)
+    return classified.groupBy("src_id").agg(
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "reused_old", F.col("length"))), zero
+        ).cast("long").alias("reused_old_bytes"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "transfer", F.col("length"))), zero
+        ).cast("long").alias("transfer_bytes"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "dedup_new", F.col("length"))), zero
+        ).cast("long").alias("dedup_new_bytes"),
+    )

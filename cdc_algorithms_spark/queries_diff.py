@@ -20,6 +20,7 @@ from cdc_algorithms_spark.operators.diff import (
     change_ratio,
     perturb_documents,
     snapshot_diff_summary,
+    sync_plan,
 )
 from cdc_algorithms_spark.queries import register
 from cdc_algorithms_spark.sources.registry import load_table
@@ -93,6 +94,48 @@ def change_ratio_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     return change_ratio(old, new)
+
+
+_SYNC_PLAN_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL}),
+old_chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text
+  FROM documents d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+new_chunks AS (
+  SELECT d.doc_id AS src_id, CAST(u.off AS BIGINT) AS off,
+         substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM new_docs d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+store AS (SELECT DISTINCT chunk_text FROM old_chunks),
+ranked AS (
+  SELECT n.src_id, n.length,
+         ROW_NUMBER() OVER (PARTITION BY n.chunk_text
+                            ORDER BY n.src_id, n.off) AS rn,
+         s.chunk_text IS NOT NULL AS in_store
+  FROM new_chunks n LEFT JOIN store s USING (chunk_text)
+)
+SELECT src_id,
+  CAST(SUM(length) AS BIGINT) AS total_bytes,
+  CAST(COALESCE(SUM(CASE WHEN in_store THEN length END), 0) AS BIGINT)
+    AS reused_old_bytes,
+  CAST(COALESCE(SUM(CASE WHEN NOT in_store AND rn = 1 THEN length END), 0) AS BIGINT)
+    AS transfer_bytes,
+  CAST(COALESCE(SUM(CASE WHEN NOT in_store AND rn > 1 THEN length END), 0) AS BIGINT)
+    AS dedup_new_bytes
+FROM ranked GROUP BY src_id
+"""
+
+
+@register("sync_plan_fixed", _SYNC_PLAN_ORACLE)
+def sync_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-sync transfer plan: bytes to ship per source when the old
+    snapshot's content store already exists (operators/diff.py::sync_plan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE)
+    return sync_plan(old, new)
 
 
 @register("snapshot_diff_ae")

@@ -368,6 +368,94 @@ def docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Exact interpolated quantiles (sort-based aggregate) -------------------
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                      x -> round(x, 4)) AS price_quantiles,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("price_quantiles", _QUANTILES_ORACLE)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles per return flag — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the definition.
+    The exact form sorts per group; the 100 TB fast path is
+    ``approx_percentile`` (t-digest sketch, map-side combinable), same
+    call shape — accuracy/cost is the caller's dial."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.transform(pct, lambda x: F.round(x, 4)).alias("price_quantiles"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# --- Pivot (wide aggregation) ----------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY 1
+"""
+
+
+@register("events_pivot_by_type", _PIVOT_ORACLE)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type contingency table via ``pivot`` with the
+    value list given explicitly — with it, Spark plans a single pass;
+    without it, an extra distinct-collect job must discover the columns."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    )
+    wide = ev.groupBy("hour_of_day").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# --- Sliding windows (batch twin of streaming window(slide < size)) --------
+
+_SLIDING_ORACLE = """
+SELECT CAST(epoch(date_trunc('day', ts::TIMESTAMP) - k.k * INTERVAL 1 DAY) AS BIGINT)
+         AS window_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events, (VALUES (0), (1)) k(k)
+GROUP BY 1
+"""
+
+
+@register("sliding_event_value", _SLIDING_ORACLE)
+def sliding_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day: every event lands in exactly two
+    epoch-aligned windows. Spark's ``window()`` replicates rows once per
+    overlapping window before aggregating — the oracle states that
+    explicitly with a 2-row unnest."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --- UDAF surface: pandas grouped-aggregate (Arrow-batched) ----------------
 
 _MEDIAN_ORACLE = """

@@ -175,6 +175,53 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_STATIC_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("streaming_purchases_by_nation", _STREAM_STATIC_ORACLE)
+def streaming_purchases_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    static customer→nation dimension (broadcast — the dim ships once per
+    executor, the stream never shuffles for the join), then a complete-mode
+    running aggregate per nation. The converged result must equal the
+    batch three-table join."""
+    ev = load_table(spark, "events", sf_dir)
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            load_table(spark, "nation", sf_dir),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    stages = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.where(F.col("event_type") == "purchase")
+            .join(F.broadcast(dim), "user_id")
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                F.sum("value").alias("raw_value"),
+            )
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="complete")
+    return sink.select(
+        "nation", "n_purchases", F.round("raw_value", 4).alias("total_value")
+    )
+
+
 _STATEFUL_CONCAT_ORACLE = """
 SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
 FROM documents

@@ -18,8 +18,12 @@ RELATIONAL = [
     "purchase_and_error_users",
     "docs_rollup",
     "docs_grouping_sets",
+    "price_quantiles",
+    "events_pivot_by_type",
+    "sliding_event_value",
     "snapshot_diff_fixed",
     "change_ratio_fixed",
+    "sync_plan_fixed",
 ]
 
 

@@ -178,3 +178,10 @@ def test_streaming_windowed_counts_match_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_windowed_event_counts", SF_DIR)
+
+
+def test_stream_static_join_matches_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_purchases_by_nation", SF_DIR)
