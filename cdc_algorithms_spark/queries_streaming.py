@@ -267,3 +267,92 @@ def _stateful_ae_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_staged_stream(
         spark, [frag0, frag1], lambda s: stateful_cdc_chunks(s, "ae", 320)
     )
+
+
+# --- Stream-stream join (view → purchase conversion) -----------------------
+
+_CONVERSION_ORACLE = """
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(MIN(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS fastest_lag_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+GROUP BY 1
+"""
+
+
+@register("streaming_view_purchase_conversions", _CONVERSION_ORACLE)
+def streaming_view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (SURVEY.md §2.5 streaming-only ops): the
+    view stream joins the purchase stream on user with an event-time
+    band (purchase within 6 h after the view). Both sides carry
+    watermarks and the join condition bounds both event times, so state
+    eviction is provable: a buffered view can be dropped once the
+    purchase watermark passes view.ts + 6 h (and vice versa) — the
+    requirement for an unbounded 100 TB run. Inner-join matches emit
+    eagerly per micro-batch (append mode); with the fixture's bounded
+    timeline every pair is emitted, so the converged sink must equal the
+    batch self-join, aggregated per user."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "user_id", "event_type")
+    stages = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        views = (
+            stream.where(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "30 days")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "30 days")
+        )
+        return views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        ).select("user_id", "v_ts", "p_ts")
+
+    sink = run_staged_stream(spark, stages, build)
+    return sink.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        (F.min(F.unix_micros("p_ts") - F.unix_micros("v_ts"))).cast("long").alias(
+            "fastest_lag_us"
+        ),
+    )
+
+
+# --- dropDuplicatesWithinWatermark (time-bounded streaming dedup) ----------
+
+_DEDUP_WM_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY 1
+"""
+
+
+@register("streaming_distinct_users_within_watermark", _DEDUP_WM_ORACLE)
+def streaming_distinct_users_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on (event_type, user_id): unlike
+    plain streaming dropDuplicates (state = every key ever seen, forever),
+    state for a key is dropped once the watermark passes its event time +
+    delay — the bounded-memory form of streaming dedup for 100 TB feeds
+    where keys recur only within a bounded horizon. The fixture timeline
+    (30 days) fits inside the delay, so no key's state expires mid-run
+    and the converged count per type must equal batch COUNT(DISTINCT)."""
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id", "event_type")
+    stages = [ev.where(F.col("user_id") % 2 == i) for i in range(2)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+            ["event_type", "user_id"]
+        )
+
+    sink = run_staged_stream(spark, stages, build)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_users")
+    )

@@ -19,6 +19,11 @@ RELATIONAL = [
     "docs_rollup",
     "docs_grouping_sets",
     "price_quantiles",
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "orders_above_global_avg",
+    "suppliers_above_nation_avg",
     "events_pivot_by_type",
     "sliding_event_value",
     "snapshot_diff_fixed",

@@ -185,3 +185,17 @@ def test_stream_static_join_matches_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_purchases_by_nation", SF_DIR)
+
+
+def test_stream_stream_join_matches_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_view_purchase_conversions", SF_DIR)
+
+
+def test_dedup_within_watermark_matches_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_distinct_users_within_watermark", SF_DIR)
