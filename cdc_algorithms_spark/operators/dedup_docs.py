@@ -289,33 +289,64 @@ def simhash_fingerprints(
     votes across words. Pure aggregation — explode + 64 conditional
     sums in one groupBy pass.
     """
-    w = docs.select(
+    # Map-only nested-HOF formulation. The naive form — explode words,
+    # then 64 conditional SUMs (one per fingerprint bit) in a groupBy —
+    # shuffles every word row AND unrolls a 64-wide aggregate whose
+    # generated code blows the Janino/JIT budget (the minhash trap,
+    # see spark-expression-perf-traps): ~3 s at sf0.1. Here the whole
+    # fingerprint is one projection: per-word hash structs once, a
+    # 64-lane vote accumulator via aggregate/zip_with, then a fold over
+    # the lanes — no shuffle, no wide aggregate, loop-shaped codegen.
+    seq64 = F.sequence(F.lit(0), F.lit(63))
+    hashed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(words(text_col)).alias("word"),
+        words(text_col).alias("__ws"),
     ).select(
         "doc_id",
-        F.hash("word").alias("h_lo"),
-        F.hash("word", F.lit(777)).alias("h_hi"),
+        # size() doubles as the CollapseProject barrier keeping the
+        # regex split materialized once per row
+        F.size("__ws").alias("n_words"),
+        F.transform(
+            "__ws",
+            lambda w: F.struct(
+                F.hash(w).alias("lo"), F.hash(w, F.lit(777)).alias("hi")
+            ),
+        ).alias("__hs"),
     )
-    votes = [
-        F.sum(
-            F.when(
-                (F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32)
-                 .bitwiseAND(F.lit(1))) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    agg = w.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select("doc_id", fp.alias("simhash"))
+    votes = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                seq64,
+                lambda b: F.call_function(
+                    "shiftright", F.when(b < 32, h.lo).otherwise(h.hi), b % 32
+                )
+                .bitwiseAND(F.lit(1))
+                .cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    voted = hashed.select("doc_id", "n_words", votes.alias("__votes"))
+    # majority vote: bit set iff more 1s than 0s (ties -> 0, matching the
+    # strict `votes > 0` of a +-1 formulation)
+    fp = F.aggregate(
+        F.zip_with(
+            F.col("__votes"),
+            seq64,
+            lambda ones, b: F.when(
+                ones * 2 > F.col("n_words"),
+                F.call_function("shiftleft", F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda f, t: f.bitwiseXOR(t),
+    )
+    return voted.select("doc_id", fp.alias("simhash"), "n_words").select(
+        "doc_id", "simhash"
+    )
 
 
 def simhash_pairs(

@@ -376,3 +376,81 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(load_table(spark, "documents", sf_dir))
     return extract_features(media)
+
+
+# --- ANN quality metrics (recall vs exact top-k) ---------------------------
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """recall@k of an ANN method against brute-force cosine top-k, as a
+    1-row metrics frame — the quality dial that justifies the approximate
+    path at 100 TB. Joins are on (query_id, vec_id): every ANN hit is a
+    real corpus vector, so recall = |approx ∩ exact| / |exact|."""
+    from cdc_algorithms_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, k=ANN_K).select("query_id", "vec_id")
+    approx = approx_fn(queries, emb).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        F.lit(ANN_K).cast("long").alias("k"),
+        F.lit(ANN_QUERIES).cast("long").alias("n_queries"),
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+@register("ann_lsh_recall")
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of hyperplane-LSH ANN (rows-only driver check; the recall
+    floor itself is asserted in tests/test_training_ops.py)."""
+    from cdc_algorithms_spark.operators.similarity import lsh_topk
+
+    return _ann_recall(
+        spark, sf_dir, lambda q, e: lsh_topk(q, e, k=ANN_K, dim=64, bits=4)
+    )
+
+
+@register("ann_ivf_recall")
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF cell-probed ANN (rows-only driver check)."""
+    from cdc_algorithms_spark.operators.similarity import ivf_topk
+
+    return _ann_recall(
+        spark, sf_dir,
+        lambda q, e: ivf_topk(q, e, k=ANN_K, dim=64, nlist=16, nprobe=4),
+    )
+
+
+# --- UDTF surface: chunking as a SQL lateral table function ----------------
+
+_UDTF_CHUNKS_ORACLE = """
+SELECT d.doc_id AS src_id,
+       CAST(u.off / 64 AS BIGINT) AS chunk_idx,
+       CAST(u.off AS BIGINT) AS "offset",
+       CAST(LEAST(64, d.n_chars - u.off) AS BIGINT) AS length,
+       substring(d.text, CAST(u.off + 1 AS INT), 64) AS chunk_text
+FROM documents d, UNNEST(range(0, d.n_chars, 64)) AS u(off)
+"""
+
+
+@register("udtf_fixed_chunks", _UDTF_CHUNKS_ORACLE)
+def q_udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed chunking through the Python UDTF + SQL LATERAL front-end
+    (functions/udtfs.py) — same rows as the pure-SQL fixed_chunks query,
+    value-checked against the same DuckDB oracle. Row-at-a-time Python:
+    the API-parity path, not the scale path."""
+    from cdc_algorithms_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id AS src_id, c.chunk_idx, c.offset, c.length, c.chunk_text
+        FROM __udtf_docs d, LATERAL chunk_fixed(d.text, 64) c
+        """
+    )

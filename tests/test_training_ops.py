@@ -192,3 +192,17 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all((q, q) in approx_set for q in range(8))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"IVF recall {recall:.1%}"
+
+
+def test_ann_recall_queries(spark, sf_dir):
+    from cdc_algorithms_spark import queries as reg
+
+    for name, floor in [("ann_lsh_recall", 0.3), ("ann_ivf_recall", 0.3)]:
+        row = reg.SPARK_QUERIES[name](spark, sf_dir).collect()[0]
+        assert row["recall"] >= floor, f"{name} recall {row['recall']}"
+
+
+def test_udtf_fixed_chunks_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "udtf_fixed_chunks", sf_dir)
