@@ -83,3 +83,63 @@ def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_staged_stream(
         spark, [v0, v1], lambda s: chunk_change_feed(s, _SIZE)
     )
+
+
+# --- foreachBatch incremental delta-sync -----------------------------------
+
+_SYNC_TOTALS_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL}),
+old_chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text
+  FROM documents d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+new_chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM new_docs d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+store AS (SELECT DISTINCT chunk_text FROM old_chunks),
+per_key AS (
+  SELECT n.chunk_text, SUM(n.length) AS bytes_all, MAX(n.length) AS bytes_one,
+         s.chunk_text IS NOT NULL AS in_store
+  FROM new_chunks n LEFT JOIN store s USING (chunk_text)
+  GROUP BY n.chunk_text, in_store
+)
+SELECT CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+  CAST(COALESCE(SUM(CASE WHEN in_store THEN bytes_all END), 0) AS BIGINT)
+    AS reused_old_bytes,
+  CAST(COALESCE(SUM(CASE WHEN NOT in_store THEN bytes_one END), 0) AS BIGINT)
+    AS transfer_bytes,
+  CAST(COALESCE(SUM(CASE WHEN NOT in_store THEN bytes_all - bytes_one END), 0) AS BIGINT)
+    AS dedup_new_bytes
+FROM per_key
+"""
+
+
+@register("streaming_sync_totals", _SYNC_TOTALS_ORACLE)
+def streaming_sync_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental delta-sync (streaming/sync.py): the new
+    snapshot's chunks stream in 3 micro-batches against a persistent
+    content store seeded with the old snapshot; converged totals must
+    equal the batch sync plan's global byte accounting."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.streaming.sync import run_incremental_sync
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE).select(
+        "src_id", "chunk_text", "length"
+    )
+    stages = [new.where(F.col("src_id") % 3 == i).drop("src_id") for i in range(3)]
+    workdir = tempfile.mkdtemp(prefix="cdc_sync_store_")
+    try:
+        result = run_incremental_sync(spark, old, stages, workdir)
+        # materialize before the store dirs vanish
+        rows = result.collect()
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

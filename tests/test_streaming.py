@@ -199,3 +199,10 @@ def test_dedup_within_watermark_matches_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_distinct_users_within_watermark", SF_DIR)
+
+
+def test_incremental_sync_matches_batch_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_sync_totals", SF_DIR)
