@@ -467,3 +467,62 @@ def embedding_near_dup_pairs(
     return tagged.groupBy("p_lo", "p_hi").applyInPandas(
         compute, "id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id) — connected components of the near-dup
+    pair graph; component_id = smallest doc_id reachable.
+
+    This is the step that turns pairwise similarity into dedup *groups*
+    (keep one canonical doc per component, drop the rest). Iterative
+    min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors, converging in O(diameter) rounds —
+    near-dup clusters are shallow (a dup cluster's diameter is tiny), so
+    this beats the O(log n)-round large-star/small-star scheme in
+    practice while using only joins + groupBy. The driver loop carries
+    no data — only the converged/changed counter — and lineage is cut
+    with localCheckpoint each round so plans stay flat at scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("neighbor_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.col("neighbor_min") < F.col("component_id")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc_id").cast("long"), F.col("component_id").cast("long")
+    )

@@ -86,3 +86,58 @@ def asof_join(
     for c in value_cols:
         out = out.withColumnRenamed(f"__filled_{c}", c)
     return out
+
+
+def resample_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample with gap-fill (the hypertable-rollup shape):
+    bucket events to a fixed step, materialize the FULL grid per key over
+    the global time range, and carry the last observed aggregate forward
+    into empty buckets (LOCF; leading gaps stay null).
+
+    Returns ``(key, bucket, n_events, avg_value_filled)``.
+
+    Scale notes: the grid is built from a broadcast 1-row bounds
+    aggregate crossed with the distinct key dimension — never by
+    exploding per-event ranges; the LOCF pass is one window over
+    (key, bucket), i.e. one shuffle partitioned by key, and buckets per
+    partition are bounded by the range/step ratio rather than the event
+    count, so fill cost is independent of event volume.
+    """
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        F.explode(
+            F.sequence("h0", "h1", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    per_bucket = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_filled"),
+        )
+    )

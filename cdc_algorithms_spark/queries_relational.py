@@ -485,3 +485,51 @@ def chunk_len_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(median_udaf("length"), 4).alias("median_len"),
         F.round(stddev_pop_udaf("length"), 4).alias("stddev_len"),
     )
+
+
+# --- Time-series resample + gap-fill (LOCF) --------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type AS key, g.h AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t, b,
+       UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+),
+agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n, ROUND(AVG(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT grid.key, grid.bucket, COALESCE(agg.n, 0) AS n, agg.v,
+         COUNT(agg.v) OVER (PARTITION BY grid.key ORDER BY grid.bucket) AS grp
+  FROM grid LEFT JOIN agg ON agg.key = grid.key AND agg.bucket = grid.bucket
+)
+SELECT key, CAST(epoch(bucket) AS BIGINT) AS bucket_s,
+       CAST(n AS BIGINT) AS n_events,
+       MAX(v) OVER (PARTITION BY key, grp) AS avg_value_filled
+FROM j
+"""
+
+
+@register("events_hourly_locf", _RESAMPLE_ORACLE)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of event values per type with LOCF gap-fill
+    (operators/temporal.py::resample_locf). The oracle fills gaps with
+    the portable count-partition trick; Spark uses
+    ``last(ignorenulls)`` over an unbounded-preceding window — same
+    converged grid."""
+    from cdc_algorithms_spark.operators.temporal import resample_locf
+
+    ev = load_table(spark, "events", sf_dir)
+    out = resample_locf(ev, "event_type", "ts", "value", "1 hour")
+    return out.select(
+        "key",
+        F.unix_seconds("bucket").alias("bucket_s"),
+        "n_events",
+        "avg_value_filled",
+    )

@@ -454,3 +454,50 @@ def q_udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL chunk_fixed(d.text, 64) c
         """
     )
+
+
+# --- Dedup groups: connected components over the near-dup pair graph -------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, seen) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.seen = e.src
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(seen) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: connected components (iterative min-label
+    propagation) over the exact Jaccard pair graph, value-checked
+    against a DuckDB recursive-CTE transitive closure. The closure is
+    O(n·edges) and only viable oracle-side; the Spark side is the
+    O(diameter)-round join loop that scales."""
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return connected_components(pairs)

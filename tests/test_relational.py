@@ -41,3 +41,10 @@ def test_all_registered(spark):
     for name in RELATIONAL:
         assert name in registry.SPARK_QUERIES
         assert name in registry.ORACLE_SQL or name == "snapshot_diff_ae"
+
+
+def test_events_hourly_locf_matches_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "events_hourly_locf", SF_DIR)

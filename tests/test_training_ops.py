@@ -206,3 +206,24 @@ def test_udtf_fixed_chunks_matches_oracle(spark, sf_dir):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "udtf_fixed_chunks", sf_dir)
+
+
+def test_dedup_components_matches_recursive_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "dedup_components", sf_dir)
+
+
+def test_components_merge_transitively(spark):
+    """a-b and b-c pairs must land a, b, c in one component."""
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
