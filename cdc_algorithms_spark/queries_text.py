@@ -11,8 +11,10 @@ driver checks plus property tests in tests/test_training_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.functions.text import words
 
 from cdc_algorithms_spark.operators.dedup_docs import (
     embedding_near_dup_pairs,
@@ -501,3 +503,98 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
     )
     return connected_components(pairs)
+
+
+# --- Stratified sampling (deterministic, per-language proportional) --------
+
+_SAMPLE_FRAC = 0.1
+
+_STRATIFIED_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM ranked WHERE rn <= CEIL({_SAMPLE_FRAC} * n)
+"""
+
+
+@register("stratified_sample_docs", _STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ceil(frac·n) docs per
+    language, chosen by doc_id rank — reproducible across runs and
+    engines, unlike Bernoulli ``sample()`` (whose draw depends on
+    partitioning). One shuffle on the stratum key; at corpus scale
+    swap the rank key for ``xxhash64(doc_id)`` to decorrelate the pick
+    from ingestion order while staying deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .where(F.col("rn") <= F.ceil(_SAMPLE_FRAC * F.col("n")))
+        .select(F.col("doc_id").cast("long"), "lang")
+    )
+
+
+# --- TF-IDF: top terms per language ----------------------------------------
+
+_TFIDF_K = 10
+
+_TFIDF_ORACLE = f"""
+WITH {_WORDS_CTE},
+tokens AS (
+  SELECT d.lang, lower(u.word) AS term, d.doc_id
+  FROM w JOIN documents d USING (doc_id), UNNEST(w.words) AS u(word)
+),
+tf AS (
+  SELECT lang, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term,
+         ROUND(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.lang ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n_docs n
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, tfidf
+FROM scored WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per language. One explode of the corpus feeds
+    both the per-(lang, term) TF aggregate and the per-term document
+    frequency (persisted token table, two aggregates, no re-scan); IDF
+    joins in via broadcast (the term-df table is small after the first
+    aggregate), and the global doc count rides a 1-row broadcast cross
+    join. Top-k per stratum is the standard window rank."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = (
+        docs.select("doc_id", "lang", F.explode(words("text")).alias("word"))
+        .select("doc_id", "lang", F.lower("word").alias("term"))
+        .persist()
+    )
+    tf = tokens.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TFIDF_K)
+        .select("lang", "rank", "term", F.round("score", 6).alias("tfidf"))
+    )

@@ -68,3 +68,43 @@ def test_near_dup_ops_stay_jvm_side(spark):
 def test_ann_filter_pushdown(spark):
     df = _q(spark, "ann_bruteforce_topk")
     assert any("vec_id" in f for f in P.pushed_filters(df))
+
+
+def test_q17_window_decorrelation_single_fact_shuffle(spark):
+    """The correlated-subquery rewrite must stay a window over ONE
+    shuffle of lineitem — no self-join, no second scan."""
+    df = _q(spark, "q17_small_quantity_revenue")
+    assert len(P.read_schema_columns(df)) == 1, "decorrelation re-scanned the fact table"
+    assert P.exchange_count(df) <= 2  # window partition + final 1-row agg
+    assert P.python_eval_count(df) == 0
+
+
+def test_q4_exists_is_semi_join(spark):
+    df = _q(spark, "q4_order_priority")
+    assert "LeftSemi" in P.physical_plan(df), "EXISTS must plan as a semi join"
+    assert P.python_eval_count(df) == 0
+
+
+def test_tfidf_broadcasts_df_and_doc_count(spark):
+    df = _q(spark, "tfidf_top_terms")
+    assert P.broadcast_join_count(df) >= 2, "df table and doc count must broadcast"
+    assert P.python_eval_count(df) == 0
+
+
+def test_locf_grid_single_window_shuffle(spark):
+    df = _q(spark, "events_hourly_locf")
+    # grid build (distinct keys) + bucket agg + window; the bounds row
+    # and grid join in via broadcast, never a shuffled join
+    assert P.broadcast_join_count(df) >= 1
+    assert P.python_eval_count(df) == 0
+
+
+def test_simhash_fingerprints_map_only(spark):
+    """The fingerprint stage must not shuffle (the SWAR/HOF rewrite) —
+    the only exchanges in the pair query belong to the band self-join."""
+    from cdc_algorithms_spark.operators.dedup_docs import simhash_fingerprints
+    from cdc_algorithms_spark.sources.registry import load_table
+
+    fps = simhash_fingerprints(load_table(spark, "documents", SF_DIR))
+    assert P.exchange_count(fps) == 0
+    assert P.python_eval_count(fps) == 0

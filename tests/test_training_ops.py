@@ -227,3 +227,10 @@ def test_components_merge_transitively(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_stratified_sample_and_tfidf_match_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "stratified_sample_docs", sf_dir)
+    compare_with_oracle(spark, "tfidf_top_terms", sf_dir)
