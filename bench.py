@@ -41,9 +41,16 @@ HEADLINE = [
     "user_sessions",
     "asof_last_view_before_purchase",
     "order_pairs_within_30d",
+    # subquery family
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    # time series
+    "events_hourly_locf",
     # change detection
     "snapshot_diff_fixed",
     "change_ratio_fixed",
+    "sync_plan_fixed",
     # training-data extensions
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
@@ -55,6 +62,9 @@ HEADLINE = [
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
+    "dedup_components",
+    "tfidf_top_terms",
+    "stratified_sample_docs",
 ]
 
 

@@ -533,3 +533,17 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "avg_value_filled",
     )
+
+
+# --- SQL front-end parity: the oracle text IS the Spark query --------------
+
+
+@register("sql_frontend_pricing_summary", _Q1_ORACLE)
+def sql_frontend_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the Q1 oracle's ANSI SQL *text* through ``spark.sql`` over a
+    temp view — pinning that the engine's SQL front-end and the
+    DataFrame API agree with the external oracle on the same statement.
+    (Dialect caveat: only ANSI-portable oracles can be shared verbatim;
+    this one is.)"""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_ORACLE)

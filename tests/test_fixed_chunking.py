@@ -63,3 +63,30 @@ def test_fixed_chunks_oracle(spark):
 
 def test_fixed_dedup_stats_oracle(spark):
     compare_with_oracle(spark, "fixed_dedup_stats", "/root/testdata/sf0.001")
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Operators must pass through empty/degenerate inputs, not crash:
+    zero-row corpora happen at 100 TB (a partition's filter matches
+    nothing) and must produce empty/zero frames."""
+    from pyspark.sql import types as T
+
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
+    from cdc_algorithms_spark.operators.dedup import dedup_stats
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert fixed_chunks(empty, 64).count() == 0
+    assert dedup_stats(fixed_chunks(empty, 64)).count() == 0
+    assert cdc_chunks(empty, "ae", 320).count() == 0
+    one_char = spark.createDataFrame([(1, "x")], schema)
+    rows = fixed_chunks(one_char, 64).collect()
+    assert len(rows) == 1 and rows[0]["length"] == 1
+    assert cdc_chunks(one_char, "ae", 320).agg(
+        {"length": "sum"}
+    ).first()[0] == 1
