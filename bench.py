@@ -32,6 +32,7 @@ HEADLINE = [
     "parallel_ae_dedup_stats",
     "binaryfile_ae_dedup_stats",
     "file_ranges_ae_dedup_stats",
+    "synthetic_blob_ae_node_stats",
     # relational suite
     "q1_pricing_summary",
     "q3_shipping_priority",

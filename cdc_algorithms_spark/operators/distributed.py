@@ -9,11 +9,15 @@ warm-up, with a deterministic seam rule. Here that becomes a three-phase
 DataFrame pipeline — the 100 TB shape: no single node ever holds a whole
 blob, only ``segment_len + overlap`` slices.
 
-Phase A — segment scan (``mapInPandas``): each segment row carries
-``payload = blob[left-overlap .. right)``; the numpy scanner emits cut
-positions, trimmed to the segment's owned range ``[left, right)`` so
-every cut is emitted exactly once (the reference instead re-emits
-warm-up cuts and relies on the merge to drop them, ae.rs:36-47).
+Phase A — segment scan + local hashing (``mapInPandas``): each segment
+row carries ``payload = blob[left-overlap .. right)``; the numpy scanner
+emits cut positions, trimmed to the segment's owned range ``[left,
+right)`` so every cut is emitted exactly once (the reference instead
+re-emits warm-up cuts and relies on the merge to drop them,
+ae.rs:36-47). The task also fingerprints every chunk whose span the
+seam merge cannot change — consecutive cuts from one scan are ≥ the
+merge spacing apart, so only a segment's first two owned cuts are
+merge-uncertain — and ships 24 bytes per chunk instead of content.
 
 Phase B — seam merge (``applyInPandas`` per blob): the reference's
 sequential accept rule — keep a cut only if it is ≥ ``spacing`` bytes
@@ -24,12 +28,14 @@ conserved (the reference can drop a too-close final boundary and
 silently lose tail bytes from its metrics; we deviate for byte
 conservation, which the oracle concat checks require).
 
-Phase C — content hashing, fully declarative: chunk spans range-join
-back to the segments that cover them (a chunk spans ≤ 2 segments
-whenever ``segment_len ≥ max chunk size``), pieces are sliced with
-``substring`` on binary, reassembled with ``array_sort`` +
-``aggregate``/``concat``, and fingerprinted with ``xxhash64`` — all
-JVM-side, so chunk payloads never cross into Python or the driver.
+Phase C — seam-chunk reassembly, for the few spans the merge
+invalidated (~2 per seam + the final chunk): those range-join back to
+the covering segments, pieces are sliced with ``substring`` on binary,
+reassembled with ``array_sort`` + ``aggregate``/``concat``, and
+fingerprinted with the same blake2b-64 family as Phase A. Chunk CONTENT
+therefore never shuffles — at 100 TB the dominant cost of the naive
+design (reassemble every chunk through a payload join) is a second
+full-corpus shuffle, and this pipeline ships only cuts and hashes.
 
 Not replicated: the rabin.rs:101 segment-bound bug (right bound fixed at
 ``len/T``) and the O(T·n) per-thread buffer clone at rabin.rs:99.
@@ -39,7 +45,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.chunkers.fast import (
@@ -55,6 +61,45 @@ from cdc_algorithms_spark.chunkers.params import (
 )
 
 _BOUND_FNS = {"ae": ae_bounds, "rabin": rabin_bounds, "fastcdc": fastcdc_bounds}
+
+_H64_MOD = 1 << 64
+_H64_SIGN = 1 << 63
+
+
+def _h64(data) -> int:
+    """64-bit chunk fingerprint (blake2b-8, signed-long range).
+
+    One hash family for BOTH the scan-local fast path and the seam
+    reassembly path — chunk identity must not depend on which path
+    computed it. (The reference's DefaultHasher role, ae.rs:75-78;
+    xxhash64 isn't callable from Python, and hashing locally beats
+    shuffling content to the JVM's hash by orders of magnitude.)
+    """
+    import hashlib
+
+    v = int.from_bytes(hashlib.blake2b(bytes(data), digest_size=8).digest(), "big")
+    return v - _H64_MOD if v >= _H64_SIGN else v
+
+
+def _h64_series(col):
+    import pandas as pd
+
+    return pd.Series(
+        [None if b is None else _h64(b) for b in col], dtype="Int64"
+    )
+
+
+_H64_UDF_CACHE: list = []
+
+
+def _h64_udf(col):
+    # built lazily: pandas_udf construction needs an active SparkSession,
+    # which doesn't exist at import time
+    if not _H64_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        _H64_UDF_CACHE.append(pandas_udf(_h64_series, "long"))
+    return _H64_UDF_CACHE[0](col)
 
 
 def _default_overlap(params) -> int:
@@ -131,8 +176,8 @@ def parallel_chunk_blob(
     """Distributed CDC chunking of binary blobs.
 
     Returns ``(src_id, algo, chunk_idx, offset, length, hash)`` where
-    ``hash = xxhash64(chunk bytes)`` (the reference's DefaultHasher role,
-    ae.rs:75-78).
+    ``hash = blake2b64(chunk bytes)`` (the reference's DefaultHasher
+    role, ae.rs:75-78; see ``_h64``).
     """
     if overlap is None:
         overlap = _default_overlap(
@@ -170,8 +215,31 @@ def chunk_segments(
     from pyspark.storagelevel import StorageLevel
 
     segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache EAGERLY: three independent subtrees (cut
+    # scan, sentinel aggregate, payload join) reference it, and Spark
+    # launches their query stages concurrently — concurrent tasks that
+    # each find a partition uncached recompute it redundantly (the cache
+    # fill doesn't dedupe in-flight work). One cheap count turns "every
+    # consumer recomputes the source" into "build once, read thrice":
+    # 2.5x end-to-end on a 256 MiB synthetic blob.
+    segments.count()
 
-    # --- Phase A: per-segment scan ---------------------------------------
+    # --- Phase A: per-segment scan + local hashing ------------------------
+    # The scan task already holds the payload, so it hashes every chunk
+    # whose span the seam merge cannot change, and ships ONLY (cut,
+    # prev_cut, hash) — 24 bytes a chunk. Chunk CONTENT never shuffles;
+    # at 100 TB the alternative (reassembling every chunk through a
+    # payload join) re-shuffles the entire corpus once.
+    #
+    # Which chunks are locally certain: consecutive cuts from one scan
+    # are >= spacing apart by construction (AE: > window; Rabin/FastCDC:
+    # >= min_size), so the merge's accept rule can reject at most a
+    # segment's FIRST owned cut (too close to the previous segment's
+    # last accepted cut); the second owned cut is then always accepted.
+    # Hence every chunk bounded by owned cuts j-1, j with j >= 2 is
+    # final exactly as scanned. Phase B re-checks the assumption anyway:
+    # a local hash is used only if the merged predecessor equals the
+    # locally assumed one, so correctness never rests on this argument.
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -179,25 +247,46 @@ def chunk_segments(
             src_ids: list[int] = []
             cut_pos: list[int] = []
             blob_lens: list[int] = []
+            prev_cuts: list[int] = []
+            hashes: list[object] = []
             for sid, left, right, scan_start, payload, blob_len in zip(
                 pdf["src_id"], pdf["left"], pdf["right"],
                 pdf["scan_start"], pdf["payload"], pdf["blob_len"],
             ):
+                view = memoryview(payload)
+                owned: list[int] = []  # relative cut positions in owned range
                 for rel in bound_fn(payload, params):
                     cut = scan_start + rel
                     if left <= cut < right:  # owned range: exactly-once emission
-                        src_ids.append(sid)
-                        cut_pos.append(cut)
-                        blob_lens.append(blob_len)
+                        owned.append(rel)
+                for j, rel in enumerate(owned):
+                    src_ids.append(sid)
+                    cut_pos.append(scan_start + rel)
+                    blob_lens.append(blob_len)
+                    if j >= 2:
+                        prev_rel = owned[j - 1]
+                        prev_cuts.append(scan_start + prev_rel)
+                        hashes.append(_h64(view[prev_rel + 1 : rel + 1]))
+                    else:
+                        # "no local hash" is a (prev_cut=-2, hash=0) pair,
+                        # NOT a null: a nullable long crosses Arrow into
+                        # applyInPandas as float64 and silently truncates
+                        # hash low bits
+                        prev_cuts.append(-2)
+                        hashes.append(0)
             yield pd.DataFrame(
                 {
                     "src_id": pd.Series(src_ids, dtype="int64"),
                     "cut": pd.Series(cut_pos, dtype="int64"),
                     "blob_len": pd.Series(blob_lens, dtype="int64"),
+                    "prev_cut": pd.Series(prev_cuts, dtype="int64"),
+                    "hash": pd.Series(hashes, dtype="int64"),
                 }
             )
 
-    cuts = segments.mapInPandas(scan, "src_id long, cut long, blob_len long")
+    cuts = segments.mapInPandas(
+        scan, "src_id long, cut long, blob_len long, prev_cut long, hash long"
+    )
 
     # Sentinel per blob: the final boundary always exists, even for blobs
     # whose scan found no cuts at all. Derived from the persisted segment
@@ -205,6 +294,8 @@ def chunk_segments(
     sentinels = segments.groupBy("src_id").agg(
         (F.max("blob_len") - 1).cast("long").alias("cut"),
         F.max("blob_len").cast("long").alias("blob_len"),
+        F.lit(-2).cast("long").alias("prev_cut"),
+        F.lit(0).cast("long").alias("hash"),
     )
     all_cuts = cuts.unionByName(sentinels)
 
@@ -215,40 +306,85 @@ def chunk_segments(
         sid = int(pdf["src_id"].iloc[0])
         blob_len = int(pdf["blob_len"].iloc[0])
         final = blob_len - 1
-        accepted: list[int] = []
+        # one row per distinct cut; prefer the scan row (prev_cut != -2,
+        # carries a usable hash) over the sentinel duplicate
+        rows = (
+            pdf.sort_values(["cut", "prev_cut"], ascending=[True, False])
+            .drop_duplicates("cut", keep="first")
+        )
+        offsets: list[int] = []
+        lengths: list[int] = []
+        hashes: list[object] = []
         last = -1
-        for cut in sorted(set(pdf["cut"])):
-            if cut == final or cut - last >= spacing:
-                accepted.append(int(cut))
-                last = int(cut)
-        offsets = [0] + [c + 1 for c in accepted[:-1]]
+        for cut, prev_cut, h in zip(rows["cut"], rows["prev_cut"], rows["hash"]):
+            cut = int(cut)
+            if not (cut == final or cut - last >= spacing):
+                continue
+            offsets.append(last + 1)
+            lengths.append(cut - last)
+            # the local hash is valid only if the merge agreed with the
+            # scan about this chunk's start
+            hashes.append(int(h) if int(prev_cut) == last else None)
+            last = cut
         return pd.DataFrame(
             {
-                "src_id": pd.Series([sid] * len(accepted), dtype="int64"),
-                "chunk_idx": pd.Series(range(len(accepted)), dtype="int64"),
+                "src_id": pd.Series([sid] * len(offsets), dtype="int64"),
+                "chunk_idx": pd.Series(range(len(offsets)), dtype="int64"),
                 "offset": pd.Series(offsets, dtype="int64"),
-                "length": pd.Series(
-                    [c - o + 1 for c, o in zip(accepted, offsets)], dtype="int64"
-                ),
+                "length": pd.Series(lengths, dtype="int64"),
+                "hash": pd.Series(hashes, dtype="Int64"),
             }
         )
 
     spans = all_cuts.groupBy("src_id").applyInPandas(
-        merge, "src_id long, chunk_idx long, offset long, length long"
+        merge, "src_id long, chunk_idx long, offset long, length long, hash long"
     )
 
-    # --- Phase C: declarative content hashing -----------------------------
-    core = segments.select("src_id", "left", "right", "scan_start", "payload")
+    # --- Phase C: seam-chunk reassembly (the rare path) -------------------
+    # Only spans whose local hash was invalidated by the merge (first
+    # chunk of the blob, ~2 per segment seam, the final chunk) are
+    # rebuilt from payloads. The span side is tiny, so it broadcasts and
+    # the payload side streams from cache — payloads are never shuffled
+    # OR broadcast. (If seam spans ever outgrew broadcast — millions of
+    # segments in one blob — swap to a shuffle join on (src_id, seg_idx);
+    # the payload-side shape is unchanged.)
+    done = spans.where(F.col("hash").isNotNull()).select(
+        "src_id",
+        F.lit(label).alias("algo"),
+        "chunk_idx",
+        "offset",
+        "length",
+        "hash",
+    )
+    seg_index = segments.select(
+        F.col("src_id").alias("s_src_id"), "seg_idx", "left", "right", "scan_start"
+    )
     end = F.col("offset") + F.col("length") - 1
-    joined = spans.join(
-        core,
+    fallback = spans.where(F.col("hash").isNull()).drop("hash")
+    span_segs = fallback.join(
+        F.broadcast(seg_index),
         on=[
-            spans["src_id"] == core["src_id"],
-            core["left"] <= end,
-            core["right"] > F.col("offset"),
+            fallback["src_id"] == seg_index["s_src_id"],
+            seg_index["left"] <= end,
+            seg_index["right"] > F.col("offset"),
         ],
     ).select(
-        spans["src_id"],
+        "src_id", "chunk_idx", "offset", "length",
+        "seg_idx", "left", "right", "scan_start",
+    )
+    payloads = segments.select(
+        F.col("src_id").alias("p_src_id"),
+        F.col("seg_idx").alias("p_seg_idx"),
+        "payload",
+    )
+    pieces = payloads.join(
+        F.broadcast(span_segs),
+        on=[
+            F.col("src_id") == F.col("p_src_id"),
+            F.col("seg_idx") == F.col("p_seg_idx"),
+        ],
+    ).select(
+        "src_id",
         "chunk_idx",
         "offset",
         "length",
@@ -258,10 +394,10 @@ def chunk_segments(
             "least(offset + length, right) - greatest(offset, left))"
         ).alias("piece"),
     )
-    chunks = (
-        joined.groupBy("src_id", "chunk_idx", "offset", "length")
+    rebuilt = (
+        pieces.groupBy("src_id", "chunk_idx", "offset", "length")
         .agg(
-            F.xxhash64(
+            _h64_udf(
                 F.aggregate(
                     F.array_sort(F.collect_list(F.struct("left", "piece"))),
                     F.lit(b""),
@@ -278,4 +414,4 @@ def chunk_segments(
             "hash",
         )
     )
-    return chunks
+    return done.unionByName(rebuilt)

@@ -330,3 +330,31 @@ from cdc_algorithms_spark import queries_joins  # noqa: E402,F401
 from cdc_algorithms_spark import queries_text  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming_diff  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Node-throughput headline: the reference benchmark shape (main.rs:16-24 —
+# AE, expected 16 KiB, one big input, parallel workers) at a size where
+# chunker throughput, not per-query overhead, is what's measured. The
+# 256 MiB blob is generated executor-side (sources/synthetic.py); nothing
+# ever materializes whole. Rows-only driver check; byte-conservation and
+# planted-duplicate invariants are asserted in tests/test_distributed.py.
+# ---------------------------------------------------------------------------
+
+SYNTH_BLOB_LEN = 256 << 20
+SYNTH_EXPECTED = 16384  # reference config: 1024 * 16 (main.rs:17)
+
+
+@register("synthetic_blob_ae_node_stats")
+def q_synthetic_blob_ae_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.synthetic import synthetic_blob_segments
+
+    segs = synthetic_blob_segments(
+        spark,
+        total_len=SYNTH_BLOB_LEN,
+        segment_len=8 << 20,
+        overlap=SYNTH_EXPECTED - 256,
+        seed=11,
+    )
+    return dedup_stats(chunk_segments(segs, "ae", SYNTH_EXPECTED), key_col="hash")

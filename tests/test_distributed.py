@@ -118,3 +118,30 @@ def test_multiple_blobs(spark, blob):
         for r in chunks.groupBy("src_id").agg(F.sum("length").alias("total")).collect()
     }
     assert per_src == {1: third, 2: len(blob) - third}
+
+
+def test_synthetic_blob_node_pipeline(spark):
+    """The node-throughput pipeline on a 64 MiB executor-generated blob:
+    bytes conserved, planted 1 MiB-block duplicates detected (block seeds
+    cycle through a pool of 37, so dedup must land well below 1), chunk
+    count consistent with the 16 KiB expected size."""
+    from cdc_algorithms_spark.operators.dedup import dedup_stats
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.synthetic import synthetic_blob_segments
+
+    total = 64 << 20
+    segs = synthetic_blob_segments(
+        spark, total, segment_len=8 << 20, overlap=16384 - 256, seed=11
+    )
+    row = dedup_stats(chunk_segments(segs, "ae", 16384), key_col="hash").first()
+    assert row["total_bytes"] == total
+    # fully-unique content would give exactly 1.0; the planted repeats
+    # (64 blocks over 37 seeds) must pull it measurably below
+    assert 0.1 < row["dedup_coeff"] < 0.9
+    assert total // (16384 * 8) < row["n_chunks"] < total // (16384 // 8)
+    # determinism: same seed → same stats
+    segs2 = synthetic_blob_segments(
+        spark, total, segment_len=8 << 20, overlap=16384 - 256, seed=11
+    )
+    row2 = dedup_stats(chunk_segments(segs2, "ae", 16384), key_col="hash").first()
+    assert row.asDict() == row2.asDict()
