@@ -547,3 +547,77 @@ def sql_frontend_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one is.)"""
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
     return spark.sql(_Q1_ORACLE)
+
+
+# --- RANGE-frame window: trailing 7-day per-user rolling average -----------
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ), 4) AS DOUBLE) AS sum_7d,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_7d
+FROM events
+"""
+
+
+@register("rolling_7d_user_value", _ROLLING_ORACLE)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling average per user — a RANGE frame over
+    event time (frame membership by value distance, not row count; ROWS
+    frames can't express it when event spacing varies). One shuffle on
+    user_id; Spark needs a numeric ordering column for rangeBetween, so
+    the frame runs over epoch MICROseconds on both sides — second
+    truncation shifts frame membership for sub-second event spacing."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    # decimal accumulation: a double SUM/AVG is summation-order-dependent
+    # and the engines visit frame rows in different orders (DuckDB's AVG
+    # also always computes in double) — the exact decimal SUM is the
+    # deterministic frame aggregate
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("sum_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )
+
+
+# --- Ranking distribution: ntile / percent_rank / cume_dist ----------------
+
+_QUARTILES_RANK_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS balance_quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
+FROM customer
+"""
+
+
+@register("customer_balance_quartiles", _QUARTILES_RANK_ORACLE)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution window family (ntile / percent_rank /
+    cume_dist) over account balance. A global ORDER BY window funnels to
+    one partition — correct but serial; at 100 TB assign quartiles via
+    approx_percentile cutoffs (two scans, fully parallel) instead of a
+    total order. The tie-break on c_custkey makes the total order (and
+    hence the ntile split) engine-independent."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -26,6 +26,8 @@ RELATIONAL = [
     "suppliers_above_nation_avg",
     "events_pivot_by_type",
     "sliding_event_value",
+    "rolling_7d_user_value",
+    "customer_balance_quartiles",
     "snapshot_diff_fixed",
     "change_ratio_fixed",
     "sync_plan_fixed",
