@@ -621,3 +621,37 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --- from_json + MapType surface -------------------------------------------
+
+_PROPS_MAP_ORACLE = """
+SELECT t.k AS prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props::JSON, '$.' || t.k) AS BIGINT)) AS BIGINT)
+         AS total
+FROM events, UNNEST(json_keys(props::JSON)) AS t(k)
+GROUP BY 1
+"""
+
+
+@register("events_props_map_stats", _PROPS_MAP_ORACLE)
+def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON → MapType surface: ``from_json`` parses the
+    props column into map<string,bigint> (one pass, JVM-side — unlike
+    per-path get_json_object which re-parses per extraction), the map
+    explodes to entry rows, and stats aggregate per key. The shape that
+    scales to wide/ragged property bags where paths aren't known ahead."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            F.explode(F.from_json("props", "map<string,bigint>")).alias(
+                "prop_key", "v"
+            )
+        )
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("total"),
+        )
+    )

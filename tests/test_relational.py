@@ -28,6 +28,7 @@ RELATIONAL = [
     "sliding_event_value",
     "rolling_7d_user_value",
     "customer_balance_quartiles",
+    "events_props_map_stats",
     "snapshot_diff_fixed",
     "change_ratio_fixed",
     "sync_plan_fixed",
