@@ -206,3 +206,58 @@ def test_incremental_sync_matches_batch_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_sync_totals", SF_DIR)
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """Stop a streaming aggregation mid-input, restart a NEW query from
+    the same checkpoint, feed the rest: the recovered query must resume
+    from committed offsets (no re-count, no loss) and converge to the
+    batch result — the exactly-once file-source → file-sink contract
+    that a 100 TB incremental pipeline leans on."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+    in_dir, ckpt, out = (
+        str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    stages = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+
+    def start_query():
+        stream = spark.readStream.schema(stages[0].schema).parquet(in_dir)
+        # append-mode windowless dedup-free projection: file sink requires
+        # append; count per type is derived batch-side from the sink
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    stages[0].write.mode("append").parquet(in_dir)
+    q1 = start_query()
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+
+    stages[1].write.mode("append").parquet(in_dir)
+    q2 = start_query()  # new query object, same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {(r["event_type"], r["n"]) for r in got} == {
+        (r["event_type"], r["n"]) for r in want
+    }
+    # and no duplicates: total rows in sink == total input rows
+    assert spark.read.parquet(out).count() == ev.count()
