@@ -149,3 +149,69 @@ def sample_frames(
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.expr(f"substring(content, off + 1, {frame_bytes})").alias("frame"),
     )
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing: content in → smaller content + updated metadata
+    out, via Arrow-batched ``mapInPandas``.
+
+    ``strict=True`` demands a real decoder (PIL) and raises in this
+    container. The default path performs a DETERMINISTIC FAKE resize —
+    the payload is index-subsampled to exactly ``target_w*target_h``
+    bytes (nearest-neighbor over the byte stream, the same index
+    arithmetic a real nearest-neighbor resize applies per channel
+    row) — so the schema contract is fully exercised: binary in, binary
+    out, ``meta.width/height`` rewritten, ``meta.format`` marked.
+
+    Scale shape: the UDF sees only (media_id, content); metadata is
+    re-attached declaratively afterward, so the Python boundary moves
+    the minimum bytes both ways.
+    """
+    if strict and not HAVE_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL/torchvision, not present in "
+            "this container; use strict=False for the deterministic stub"
+        )
+    out_len = target_w * target_h
+
+    def do_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for content in pdf["content"]:
+                arr = np.frombuffer(content, dtype=np.uint8)
+                if arr.size == 0:
+                    payloads.append(b"\x00" * out_len)
+                    continue
+                idx = np.minimum(
+                    (np.arange(out_len, dtype=np.int64) * arr.size) // out_len,
+                    arr.size - 1,
+                )
+                payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    resized = media.select("media_id", "content").mapInPandas(
+        do_resize, "media_id long, content binary"
+    )
+    keep = media.select("media_id", "kind", F.col("meta").alias("__old_meta"))
+    return resized.join(keep, "media_id").select(
+        "media_id",
+        "kind",
+        "content",
+        F.struct(
+            F.lit(target_w).cast("int").alias("width"),
+            F.lit(target_h).cast("int").alias("height"),
+            F.col("__old_meta.sample_rate").alias("sample_rate"),
+            F.col("__old_meta.duration_ms").alias("duration_ms"),
+            F.lit("resized-stub").alias("format"),
+        ).alias("meta"),
+    )

@@ -598,3 +598,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TFIDF_K)
         .select("lang", "rank", "term", F.round("score", 6).alias("tfidf"))
     )
+
+
+_RESIZE_ORACLE = """
+SELECT 'image' AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(*) * 4096 AS BIGINT) AS total_bytes,
+       ROUND(AVG(64), 4) AS avg_width,
+       ROUND(AVG(CAST(n_chars AS DOUBLE) * 10), 4) AS avg_duration_ms
+FROM documents
+"""
+
+
+@register("media_resized_summary", _RESIZE_ORACLE)
+def q_media_resized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline end-to-end: synthesize → resize (stubbed decode,
+    real mapInPandas plumbing) → metadata rollup. The byte accounting is
+    exact — every resized payload is width*height bytes — so even with
+    the decode stubbed the oracle pins the full pipeline's row count,
+    byte totals, and metadata rewrite."""
+    from cdc_algorithms_spark.operators.multimodal import (
+        media_summary,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return media_summary(resize_media(media, 64, 64))

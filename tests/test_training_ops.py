@@ -234,3 +234,22 @@ def test_stratified_sample_and_tfidf_match_oracle(spark, sf_dir):
 
     compare_with_oracle(spark, "stratified_sample_docs", sf_dir)
     compare_with_oracle(spark, "tfidf_top_terms", sf_dir)
+
+
+def test_resize_media_contract(spark, sf_dir):
+    from cdc_algorithms_spark.operators import multimodal
+    from cdc_algorithms_spark.operators.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir).limit(20))
+    out = resize_media(media, 32, 8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["content"]) == 32 * 8
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 8
+        assert r["meta"]["format"] == "resized-stub"
+    # deterministic
+    again = {r["media_id"]: bytes(r["content"]) for r in resize_media(media, 32, 8).collect()}
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == again
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            resize_media(media, 32, 8, strict=True)
