@@ -108,3 +108,72 @@ def test_simhash_fingerprints_map_only(spark):
     fps = simhash_fingerprints(load_table(spark, "documents", SF_DIR))
     assert P.exchange_count(fps) == 0
     assert P.python_eval_count(fps) == 0
+
+
+# Queries that must stay pure-JVM: any Python eval node appearing in
+# their plans is an accidental de-optimization (a UDF fallback sneaking
+# into what should be whole-stage-codegen territory).
+_PURE_JVM_QUERIES = [
+    "fixed_chunks",
+    "fixed_dedup_stats",
+    "chunk_size_histogram_fixed",
+    "dedup_stats_by_lang",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "brand_volume",
+    "top_order_per_customer",
+    "events_json_stats",
+    "user_sessions",
+    "purchase_and_error_users",
+    "docs_rollup",
+    "events_cube",
+    "docs_grouping_sets",
+    "price_quantiles",
+    "events_pivot_by_type",
+    "sliding_event_value",
+    "rolling_7d_user_value",
+    "customer_balance_quartiles",
+    "events_props_map_stats",
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "orders_above_global_avg",
+    "suppliers_above_nation_avg",
+    "events_hourly_locf",
+    "snapshot_diff_fixed",
+    "change_ratio_fixed",
+    "sync_plan_fixed",
+    "asof_last_view_before_purchase",
+    "value_band_range_join",
+    "order_pairs_within_30d",
+    "customers_no_1995_order",
+    "parts_shipped_1998_semi",
+    "viewers_never_purchased",
+    "monthly_order_stats",
+    "salted_user_segment_join",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    # embedding_near_dup intentionally uses the blocked-BLAS
+    # applyInPandas kernel (see its docstring) — not a stray fallback
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "lang_marker_hits",
+    "language_id",
+    "quality_scores",
+    "token_counts",
+    "tfidf_top_terms",
+    "stratified_sample_docs",
+    "sql_frontend_pricing_summary",
+]
+
+
+def test_no_stray_python_in_jvm_queries(spark):
+    offenders = []
+    for name in _PURE_JVM_QUERIES:
+        df = _q(spark, name)
+        if P.python_eval_count(df) != 0:
+            offenders.append(name)
+    assert not offenders, f"Python eval leaked into JVM-only plans: {offenders}"
