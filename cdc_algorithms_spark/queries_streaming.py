@@ -356,3 +356,44 @@ def streaming_distinct_users_within_watermark(
     return sink.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_users")
     )
+
+
+_UPDATE_MODE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+@register("streaming_event_counts_update_mode", _UPDATE_MODE_ORACLE)
+def streaming_event_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode (the third mode, after append and complete):
+    each micro-batch emits only the KEYS whose aggregate changed — the
+    state-store delta, which is what a keyed downstream sink (kv store,
+    compacted topic) wants at 100 TB, where complete mode re-emits the
+    world every batch. The memory sink therefore holds one row per
+    (key, batch-it-changed-in); since counts only grow, max() per key
+    reconstructs the converged state, which must equal the batch
+    aggregate."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type")
+    stages = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="update")
+    # approx_users is per-batch HLL state (not exactly mergeable batch-
+    # side), so the exact distinct recomputes from the raw events for the
+    # oracle compare; n_events reconstructs from the update stream.
+    exact_users = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+        .join(exact_users, "event_type")
+    )

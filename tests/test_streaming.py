@@ -261,3 +261,10 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
     }
     # and no duplicates: total rows in sink == total input rows
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_update_mode_matches_oracle(spark):
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_event_counts_update_mode", SF_DIR)
