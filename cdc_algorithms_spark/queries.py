@@ -325,6 +325,7 @@ def q_file_ranges_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from cdc_algorithms_spark import queries_diff  # noqa: E402,F401
 from cdc_algorithms_spark import queries_relational  # noqa: E402,F401
+from cdc_algorithms_spark import queries_tpch_extra  # noqa: E402,F401
 from cdc_algorithms_spark import queries_subqueries  # noqa: E402,F401
 from cdc_algorithms_spark import queries_joins  # noqa: E402,F401
 from cdc_algorithms_spark import queries_text  # noqa: E402,F401

@@ -1,0 +1,503 @@
+"""Extended TPC-H-pattern suite over the reduced fixture schema.
+
+The reference (letit6E/cdc-algorithms) has no relational operators
+(SURVEY.md §2.5); this module widens the engine's value-checked relational
+surface with the classic TPC-H plan shapes the earlier q1/q3/q5/q17/q18
+queries don't cover:
+
+* q6  — pure scan-side conjunctive pushdown (no join, no shuffle beyond
+        one partial agg);
+* q7  — nation-pair volume shipping: two independent dimension lineages
+        joined to one fact scan, disjunctive pair predicate;
+* q10 — top-k revenue per customer over a filtered fact scan;
+* q14 — conditional aggregation (CASE inside SUM) with a broadcast dim;
+* q15 — scalar-subquery max over a derived aggregate (ties preserved);
+* q16 — count-distinct suppliers with an anti-joined exclusion list;
+* q19 — OR-of-ANDs disjunctive predicate spanning both join sides;
+* q2-style cheapest supplier per part (correlated min without partsupp);
+* q22 — scalar-average subquery + anti join (idle rich customers).
+
+Cross-engine float discipline (see queries_relational.py): revenue sums
+that *select* rows (q15's max, q2's min) are computed over
+``DECIMAL(18,6)`` casts on both sides so Spark and DuckDB agree exactly;
+display-only sums use ``ROUND(..., 2)``.
+
+Scale notes: every dimension join is an explicit ``F.broadcast``
+(customer/supplier/part/nation are O(SF) but orders/lineitem are the
+100 TB fact side); q6/q19 predicates are written to reach the parquet
+scan (PushedFilters asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+
+# --- Q6: forecast revenue change (scan-only pushdown) -----------------------
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- Q7: volume shipping between a nation pair ------------------------------
+
+_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY ns.n_name, nc.n_name, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    # Two independent dim lineages resolved to nation names *before* the
+    # fact join: supplier-side (s_suppkey -> supp_nation) and
+    # customer-side (o_custkey -> cust_nation) are each a broadcast, so
+    # the only shuffle left is the lineitem<->orders fact join + final agg.
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    cust_nation = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    return (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(supp_nation, "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(cust_nation, o.o_custkey == cust_nation.c_custkey)
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+# --- Q10: returned-item reporting (top 20 customers by refund revenue) ------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(CAST(c.c_acctbal AS DECIMAL(18,6)), 2) AS acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY custkey, name, nation, c.c_acctbal
+ORDER BY revenue DESC, custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "custkey",
+            "name",
+            "nation",
+            "revenue",
+            F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+# --- Q14: promotion-effect revenue (conditional aggregation) ----------------
+
+_Q14_ORACLE = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+         / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))),
+         4) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+@register("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    # DECIMAL(18,6) accumulation on both sides: the ratio of two exact
+    # decimal sums is engine-stable, where a double SUM would be
+    # summation-order-dependent (see queries_relational.py note).
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- Q15: top supplier(s) by quarterly revenue (scalar-subquery max) --------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS suppkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_revenue")
+        )
+    )
+    # Ties preserved: an empty-frame window max avoids a second scan of
+    # lineitem (the scalar subquery would re-aggregate); one extra
+    # single-partition exchange over the tiny per-supplier aggregate.
+    w = Window.partitionBy()
+    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(s), top.suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.round(F.col("total_revenue"), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --- Q16: supplier variety per brand/size with exclusions -------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY brand, type, size
+"""
+
+
+@register("q16_supplier_variety", _Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    bad_suppliers = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        # broadcast anti join: the exclusion list is O(suppliers), tiny
+        # next to the fact side at any SF.
+        .join(
+            F.broadcast(bad_suppliers),
+            li.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --- Q19: disjunctive predicate revenue (OR-of-ANDs across join sides) ------
+
+_Q19_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    # The single-side residues of the disjunction (brand set; quantity
+    # envelope) are stated explicitly so they push to each parquet scan;
+    # Catalyst keeps the cross-side OR as the post-join filter.
+    parts = p.where(
+        F.col("p_brand").isin("Brand#3", "Brand#12", "Brand#21")
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.where(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .where(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- Q2 analog: cheapest supplier per part (correlated min, no partsupp) ----
+
+_Q2_ORACLE = """
+WITH unit_cost AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             / SUM(CAST(l_quantity AS DECIMAL(18,6))) AS avg_unit_price
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT partkey, MIN(avg_unit_price) AS min_price
+    FROM unit_cost GROUP BY partkey
+)
+SELECT u.partkey AS partkey, u.suppkey AS suppkey, s.s_name AS supplier,
+       CAST(ROUND(u.avg_unit_price, 4) AS DOUBLE) AS unit_price
+FROM unit_cost u
+JOIN best b ON u.partkey = b.partkey AND u.avg_unit_price = b.min_price
+JOIN supplier s ON u.suppkey = s.s_suppkey
+JOIN part p ON u.partkey = p.p_partkey
+WHERE p.p_size = 7 AND p.p_type = 'PROMO'
+"""
+
+
+@register("q2_cheapest_supplier", _Q2_ORACLE)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    # Filter parts FIRST (size/type reach the part scan), broadcast the
+    # survivors into the fact aggregation — at 100 TB the per-(part,supp)
+    # aggregate only materializes for the ~1/300 qualifying parts.
+    parts = F.broadcast(
+        p.where((F.col("p_size") == 7) & (F.col("p_type") == "PROMO")).select(
+            "p_partkey"
+        )
+    )
+    unit_cost = (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                / F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            ).alias("avg_unit_price")
+        )
+    )
+    # correlated min as a partition-window min: one shuffle on partkey
+    # (already the aggregate's key) instead of a self-join against `best`.
+    w = Window.partitionBy("partkey")
+    best = unit_cost.withColumn(
+        "min_price", F.min("avg_unit_price").over(w)
+    ).where(F.col("avg_unit_price") == F.col("min_price"))
+    return best.join(F.broadcast(s), best.suppkey == s.s_suppkey).select(
+        "partkey",
+        "suppkey",
+        F.col("s_name").alias("supplier"),
+        F.round(F.col("avg_unit_price"), 4).cast("double").alias("unit_price"),
+    )
+
+
+# --- Q22: idle rich customers (scalar avg subquery + anti join) -------------
+
+_Q22_ORACLE = """
+WITH rich AS (
+    SELECT * FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+)
+SELECT r.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(CAST(r.c_acctbal AS DECIMAL(18,6))), 2) AS total_acctbal
+FROM rich r
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = r.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY segment
+"""
+
+
+@register("q22_idle_rich_customers", _Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    # scalar AVG computed in DOUBLE on both sides (DuckDB's AVG always
+    # returns double); it only thresholds rows, never lands in output.
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("v"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("v"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )

@@ -167,7 +167,57 @@ _PURE_JVM_QUERIES = [
     "tfidf_top_terms",
     "stratified_sample_docs",
     "sql_frontend_pricing_summary",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q2_cheapest_supplier",
+    "q22_idle_rich_customers",
 ]
+
+
+def test_q6_scan_only_single_shuffle(spark):
+    """Q6 is the pushdown microbench: all four predicates reach the
+    parquet scan and the only exchange is the final 1-row aggregate."""
+    df = _q(spark, "q6_forecast_revenue")
+    pushed = " ".join(P.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to scan"
+    (cols,) = P.read_schema_columns(df)
+    assert len(cols) <= 4
+    assert P.exchange_count(df) == 1
+
+
+def test_q19_disjunction_residues_pushed(spark):
+    """The brand IN-list must reach the part scan and the quantity
+    envelope the lineitem scan even though the full OR spans the join."""
+    df = _q(spark, "q19_disjunctive_revenue")
+    pushed = P.pushed_filters(df)
+    assert any("p_brand" in f for f in pushed)
+    assert any("l_quantity" in f for f in pushed)
+    assert P.broadcast_join_count(df) >= 1
+    assert P.exchange_count(df) <= 1
+
+
+def test_q7_dim_lineages_broadcast(spark):
+    """Both nation lineages resolve via broadcast; only the fact side
+    may exchange."""
+    df = _q(spark, "q7_volume_shipping")
+    assert P.broadcast_join_count(df) >= 3
+    assert P.exchange_count(df) <= 2
+
+
+def test_q2_single_agg_then_window_no_rescan(spark):
+    """The correlated-min decorrelation: one fact scan, grouped agg,
+    window min on the agg's own key — never a self-join re-scan."""
+    df = _q(spark, "q2_cheapest_supplier")
+    assert sum(len(c) >= 4 for c in P.read_schema_columns(df)) == 1, (
+        "fact table scanned more than once"
+    )
+    assert P.exchange_count(df) <= 2
 
 
 def test_no_stray_python_in_jvm_queries(spark):
