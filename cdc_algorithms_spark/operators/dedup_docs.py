@@ -28,7 +28,7 @@ Everything is Catalyst expressions — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.functions.arrays import cosine_similarity
@@ -525,4 +525,72 @@ def connected_components(
     edges.unpersist()
     return labels.select(
         F.col("doc_id").cast("long"), F.col("component_id").cast("long")
+    )
+
+
+def chunk_overlap_pairs(
+    chunks: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "src_id",
+    key: Column | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document-pair resemblance over chunk sets (Broder resemblance).
+
+    The reference's dedup set (chunk-hash ``HashSet``, ae.rs:75-84)
+    lifted from corpus level to per-document sets: two documents are
+    near-duplicates when their chunk fingerprint sets overlap, with
+    ``jaccard = |A∩B| / |A∪B|`` over DISTINCT chunk keys. Fed by
+    ``cdc_chunks`` this is shift-robust (the CDC property); fed by
+    ``fixed_chunks`` it is the SQL-expressible oracle-checkable variant.
+
+    Returns ``(id_a, id_b, shared, jaccard)`` with id_a < id_b and
+    jaccard ≥ threshold.
+
+    Scale design: only 8-byte chunk keys ever shuffle (``key`` defaults
+    to ``xxhash64(chunk_text)`` computed inside the scan stage, mirroring
+    with_chunk_hash); per-doc set sizes ride along as a window count over
+    the distinct set, so the plan is distinct → window → one self-join on
+    the inverted index → pair aggregate, with no per-doc side table to
+    re-join. ``max_df`` is the skew guard: a chunk shared by more than
+    ``max_df`` docs (boilerplate) is dropped before the self-join — it
+    contributes O(max_df²) candidate pairs but almost no Jaccard mass.
+    """
+    key_expr = key if key is not None else F.xxhash64("chunk_text")
+    s = (
+        chunks.select(F.col(id_col).cast("long").alias("doc_id"), key_expr.alias("ck"))
+        .distinct()
+    )
+    if max_df is not None:
+        w_ck = Window.partitionBy("ck")
+        s = s.withColumn("df", F.count(F.lit(1)).over(w_ck)).where(
+            F.col("df") <= max_df
+        ).drop("df")
+    w_doc = Window.partitionBy("doc_id")
+    s = s.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

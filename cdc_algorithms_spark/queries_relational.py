@@ -655,3 +655,39 @@ def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("total"),
         )
     )
+
+
+# --- Unpivot (melt) — the inverse of events_pivot_by_type ------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_brand AS brand, metric,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS total_value
+FROM (SELECT p_brand, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+      FROM part)
+UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+GROUP BY brand, metric
+"""
+
+
+@register("part_metrics_unpivot", _UNPIVOT_ORACLE)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the built-in ``unpivot`` (Expand node): one
+    pass over the scan emitting one row per (row, metric) — never a
+    UNION of per-metric scans, which would read the fact table k times."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.select(
+            "p_brand",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice"),
+        )
+        .unpivot(["p_brand"], ["p_size", "p_retailprice"], "metric", "value")
+        .groupBy(F.col("p_brand").alias("brand"), "metric")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).alias(
+                "total_value"
+            ),
+        )
+    )

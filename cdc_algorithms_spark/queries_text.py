@@ -625,3 +625,61 @@ def q_media_resized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(load_table(spark, "documents", sf_dir))
     return media_summary(resize_media(media, 64, 64))
+
+
+# --- Chunk-overlap resemblance (Broder resemblance over chunk sets) --------
+#
+# The reference's chunk-hash dedup set (ae.rs:75-84) lifted to per-document
+# sets: near-dup docs share content-defined chunks. The fixed-chunk variant
+# is fully SQL-expressible (oracle-checked); the AE variant is the
+# shift-robust CDC formulation (rows-only driver check — the AE boundary
+# rule is not SQL-expressible).
+
+CHUNK_OVERLAP_SIZE = 32
+CHUNK_OVERLAP_THRESHOLD = 0.5
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH s AS (
+  SELECT DISTINCT d.doc_id,
+         substring(d.text, CAST(u.off + 1 AS INT), {CHUNK_OVERLAP_SIZE}) AS ck
+  FROM documents d,
+       UNNEST(range(0, d.n_chars, {CHUNK_OVERLAP_SIZE})) AS u(off)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM s a JOIN s b ON a.ck = b.ck AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(shared AS BIGINT) AS shared,
+       ROUND(shared * 1.0 / (za.n + zb.n - shared), 6) AS jaccard
+FROM p JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE shared * 1.0 / (za.n + zb.n - shared) >= {CHUNK_OVERLAP_THRESHOLD}
+"""
+
+
+@register("chunk_overlap_pairs_fixed", _CHUNK_OVERLAP_ORACLE)
+def q_chunk_overlap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.operators.dedup_docs import chunk_overlap_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_overlap_pairs(
+        fixed_chunks(docs, CHUNK_OVERLAP_SIZE),
+        threshold=CHUNK_OVERLAP_THRESHOLD,
+    )
+
+
+@register("chunk_overlap_pairs_ae")
+def q_chunk_overlap_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+    from cdc_algorithms_spark.operators.dedup_docs import chunk_overlap_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    # AE expected=320 is the documents-scale config (see CDC_PARAMS note
+    # in queries.py: the reference window formula needs expected > 256).
+    return chunk_overlap_pairs(
+        cdc_chunks(docs, "ae", 320),
+        threshold=0.3,
+    )

@@ -176,6 +176,8 @@ _PURE_JVM_QUERIES = [
     "q19_disjunctive_revenue",
     "q2_cheapest_supplier",
     "q22_idle_rich_customers",
+    "chunk_overlap_pairs_fixed",
+    "part_metrics_unpivot",
 ]
 
 

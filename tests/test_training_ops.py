@@ -29,7 +29,39 @@ ORACLE_QUERIES = [
     "token_counts",
     "media_summary",
     "media_frame_counts",
+    "chunk_overlap_pairs_fixed",
 ]
+
+
+def test_chunk_overlap_ae_is_shift_robust(spark):
+    """Prepending a prefix to a doc must keep its AE-chunk overlap with
+    the original near-total — the defining CDC property (SURVEY.md §5),
+    here observed at the resemblance level: interior chunk boundaries
+    resynchronize, so the sets still overlap heavily. A fixed-size
+    chunker scores ~0 on the same input."""
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
+    from cdc_algorithms_spark.operators.dedup_docs import chunk_overlap_pairs
+
+    # Non-repeating text: periodic content would make even fixed-size
+    # chunking look shift-proof (every phase of the cycle appears in
+    # both docs), masking the property under test.
+    import random
+
+    rng = random.Random(7)
+    base = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(3, 9)))
+        for _ in range(400)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "PREFIX-SHIFT>> " + base)], ["doc_id", "text"]
+    )
+    ae = chunk_overlap_pairs(cdc_chunks(docs, "ae", 320), threshold=0.0)
+    row = ae.collect()[0]
+    assert row.jaccard >= 0.5, f"AE overlap not shift-robust: {row}"
+
+    fx = chunk_overlap_pairs(fixed_chunks(docs, 32), threshold=0.0).collect()
+    fx_j = fx[0].jaccard if fx else 0.0
+    assert fx_j < row.jaccard, "fixed chunking should lose alignment on shift"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
