@@ -32,6 +32,7 @@ HEADLINE = [
     "parallel_ae_dedup_stats",
     "binaryfile_ae_dedup_stats",
     "file_ranges_ae_dedup_stats",
+    "datasource_ae_dedup_stats",
     "synthetic_blob_ae_node_stats",
     # relational suite
     "q1_pricing_summary",
@@ -46,6 +47,11 @@ HEADLINE = [
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    # extended TPC-H plan shapes
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+    "q2_cheapest_supplier",
     # time series
     "events_hourly_locf",
     # change detection
@@ -66,6 +72,9 @@ HEADLINE = [
     "dedup_components",
     "tfidf_top_terms",
     "stratified_sample_docs",
+    "chunk_overlap_pairs_fixed",
+    "chunk_overlap_pairs_ae",
+    "repetition_ratios",
 ]
 
 

@@ -14,7 +14,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_algorithms_spark.functions.text import char_ngrams, words
+from cdc_algorithms_spark.functions.text import (
+    char_ngrams,
+    shingles_of_words,
+    words,
+)
 
 # Tiny deterministic stopword profiles per language — the n-gram/stopword
 # heuristic tier of language ID (a real pipeline would plug fastText or
@@ -203,4 +207,52 @@ def doc_fingerprints_fast(
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(_winnow(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def repetition_ratios(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 5),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition filters, long format: one row per
+    (doc, n-gram size) with ``top_frac`` (share of the single most
+    frequent word n-gram) and ``dup_frac`` (share of n-gram occurrences
+    whose n-gram appears more than once). High values flag boilerplate /
+    looping generations in a training corpus.
+
+    Plan shape: one scan → shingle explode per n (unioned) → two
+    hash aggregates keyed by doc — the same partial-agg pattern as any
+    word-count, so it scales linearly and shuffles only
+    (doc_id, n, gram-hash)-sized rows, never documents.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), words(text_col).alias("__ws")
+    )
+    grams = None
+    for n in ns:
+        g = base.select(
+            "doc_id",
+            F.lit(n).cast("int").alias("n"),
+            F.explode(shingles_of_words(F.col("__ws"), n)).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_cnt"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.col("total").cast("long").alias("total_ngrams"),
+            F.round(F.col("top_cnt") / F.col("total"), 6).alias("top_frac"),
+            F.round(F.col("dup_cnt") / F.col("total"), 6).alias("dup_frac"),
+        )
     )

@@ -319,6 +319,23 @@ def q_file_ranges_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stats(chunk_segments(segs, "ae", 4096), key_col="hash")
 
 
+@register("datasource_ae_dedup_stats")
+def q_datasource_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline and params as file_ranges_ae_dedup_stats but sourced
+    through the custom Python DataSource (sources/datasource.py,
+    ``format("file_segments")``): the scheduler sees one InputPartition
+    per segment, so no repartition shuffle precedes the chunk scan.
+    Stats are asserted identical to the other two source routes in
+    tests/test_binary_source.py."""
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.datasource import read_file_segments
+
+    segs = read_file_segments(
+        spark, f"{sf_dir}/*.parquet", segment_len=262144, overlap=4096 - 256
+    )
+    return dedup_stats(chunk_segments(segs, "ae", 4096), key_col="hash")
+
+
 # ---------------------------------------------------------------------------
 # Extension query modules (imported for their @register side effects).
 # ---------------------------------------------------------------------------

@@ -683,3 +683,35 @@ def q_chunk_overlap_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_chunks(docs, "ae", 320),
         threshold=0.3,
     )
+
+
+# --- Gopher-style repetition filters ---------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(ns.n AS INT) AS n,
+         CASE WHEN len(words) <= ns.n THEN array_to_string(words, ' ')
+              ELSE array_to_string(words[i.i:i.i+ns.n-1], ' ') END AS g
+  FROM w, (VALUES (2), (5)) AS ns(n),
+       UNNEST(range(1, greatest(len(words) - ns.n + 1, 1) + 1)) AS i(i)
+),
+c AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n,
+       CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_frac,
+       ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS dup_frac
+FROM c GROUP BY 1, 2
+"""
+
+
+@register("repetition_ratios", _REPETITION_ORACLE)
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import repetition_ratios
+
+    return repetition_ratios(load_table(spark, "documents", sf_dir), ns=(2, 5))

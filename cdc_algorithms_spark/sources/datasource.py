@@ -1,0 +1,159 @@
+"""Custom PySpark DataSource (Spark 4 Python Data Source API) exposing
+range-segmented file reads as a first-class ``spark.read.format(...)``.
+
+Same 100 TB posture as sources/segmented_files.py (driver lists only
+metadata; every executor range-reads its own ``[scan_start, right)``
+slice — one whole blob never materializes anywhere, unlike the
+reference's ``read_file``, chunker.rs:31-37), but expressed through the
+engine-level source contract instead of a ``mapInPandas`` adapter:
+
+* ``partitions()`` — one ``InputPartition`` per (file, segment), so
+  Spark's scheduler sees the true split granularity and fans segments of
+  one big file across the cluster with no ``repartition`` shuffle at all
+  (the mapInPandas route needs one to break up the driver-built meta
+  rows).
+* ``read(partition)`` — runs in the executor; ``open``/``seek``/``read``
+  locally, an object store's range-GET in production.
+
+Usage::
+
+    register_file_segments(spark)
+    df = (spark.read.format("file_segments")
+          .option("path", "/data/*.bin")
+          .option("segment_len", 8 << 20)
+          .option("overlap", 16128)
+          .load())
+
+The emitted schema matches operators/distributed.py::chunk_segments
+(after the caller derives ``src_id``, see ``read_file_segments``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCHEMA = (
+    "path string, seg_idx long, left long, right long, "
+    "blob_len long, scan_start long, payload binary"
+)
+
+
+class _SegmentPartition(InputPartition):
+    def __init__(
+        self, path: str, seg_idx: int, left: int, right: int,
+        blob_len: int, scan_start: int,
+    ) -> None:
+        self.path = path
+        self.seg_idx = seg_idx
+        self.left = left
+        self.right = right
+        self.blob_len = blob_len
+        self.scan_start = scan_start
+
+
+class _FileSegmentsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path_glob = options.get("path")
+        if not self.path_glob:
+            raise ValueError("file_segments source requires option 'path'")
+        self.segment_len = int(options.get("segment_len", 8 << 20))
+        self.overlap = int(options.get("overlap", 0))
+        if self.segment_len <= 0 or self.overlap < 0:
+            raise ValueError(
+                f"bad segment_len={self.segment_len} overlap={self.overlap}"
+            )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # driver-side: metadata only — paths, sizes, offsets.
+        parts: list[InputPartition] = []
+        for path in sorted(_glob.glob(self.path_glob)):
+            size = os.path.getsize(path)
+            if size == 0:
+                continue
+            for seg_idx, left in enumerate(range(0, size, self.segment_len)):
+                parts.append(
+                    _SegmentPartition(
+                        path=path,
+                        seg_idx=seg_idx,
+                        left=left,
+                        right=min(left + self.segment_len, size),
+                        blob_len=size,
+                        scan_start=max(left - self.overlap, 0),
+                    )
+                )
+        return parts
+
+    def read(self, partition: _SegmentPartition) -> Iterator:
+        # executor-side: range-read exactly this partition's slice.
+        # Emitted as ONE Arrow RecordBatch — PySpark ships it to the JVM
+        # zero-copy instead of pickling the payload through the row codec
+        # (measurably faster for multi-MB binary values).
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as f:
+            f.seek(partition.scan_start)
+            payload = f.read(partition.right - partition.scan_start)
+        yield pa.record_batch(
+            {
+                "path": [partition.path],
+                "seg_idx": pa.array([partition.seg_idx], type=pa.int64()),
+                "left": pa.array([partition.left], type=pa.int64()),
+                "right": pa.array([partition.right], type=pa.int64()),
+                "blob_len": pa.array([partition.blob_len], type=pa.int64()),
+                "scan_start": pa.array([partition.scan_start], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.binary()),
+            }
+        )
+
+
+class FileSegmentsDataSource(DataSource):
+    """``format("file_segments")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "file_segments"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _FileSegmentsReader(self.options)
+
+
+def register_file_segments(spark: SparkSession) -> None:
+    """Idempotent registration of the format with this session."""
+    spark.dataSource.register(FileSegmentsDataSource)
+
+
+def read_file_segments(
+    spark: SparkSession,
+    path_glob: str,
+    segment_len: int,
+    overlap: int,
+) -> DataFrame:
+    """format("file_segments") → the engine's standard segment table
+    (adds the JVM-side ``src_id`` fingerprint; column order matches
+    sources/segmented_files.py::SEGMENT_SCHEMA)."""
+    register_file_segments(spark)
+    raw = (
+        spark.read.format("file_segments")
+        .option("path", path_glob)
+        .option("segment_len", str(segment_len))
+        .option("overlap", str(overlap))
+        .load()
+    )
+    return raw.select(
+        F.xxhash64("path").alias("src_id"),
+        "seg_idx",
+        "left",
+        "right",
+        "blob_len",
+        "scan_start",
+        "payload",
+    )

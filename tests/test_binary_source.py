@@ -74,3 +74,29 @@ def test_range_read_path_equals_whole_blob_path(spark):
 def test_file_ranges_query_registered(spark):
     res = SPARK_QUERIES["file_ranges_ae_dedup_stats"](spark, SF_DIR).collect()
     assert len(res) == 1 and res[0]["total_bytes"] > 0
+
+
+def test_python_datasource_equals_range_read_path(spark):
+    """The custom DataSource route (format("file_segments")) must produce
+    byte-identical dedup stats to the mapInPandas range-read route — same
+    files, same segmentation, different source contract."""
+    a = SPARK_QUERIES["datasource_ae_dedup_stats"](spark, SF_DIR).collect()
+    b = SPARK_QUERIES["file_ranges_ae_dedup_stats"](spark, SF_DIR).collect()
+    assert len(a) == len(b) == 1
+    assert a[0].asDict() == b[0].asDict()
+
+
+def test_python_datasource_partition_granularity(spark):
+    """One InputPartition per (file, segment): the source parallelizes a
+    single big file without any shuffle."""
+    from cdc_algorithms_spark.sources.datasource import read_file_segments
+
+    segs = read_file_segments(
+        spark, f"{SF_DIR}/lineitem.parquet", segment_len=65536, overlap=0
+    )
+    import os
+
+    size = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
+    expected = (size + 65535) // 65536
+    assert segs.count() == expected
+    assert segs.rdd.getNumPartitions() == expected

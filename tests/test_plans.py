@@ -178,6 +178,7 @@ _PURE_JVM_QUERIES = [
     "q22_idle_rich_customers",
     "chunk_overlap_pairs_fixed",
     "part_metrics_unpivot",
+    "repetition_ratios",
 ]
 
 

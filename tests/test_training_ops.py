@@ -30,6 +30,7 @@ ORACLE_QUERIES = [
     "media_summary",
     "media_frame_counts",
     "chunk_overlap_pairs_fixed",
+    "repetition_ratios",
 ]
 
 
