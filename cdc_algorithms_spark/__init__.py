@@ -15,9 +15,10 @@ optimize; the chunkers themselves are the custom Arrow-vectorized UDF
 surface. No RDDs, no driver-side loops over data.
 """
 
+from cdc_algorithms_spark import api
 from cdc_algorithms_spark.session import get_spark
 from cdc_algorithms_spark.sources.registry import load_table, load_tables
 
-__all__ = ["get_spark", "load_table", "load_tables"]
+__all__ = ["api", "get_spark", "load_table", "load_tables"]
 
 __version__ = "0.1.0"

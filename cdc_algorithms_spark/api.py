@@ -1,0 +1,240 @@
+"""User-facing API facade — the engine's verbs in one namespace.
+
+The reference's user surface is ``Chunker::new(params)`` →
+``next_chunk`` / ``parallel_chunking`` (chunker.rs:25-29, ae.rs:55-92);
+this module is its Spark restatement plus the derived analytics a user
+of the reference runs around it. Everything returns a DataFrame (lazy,
+cluster-sized); nothing collects.
+
+    from cdc_algorithms_spark import api
+
+    chunks = api.chunk(docs, algo="fastcdc", expected_size=64, seed=1)
+    api.dedup_stats(chunks)                      # COEFF / AVG metrics row
+    api.chunk_files(spark, "/data/*.bin",        # 100 TB ingest shape
+                    algo="ae", expected_size=16384)
+    api.snapshot_diff(old_chunks, new_chunks)    # change detection
+    api.near_dup_pairs(docs, method="minhash")   # corpus dedup
+    api.topk_similar(embeddings, queries, k=10)  # ANN
+    api.quality(docs); api.tokens(docs)          # corpus filters
+
+Each verb is a thin delegation to the operator modules — importable
+individually; this namespace exists so a migrating user finds every
+capability in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_algorithms_spark.operators.chunking import cdc_chunks, fixed_chunks
+from cdc_algorithms_spark.operators.dedup import dedup_stats as _dedup_stats
+from cdc_algorithms_spark.operators.diff import change_ratio, snapshot_diff
+from cdc_algorithms_spark.operators.distributed import (
+    chunk_segments,
+    parallel_chunk_blob,
+)
+
+__all__ = [
+    "chunk",
+    "chunk_fixed",
+    "chunk_blob",
+    "chunk_files",
+    "dedup_stats",
+    "snapshot_diff",
+    "change_ratio",
+    "near_dup_pairs",
+    "dedup_groups",
+    "topk_similar",
+    "quality",
+    "tokens",
+    "language",
+    "repetition",
+    "fingerprints",
+    "stream_dedup_unique_chunks",
+]
+
+
+# --- chunking ---------------------------------------------------------------
+
+def chunk(
+    docs: DataFrame,
+    algo: str = "fastcdc",
+    expected_size: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunk table for per-row text/binary values.
+
+    ``algo`` ∈ {"ae", "rabin", "fastcdc"} with the reference's parameter
+    derivations (fastcdc.rs:62-74, rabin.rs:45-59, ae.rs:22-29). Returns
+    ``(src_id, algo, chunk_idx, offset, length, chunk_text)`` rows.
+    """
+    return cdc_chunks(
+        docs, algo, expected_size, seed=seed, id_col=id_col, text_col=text_col
+    )
+
+
+def chunk_fixed(
+    docs: DataFrame,
+    chunk_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size chunk table (fixed.rs:20-52) — pure SQL, no UDF."""
+    return fixed_chunks(docs, chunk_size, id_col=id_col, text_col=text_col)
+
+
+def chunk_blob(
+    blobs: DataFrame,
+    algo: str = "ae",
+    expected_size: int = 16384,
+    segment_len: int = 8 << 20,
+    seed: int = 0,
+) -> DataFrame:
+    """Segment-parallel chunking of in-memory blobs
+    ``(src_id, content, n)`` — the reference's ``parallel_chunking``
+    (ae.rs:55-92) with Spark partitioning in place of rayon."""
+    return parallel_chunk_blob(
+        blobs, algo, expected_size, segment_len=segment_len, seed=seed
+    )
+
+
+def chunk_files(
+    spark: SparkSession,
+    path_glob: str,
+    algo: str = "ae",
+    expected_size: int = 16384,
+    segment_len: int = 8 << 20,
+    seed: int = 0,
+    use_datasource: bool = False,
+) -> DataFrame:
+    """Chunk files by executor-side byte-range reads — no whole blob ever
+    materializes (the 100 TB replacement for ``read_file``,
+    chunker.rs:31-37). ``use_datasource`` routes through the custom
+    ``format("file_segments")`` Python DataSource instead of the
+    mapInPandas adapter; both produce identical chunk tables."""
+    from cdc_algorithms_spark.chunkers.params import make_params
+    from cdc_algorithms_spark.operators.distributed import _merge_spacing
+
+    overlap = _merge_spacing(make_params(algo, expected_size, seed))
+    if use_datasource:
+        from cdc_algorithms_spark.sources.datasource import read_file_segments
+
+        segs = read_file_segments(spark, path_glob, segment_len, overlap)
+    else:
+        from cdc_algorithms_spark.sources.segmented_files import (
+            segment_file_ranges,
+        )
+
+        segs = segment_file_ranges(spark, path_glob, segment_len, overlap)
+    return chunk_segments(segs, algo, expected_size, seed=seed)
+
+
+# --- dedup metrics & change detection --------------------------------------
+
+def dedup_stats(chunks: DataFrame, key_col: str = "chunk_text") -> DataFrame:
+    """The reference's output metrics (ae.rs:68-91): total/unique bytes,
+    chunk counts, dedup coefficient, both avg-chunk definitions (A3)."""
+    return _dedup_stats(chunks, key_col=key_col)
+
+
+# snapshot_diff / change_ratio re-exported as-is (operators/diff.py):
+# full-outer join on (src_id, chunk identity) → unchanged/deleted/
+# inserted status rows and per-source delta-sync change ratios.
+
+
+# --- corpus dedup / similarity ---------------------------------------------
+
+def near_dup_pairs(docs: DataFrame, method: str = "minhash", **kw) -> DataFrame:
+    """Near-duplicate document pairs.
+
+    method ∈ {"exact-jaccard", "minhash", "simhash", "embedding",
+    "chunks"} — see operators/dedup_docs.py for each algorithm's
+    scale notes. Returns (id_a, id_b, …score) rows.
+    """
+    from cdc_algorithms_spark.operators import dedup_docs as D
+
+    if method == "exact-jaccard":
+        return D.ngram_jaccard_pairs(docs, **kw)
+    if method == "minhash":
+        return D.minhash_lsh_pairs(docs, **kw)
+    if method == "simhash":
+        return D.simhash_pairs(docs, **kw)
+    if method == "embedding":
+        return D.embedding_near_dup_pairs(docs, **kw)
+    if method == "chunks":
+        algo = kw.pop("algo", "ae")
+        expected_size = kw.pop("expected_size", 320)
+        return D.chunk_overlap_pairs(cdc_chunks(docs, algo, expected_size), **kw)
+    raise ValueError(f"unknown near-dup method {method!r}")
+
+
+def dedup_groups(pairs: DataFrame, **kw) -> DataFrame:
+    """Transitive closure of a near-dup pair graph → (doc_id,
+    component_id) keep/drop groups (iterative min-label propagation)."""
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    return connected_components(pairs, **kw)
+
+
+def topk_similar(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, method: str = "brute",
+    **kw,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector. method ∈ {"brute",
+    "lsh", "ivf"} (operators/similarity.py)."""
+    from cdc_algorithms_spark.operators import similarity as S
+
+    if method == "brute":
+        return S.brute_force_topk(queries, corpus, k=k, **kw)
+    if method == "lsh":
+        return S.lsh_topk(queries, corpus, k=k, **kw)
+    if method == "ivf":
+        return S.ivf_topk(queries, corpus, k=k, **kw)
+    raise ValueError(f"unknown ANN method {method!r}")
+
+
+# --- text analysis ----------------------------------------------------------
+
+def quality(docs: DataFrame, **kw) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import quality_scores
+
+    return quality_scores(docs, **kw)
+
+
+def tokens(docs: DataFrame, **kw) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import token_counts
+
+    return token_counts(docs, **kw)
+
+
+def language(docs: DataFrame, **kw) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import language_id
+
+    return language_id(docs, **kw)
+
+
+def repetition(docs: DataFrame, **kw) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import repetition_ratios
+
+    return repetition_ratios(docs, **kw)
+
+
+def fingerprints(docs: DataFrame, **kw) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
+
+    return doc_fingerprints_fast(docs, **kw)
+
+
+# --- streaming --------------------------------------------------------------
+
+def stream_dedup_unique_chunks(docs_stream: DataFrame, **kw) -> DataFrame:
+    """Incremental chunk dedup over an unbounded document stream:
+    first-occurrence chunk feed (streaming twin of the dedup set,
+    streaming/dedup_stream.py::incremental_unique_chunks)."""
+    from cdc_algorithms_spark.streaming.dedup_stream import (
+        incremental_unique_chunks,
+    )
+
+    return incremental_unique_chunks(docs_stream, **kw)

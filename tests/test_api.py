@@ -1,0 +1,75 @@
+"""Facade smoke tests: every api.py verb delegates to a working operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark import api
+from cdc_algorithms_spark.sources.registry import load_table
+
+from tests.conftest import SF_DIR
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_and_dedup_stats(spark):
+    docs = load_table(spark, "documents", SF)
+    chunks = api.chunk(docs, algo="ae", expected_size=320)
+    stats = api.dedup_stats(chunks).collect()
+    assert len(stats) == 1 and stats[0].total_bytes > 0
+    fx = api.chunk_fixed(docs, 64)
+    assert {"src_id", "chunk_idx", "offset", "length"} <= set(fx.columns)
+
+
+def test_chunk_files_both_routes(spark):
+    a = api.dedup_stats(
+        api.chunk_files(spark, f"{SF}/nation.parquet", expected_size=4096,
+                        segment_len=65536),
+        key_col="hash",
+    ).collect()
+    b = api.dedup_stats(
+        api.chunk_files(spark, f"{SF}/nation.parquet", expected_size=4096,
+                        segment_len=65536, use_datasource=True),
+        key_col="hash",
+    ).collect()
+    assert a[0].asDict() == b[0].asDict()
+
+
+def test_snapshot_diff_verbs(spark):
+    docs = load_table(spark, "documents", SF)
+    old = api.chunk_fixed(docs, 64)
+    new = api.chunk_fixed(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit("!"))), 64
+    )
+    diff = api.snapshot_diff(old, new)
+    classes = {r.status for r in diff.select("status").distinct().collect()}
+    assert "unchanged" in classes and ("inserted" in classes or "deleted" in classes)
+    assert api.change_ratio(old, new).count() > 0
+
+
+@pytest.mark.parametrize("method", ["exact-jaccard", "minhash", "chunks"])
+def test_near_dup_methods(spark, method):
+    docs = load_table(spark, "documents", SF)
+    pairs = api.near_dup_pairs(docs, method=method, threshold=0.4)
+    cols = set(pairs.columns)
+    assert {"id_a", "id_b"} <= cols
+    pairs.count()  # executes
+
+
+def test_topk_similar(spark):
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = api.topk_similar(queries, emb, k=5).collect()
+    assert len(out) == 15
+
+
+def test_text_verbs(spark):
+    docs = load_table(spark, "documents", SF)
+    assert api.quality(docs).count() == docs.count()
+    assert api.tokens(docs).count() == docs.count()
+    assert api.language(docs).count() == docs.count()
+    assert api.repetition(docs).count() == 2 * docs.count()
+    assert api.fingerprints(docs).count() > 0
