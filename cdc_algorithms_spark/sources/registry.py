@@ -39,10 +39,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ in Spark 4;
+    # normalize to TIMESTAMP (session tz is UTC, so wall-clock values are
+    # preserved and match DuckDB's naive timestamps) so time functions like
+    # unix_micros work uniformly.
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
