@@ -84,14 +84,29 @@ def main() -> None:
     spark = get_spark("cdc-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    # Pre-warm the Python UDF workers (fork + numpy/pandas import per
+    # worker, ~10 s across 32 cores) so the first Arrow-UDF query isn't
+    # charged for interpreter startup the rest of the suite reuses.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(256, numPartitions=64).select(_warm(F.col("id"))).count()
+
     queries = [q for q in HEADLINE if q in SPARK_QUERIES]
     timings: dict[str, float] = {}
     for name in queries:
         fn = SPARK_QUERIES[name]
         fn(spark, sf_dir).count()  # warm-up: JIT, parquet footer cache
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: squeeze out GC / scheduler noise
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

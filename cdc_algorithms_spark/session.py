@@ -56,7 +56,11 @@ def get_spark(
         # reader rejects; read as long (ns since epoch) and convert on load
         # (sources/registry.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver JVM hosts all 32 executor threads; binary
+        # payload pipelines (segment tables, shuffle buffers) GC-thrash
+        # at 8g (measured +30% on payload-heavy bench queries). The box
+        # has 128 GiB; on a real cluster this maps to executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
