@@ -153,3 +153,39 @@ def test_fixed_cuts_basic():
     assert fixed_cuts(8, 4) == [3, 7]
     assert fixed_cuts(3, 4) == [2]
     assert fixed_cuts(0, 4) == []
+
+
+def test_fastcdc_crosscheck_published_package():
+    """Cross-implementation oracle, the tests.rs:13-27 idea: validate our
+    FastCDC against the published `fastcdc` PyPI package (the reference
+    validates against the published `fastcdc` crate, Cargo.toml:10, with
+    min/avg/max = n·256/n·1024/n·8192, tests.rs:15-20).
+
+    Different FastCDC implementations use different gear tables and mask
+    schedules, so cut positions are implementation-defined; what IS
+    comparable is the chunk-size *behavior* under the same (min, avg,
+    max) contract. Skips when the package isn't installed (this
+    container has no pip access).
+    """
+    fastcdc_pkg = pytest.importorskip("fastcdc")
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(1 << 20))
+    n = 4  # tests.rs:29-33 calls with n=4: min/avg/max = 1 KiB/4 KiB/32 KiB
+    min_size, avg_size, max_size = n * 256, n * 1024, n * 8192
+
+    theirs = [
+        c.length for c in fastcdc_pkg.fastcdc(data, min_size, avg_size, max_size)
+    ]
+    p = FastCdcParams.make(avg_size, seed=0)
+    cuts = fastcdc_cuts(data, p)
+    ours = [b - a for a, b in zip([-1] + cuts[:-1], cuts)]
+
+    # both honor the size contract (final chunk may undershoot min)
+    for lens, lo, hi in ((theirs, min_size, max_size), (ours, p.min_size, p.max_size)):
+        assert all(l <= hi for l in lens)
+        assert all(l >= lo for l in lens[:-1])
+    # and land in the same statistical regime around the expected size
+    import statistics
+
+    assert 0.3 < statistics.mean(ours) / statistics.mean(theirs) < 3.0
