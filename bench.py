@@ -52,6 +52,11 @@ HEADLINE = [
     "q7_volume_shipping",
     "q19_disjunctive_revenue",
     "q2_cheapest_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q21_waiting_supplier",
     # time series
     "events_hourly_locf",
     # change detection

@@ -15,7 +15,20 @@ queries don't cover:
 * q16 — count-distinct suppliers with an anti-joined exclusion list;
 * q19 — OR-of-ANDs disjunctive predicate spanning both join sides;
 * q2-style cheapest supplier per part (correlated min without partsupp);
-* q22 — scalar-average subquery + anti join (idle rich customers).
+* q22 — scalar-average subquery + anti join (idle rich customers);
+* q8  — national market share: fact-fact shuffle join under broadcast
+        dimension lineages on both customer and supplier sides;
+* q9  — product-type profit by supplier nation and year (cost restated
+        from p_retailprice — the reduced schema has no partsupp);
+* q11 — grouped value per part kept above a scalar-subquery fraction of
+        the global total (HAVING vs broadcast 1-row aggregate);
+* q12 — CASE-bucketed conditional counts (lateness restated as
+        shipdate > orderdate + 90d — no commit/receipt columns);
+* q13 — double aggregation with LEFT join (zero-order customers kept);
+* q20 — correlated-threshold semi-join chain (promo-part quantity per
+        supplier vs half the supplier average);
+* q21 — multi-correlated EXISTS/NOT-EXISTS collapsed to per-order
+        distinct counts (one orderkey shuffle, no correlated self-joins).
 
 Cross-engine float discipline (see queries_relational.py): revenue sums
 that *select* rows (q15's max, q2's min) are computed over
@@ -500,4 +513,379 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_acctbal"
             ),
         )
+    )
+
+
+# --- Q8: national market share ----------------------------------------------
+# Fact-fact shuffle join (lineitem ⋈ orders on orderkey) under broadcast
+# dimension lineages on both the customer side (region filter) and the
+# supplier side (share nation) — the classic q8 plan shape. The reduced
+# schema keeps every column q8 needs.
+
+_Q8_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                      ELSE 0 END)
+             / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))),
+             6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    dvol = vol.cast("decimal(18,6)")
+    return (
+        df.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", dvol).otherwise(0))
+                / F.sum(dvol),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# --- Q9: product-type profit (analog) ---------------------------------------
+# TPC-H q9 prices cost from partsupp, which the reduced schema omits; the
+# analog keeps the identical plan (part-name filter fanned into the fact
+# scan, supplier-nation lineage, year grouping) with cost restated from
+# the part's retail price.
+
+_Q9_ORACLE = """
+SELECT ns.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))),
+             2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    supp_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_name").like("%gear%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+# --- Q11: important stock (analog) ------------------------------------------
+# q11's partsupp inventory value is restated over shipped lines of two
+# nations' suppliers; the load-bearing shape survives: grouped value per
+# part, kept only above a scalar-subquery fraction of the global total
+# (a HAVING against a broadcast 1-row aggregate).
+
+_Q11_ORACLE = """
+WITH natline AS (
+    SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,6)) AS val
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey IN (0, 1)
+)
+SELECT l_partkey AS partkey, ROUND(SUM(val), 2) AS part_value
+FROM natline
+GROUP BY partkey
+HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM natline)
+"""
+
+
+@register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    natline = li.join(
+        F.broadcast(
+            s.where(F.col("s_nationkey").isin(0, 1)).select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("val")
+    )
+    per_part = natline.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("val").alias("value")
+    )
+    # scalar threshold from the SAME grouped result (sum of sums), so the
+    # source scan runs once and the 1-row threshold broadcasts.
+    threshold = per_part.agg((F.sum("value") * 0.001).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .where(F.col("value") > F.col("cutoff"))
+        .select("partkey", F.round(F.col("value"), 2).alias("part_value"))
+    )
+
+
+# --- Q12: late-shipment priority counts (analog) ----------------------------
+# q12's ship-mode/commit/receipt columns are absent; lateness is restated
+# as l_shipdate > o_orderdate + 90 days, keeping q12's signature shape:
+# CASE-bucketed conditional counts over a fact-fact join.
+
+_Q12_ORACLE = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_bucket
+"""
+
+
+@register("q12_late_priority", _Q12_ORACLE)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    df = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    return df.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+# --- Q13: customer order-count distribution ---------------------------------
+# Double aggregation with a LEFT join so zero-order customers survive
+# into the c_count=0 bucket — the q13 shape on available columns
+# (priority filter stands in for the comment NOT LIKE).
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_order_distribution", _Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c_orders = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            c.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# --- Q20: potential promotion suppliers (analog) ----------------------------
+# q20's partsupp availability threshold is restated as "shipped more
+# promo-part quantity in 1996 than half the average supplier" — the
+# correlated-threshold semi-join chain survives (part filter → fact
+# aggregate per supplier → scalar threshold → supplier names).
+
+_Q20_ORACLE = """
+WITH promo_qty AS (
+    SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_name AS supplier, ROUND(pq.qty, 2) AS promo_qty
+FROM promo_qty pq
+JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+WHERE pq.qty > (SELECT 0.5 * AVG(qty) FROM promo_qty)
+"""
+
+
+@register("q20_promo_suppliers", _Q20_ORACLE)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    promo_qty = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.where(F.col("p_type") == "PROMO").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = promo_qty.agg((0.5 * F.avg("qty")).alias("cutoff"))
+    return (
+        promo_qty.join(F.broadcast(threshold))
+        .where(F.col("qty") > F.col("cutoff"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.round(F.col("qty"), 2).alias("promo_qty"),
+        )
+    )
+
+
+# --- Q21: waiting supplier (analog) -----------------------------------------
+# q21's commit/receipt lateness is restated as l_shipdate > o_orderdate +
+# 60 days. The multi-correlated EXISTS / NOT-EXISTS pair ("another
+# supplier shares the order; no OTHER supplier is late") collapses into
+# per-order distinct counts — one shuffle on orderkey instead of two
+# correlated self-joins — then a per-supplier count of sole-late orders.
+
+_Q21_ORACLE = """
+WITH lines AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM lines
+    GROUP BY l_orderkey
+)
+SELECT s.s_name AS supplier, CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS numwait
+FROM lines li
+JOIN per_order po ON li.l_orderkey = po.l_orderkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+WHERE li.late AND po.n_supp >= 2 AND po.n_late_supp = 1
+GROUP BY supplier
+"""
+
+
+@register("q21_waiting_supplier", _Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    lines = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lines.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_name").alias("supplier"), "numwait")
     )

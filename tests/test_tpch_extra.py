@@ -17,6 +17,13 @@ TPCH_EXTRA = [
     "q19_disjunctive_revenue",
     "q2_cheapest_supplier",
     "q22_idle_rich_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
 ]
 
 
