@@ -230,3 +230,34 @@ def test_no_stray_python_in_jvm_queries(spark):
         if P.python_eval_count(df) != 0:
             offenders.append(name)
     assert not offenders, f"Python eval leaked into JVM-only plans: {offenders}"
+
+
+def test_q8_dual_broadcast_lineages_fact_shuffle_join(spark):
+    """q8: part/customer-region/supplier-nation lineages broadcast; the
+    only shuffles belong to the lineitem⋈orders fact join + final agg."""
+    df = _q(spark, "q8_market_share")
+    assert P.broadcast_join_count(df) >= 3
+    assert P.python_eval_count(df) == 0
+    # fact-fact join (2 sides) + aggregate; broadcasts add none
+    assert P.exchange_count(df) <= 3
+
+
+def test_q11_threshold_broadcast_no_extra_scan(spark):
+    """q11: the scalar cutoff must come back as a broadcast 1-row join,
+    and the lineitem scan must prune to the 3 needed columns."""
+    df = _q(spark, "q11_important_stock")
+    assert P.broadcast_join_count(df) >= 2  # supplier dim + threshold row
+    for cols in P.read_schema_columns(df):
+        assert len(cols) <= 3, f"scan reads {cols}"
+    assert P.python_eval_count(df) == 0
+
+
+def test_q21_single_orderkey_shuffle_for_exists_pair(spark):
+    """q21: the EXISTS/NOT-EXISTS pair costs one orderkey shuffle (reused
+    by the per-order aggregate and the late-line join) — no correlated
+    self-join blowup, supplier broadcast on top."""
+    df = _q(spark, "q21_waiting_supplier")
+    assert P.broadcast_join_count(df) >= 1
+    assert P.python_eval_count(df) == 0
+    # orders⋈lineitem join, orderkey agg reuse, supplier agg — bounded
+    assert P.exchange_count(df) <= 5
