@@ -872,20 +872,26 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Two multi-distinct aggregates on one groupBy would compile to an
+    # Expand (doubling every fact row before the shuffle). Collapsing to
+    # per-(order, supplier) first makes both "distinct" counts plain
+    # counts, the (orderkey, suppkey) grouping pre-partitions the later
+    # orderkey and suppkey aggregations, and the late-line re-join
+    # disappears: the sole late supplier IS the per-supplier row with
+    # any_late once the order qualifies.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
     )
-    sole_late = (
-        lines.where(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    w = Window.partitionBy("l_orderkey")
+    qualified = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late_supp", F.sum(F.col("any_late").cast("int")).over(w)
+    )
+    sole_late = qualified.where(
+        F.col("any_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         sole_late.groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(F.col("s_name").alias("supplier"), "numwait")
     )
