@@ -9,15 +9,22 @@ warm-up, with a deterministic seam rule. Here that becomes a three-phase
 DataFrame pipeline — the 100 TB shape: no single node ever holds a whole
 blob, only ``segment_len + overlap`` slices.
 
-Phase A — segment scan + local hashing (``mapInPandas``): each segment
-row carries ``payload = blob[left-overlap .. right)``; the numpy scanner
+Phase A — ONE pass over payloads (``mapInPandas``): each segment row
+carries ``payload = blob[left-overlap .. right)``; the numpy scanner
 emits cut positions, trimmed to the segment's owned range ``[left,
 right)`` so every cut is emitted exactly once (the reference instead
 re-emits warm-up cuts and relies on the merge to drop them,
-ae.rs:36-47). The task also fingerprints every chunk whose span the
-seam merge cannot change — consecutive cuts from one scan are ≥ the
-merge spacing apart, so only a segment's first two owned cuts are
-merge-uncertain — and ships 24 bytes per chunk instead of content.
+ae.rs:36-47). The task fingerprints every chunk whose span the seam
+merge cannot change — consecutive cuts from one scan are ≥ the merge
+spacing apart, so only a segment's first two owned cuts are
+merge-uncertain — shipping 24 bytes per chunk instead of content, and
+additionally ships the raw bytes of the few merge-uncertain spans
+(head up to the 2nd owned cut, tail after the last owned cut — ~1% of
+the corpus) as ``piece`` rows, plus the blob-final sentinel boundary
+from the task owning the last segment. Only this mixed output is
+persisted; the corpus itself is read exactly once and never cached (an
+earlier design persisted the whole segment table — a corpus-sized
+cache/spill that dominated at scale AND locally).
 
 Phase B — seam merge (``applyInPandas`` per blob): the reference's
 sequential accept rule — keep a cut only if it is ≥ ``spacing`` bytes
@@ -29,13 +36,14 @@ silently lose tail bytes from its metrics; we deviate for byte
 conservation, which the oracle concat checks require).
 
 Phase C — seam-chunk reassembly, for the few spans the merge
-invalidated (~2 per seam + the final chunk): those range-join back to
-the covering segments, pieces are sliced with ``substring`` on binary,
+invalidated (~2 per seam + the final chunk): those range-join against
+the Phase-A piece rows, pieces are sliced with ``substring`` on binary,
 reassembled with ``array_sort`` + ``aggregate``/``concat``, and
 fingerprinted with the same blake2b-64 family as Phase A. Chunk CONTENT
-therefore never shuffles — at 100 TB the dominant cost of the naive
-design (reassemble every chunk through a payload join) is a second
-full-corpus shuffle, and this pipeline ships only cuts and hashes.
+therefore never shuffles and the source is never re-read — at 100 TB
+the dominant costs of the naive design (a second full-corpus shuffle, a
+corpus-sized cache) both disappear; this pipeline ships cuts, hashes,
+and ~1% of payload bytes.
 
 Not replicated: the rabin.rs:101 segment-bound bug (right bound fixed at
 ``len/T``) and the O(T·n) per-thread buffer clone at rabin.rs:99.
@@ -207,52 +215,68 @@ def chunk_segments(
     bound_fn = _BOUND_FNS[algo]
     label = f"parallel_{algo}{expected_size}"
 
-    # Persisted: the segment table feeds BOTH the cut scan (Phase A) and
-    # the content hashing range-join (Phase C); without it each phase
-    # re-reads the source and re-slices every blob. MEMORY_AND_DISK —
-    # at scale this spills to executor-local disk, which still beats two
-    # full source scans.
-    from pyspark.storagelevel import StorageLevel
-
-    segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the cache EAGERLY: three independent subtrees (cut
-    # scan, sentinel aggregate, payload join) reference it, and Spark
-    # launches their query stages concurrently — concurrent tasks that
-    # each find a partition uncached recompute it redundantly (the cache
-    # fill doesn't dedupe in-flight work). One cheap count turns "every
-    # consumer recomputes the source" into "build once, read thrice":
-    # 2.5x end-to-end on a 256 MiB synthetic blob.
-    segments.count()
-
-    # --- Phase A: per-segment scan + local hashing ------------------------
-    # The scan task already holds the payload, so it hashes every chunk
-    # whose span the seam merge cannot change, and ships ONLY (cut,
-    # prev_cut, hash) — 24 bytes a chunk. Chunk CONTENT never shuffles;
-    # at 100 TB the alternative (reassembling every chunk through a
-    # payload join) re-shuffles the entire corpus once.
+    # --- Phase A: ONE pass over payloads --------------------------------
+    # Earlier design: persist the whole segment table (corpus-sized
+    # MEMORY_AND_DISK cache) because three subtrees re-read payloads.
+    # At 100 TB that cache IS the bottleneck (a second full-corpus
+    # write/read); locally it was ~40% of pipeline wall + GC churn.
+    # Now the scan task emits everything downstream phases need in one
+    # pass, and the corpus is read exactly once:
     #
-    # Which chunks are locally certain: consecutive cuts from one scan
-    # are >= spacing apart by construction (AE: > window; Rabin/FastCDC:
-    # >= min_size), so the merge's accept rule can reject at most a
-    # segment's FIRST owned cut (too close to the previous segment's
-    # last accepted cut); the second owned cut is then always accepted.
-    # Hence every chunk bounded by owned cuts j-1, j with j >= 2 is
-    # final exactly as scanned. Phase B re-checks the assumption anyway:
-    # a local hash is used only if the merged predecessor equals the
-    # locally assumed one, so correctness never rests on this argument.
+    #   kind=0  cut rows    — (cut, prev_cut, hash): 24 B per chunk, the
+    #                         scan-local fingerprints of merge-certain
+    #                         chunks (see below);
+    #   kind=1  piece rows  — the raw bytes of the few spans the seam
+    #                         merge COULD reassign (a segment's head up
+    #                         to its 2nd owned cut, its tail after the
+    #                         last owned cut; the whole segment when it
+    #                         owns <2 cuts) — ~2·expected_size per
+    #                         segment ≈ 1% of the corpus at the default
+    #                         geometry.
+    #
+    # Only this mixed output (cuts + ~1% payload bytes) is persisted; at
+    # scale that's a ~1%-of-corpus cache instead of 100%.
+    #
+    # Which chunks are merge-certain: consecutive cuts from one scan are
+    # >= the merge spacing apart by construction, so the accept rule can
+    # reject at most a segment's FIRST owned cut; the second owned cut
+    # is then always accepted. Hence every chunk bounded by owned cuts
+    # j-1, j with j >= 2 is final exactly as scanned, and its hash ships
+    # as data. Chunks ending at owned cuts 0/1 and the blob-final chunk
+    # are rebuilt in Phase C from piece rows. Phase B re-checks the
+    # assumption anyway: a local hash is used only if the merged
+    # predecessor equals the locally assumed one.
+    #
+    # The blob-final sentinel boundary (blob_len - 1) is emitted by the
+    # task that owns the blob's last segment (right == blob_len), so no
+    # separate aggregate over the source is needed.
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             src_ids: list[int] = []
-            cut_pos: list[int] = []
+            kinds: list[int] = []
+            a_vals: list[int] = []
+            b_vals: list[int] = []
             blob_lens: list[int] = []
-            prev_cuts: list[int] = []
-            hashes: list[object] = []
+            hashes: list[int] = []
+            pieces: list[object] = []
+
+            def emit(sid, kind, a, b, blob_len, h, piece):
+                src_ids.append(sid)
+                kinds.append(kind)
+                a_vals.append(a)
+                b_vals.append(b)
+                blob_lens.append(blob_len)
+                hashes.append(h)
+                pieces.append(piece)
+
             for sid, left, right, scan_start, payload, blob_len in zip(
                 pdf["src_id"], pdf["left"], pdf["right"],
                 pdf["scan_start"], pdf["payload"], pdf["blob_len"],
             ):
+                sid, left, right = int(sid), int(left), int(right)
+                scan_start, blob_len = int(scan_start), int(blob_len)
                 view = memoryview(payload)
                 owned: list[int] = []  # relative cut positions in owned range
                 for rel in bound_fn(payload, params):
@@ -260,44 +284,71 @@ def chunk_segments(
                     if left <= cut < right:  # owned range: exactly-once emission
                         owned.append(rel)
                 for j, rel in enumerate(owned):
-                    src_ids.append(sid)
-                    cut_pos.append(scan_start + rel)
-                    blob_lens.append(blob_len)
                     if j >= 2:
                         prev_rel = owned[j - 1]
-                        prev_cuts.append(scan_start + prev_rel)
-                        hashes.append(_h64(view[prev_rel + 1 : rel + 1]))
+                        emit(
+                            sid, 0, scan_start + rel, scan_start + prev_rel,
+                            blob_len, _h64(view[prev_rel + 1 : rel + 1]), None,
+                        )
                     else:
                         # "no local hash" is a (prev_cut=-2, hash=0) pair,
                         # NOT a null: a nullable long crosses Arrow into
                         # applyInPandas as float64 and silently truncates
                         # hash low bits
-                        prev_cuts.append(-2)
-                        hashes.append(0)
+                        emit(sid, 0, scan_start + rel, -2, blob_len, 0, None)
+                if right == blob_len:
+                    # blob-final sentinel; merge dedups if the last owned
+                    # cut already sits at blob_len - 1
+                    emit(sid, 0, blob_len - 1, -2, blob_len, 0, None)
+                # piece rows: bytes the seam merge could reassign
+                if len(owned) >= 2:
+                    head_to = scan_start + owned[1] + 1
+                    emit(
+                        sid, 1, left, head_to, blob_len, 0,
+                        view[left - scan_start : head_to - scan_start].tobytes(),
+                    )
+                    tail_from = scan_start + owned[-1] + 1
+                    if tail_from < right:
+                        emit(
+                            sid, 1, tail_from, right, blob_len, 0,
+                            view[tail_from - scan_start : right - scan_start].tobytes(),
+                        )
+                else:
+                    emit(
+                        sid, 1, left, right, blob_len, 0,
+                        view[left - scan_start : right - scan_start].tobytes(),
+                    )
             yield pd.DataFrame(
                 {
                     "src_id": pd.Series(src_ids, dtype="int64"),
-                    "cut": pd.Series(cut_pos, dtype="int64"),
+                    "kind": pd.Series(kinds, dtype="int32"),
+                    "a": pd.Series(a_vals, dtype="int64"),
+                    "b": pd.Series(b_vals, dtype="int64"),
                     "blob_len": pd.Series(blob_lens, dtype="int64"),
-                    "prev_cut": pd.Series(prev_cuts, dtype="int64"),
                     "hash": pd.Series(hashes, dtype="int64"),
+                    "piece": pd.Series(pieces, dtype="object"),
                 }
             )
 
-    cuts = segments.mapInPandas(
-        scan, "src_id long, cut long, blob_len long, prev_cut long, hash long"
-    )
+    from pyspark.storagelevel import StorageLevel
 
-    # Sentinel per blob: the final boundary always exists, even for blobs
-    # whose scan found no cuts at all. Derived from the persisted segment
-    # table (blob_len is constant per blob) so the source isn't re-read.
-    sentinels = segments.groupBy("src_id").agg(
-        (F.max("blob_len") - 1).cast("long").alias("cut"),
-        F.max("blob_len").cast("long").alias("blob_len"),
-        F.lit(-2).cast("long").alias("prev_cut"),
-        F.lit(0).cast("long").alias("hash"),
+    scanned = segments.mapInPandas(
+        scan,
+        "src_id long, kind int, a long, b long, blob_len long, "
+        "hash long, piece binary",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize EAGERLY: two subtrees (cuts → merge; pieces → Phase C)
+    # read this, and concurrent query stages that find a partition
+    # uncached recompute the whole scan redundantly.
+    scanned.count()
+
+    all_cuts = scanned.where(F.col("kind") == 0).select(
+        "src_id",
+        F.col("a").alias("cut"),
+        "blob_len",
+        F.col("b").alias("prev_cut"),
+        "hash",
     )
-    all_cuts = cuts.unionByName(sentinels)
 
     # --- Phase B: sequential seam merge per blob --------------------------
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -343,11 +394,9 @@ def chunk_segments(
     # --- Phase C: seam-chunk reassembly (the rare path) -------------------
     # Only spans whose local hash was invalidated by the merge (first
     # chunk of the blob, ~2 per segment seam, the final chunk) are
-    # rebuilt from payloads. The span side is tiny, so it broadcasts and
-    # the payload side streams from cache — payloads are never shuffled
-    # OR broadcast. (If seam spans ever outgrew broadcast — millions of
-    # segments in one blob — swap to a shuffle join on (src_id, seg_idx);
-    # the payload-side shape is unchanged.)
+    # rebuilt — from the piece rows the scan shipped, NOT by re-reading
+    # the source. The span side is tiny, so it broadcasts and the piece
+    # side streams from the (1%-sized) cache.
     done = spans.where(F.col("hash").isNotNull()).select(
         "src_id",
         F.lit(label).alias("algo"),
@@ -356,50 +405,38 @@ def chunk_segments(
         "length",
         "hash",
     )
-    seg_index = segments.select(
-        F.col("src_id").alias("s_src_id"), "seg_idx", "left", "right", "scan_start"
+    piece_tbl = scanned.where(F.col("kind") == 1).select(
+        F.col("src_id").alias("p_src_id"),
+        F.col("a").alias("p_from"),
+        F.col("b").alias("p_to"),
+        "piece",
     )
     end = F.col("offset") + F.col("length") - 1
     fallback = spans.where(F.col("hash").isNull()).drop("hash")
-    span_segs = fallback.join(
-        F.broadcast(seg_index),
+    sliced = piece_tbl.join(
+        F.broadcast(fallback),
         on=[
-            fallback["src_id"] == seg_index["s_src_id"],
-            seg_index["left"] <= end,
-            seg_index["right"] > F.col("offset"),
-        ],
-    ).select(
-        "src_id", "chunk_idx", "offset", "length",
-        "seg_idx", "left", "right", "scan_start",
-    )
-    payloads = segments.select(
-        F.col("src_id").alias("p_src_id"),
-        F.col("seg_idx").alias("p_seg_idx"),
-        "payload",
-    )
-    pieces = payloads.join(
-        F.broadcast(span_segs),
-        on=[
-            F.col("src_id") == F.col("p_src_id"),
-            F.col("seg_idx") == F.col("p_seg_idx"),
+            F.col("p_src_id") == F.col("src_id"),
+            F.col("p_from") <= end,
+            F.col("p_to") > F.col("offset"),
         ],
     ).select(
         "src_id",
         "chunk_idx",
         "offset",
         "length",
-        "left",
+        "p_from",
         F.expr(
-            "substring(payload, greatest(offset, left) - scan_start + 1, "
-            "least(offset + length, right) - greatest(offset, left))"
+            "substring(piece, greatest(offset, p_from) - p_from + 1, "
+            "least(offset + length, p_to) - greatest(offset, p_from))"
         ).alias("piece"),
     )
     rebuilt = (
-        pieces.groupBy("src_id", "chunk_idx", "offset", "length")
+        sliced.groupBy("src_id", "chunk_idx", "offset", "length")
         .agg(
             _h64_udf(
                 F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("left", "piece"))),
+                    F.array_sort(F.collect_list(F.struct("p_from", "piece"))),
                     F.lit(b""),
                     lambda acc, x: F.concat(acc, x["piece"]),
                 )
