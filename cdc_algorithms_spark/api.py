@@ -195,6 +195,15 @@ def topk_similar(
     raise ValueError(f"unknown ANN method {method!r}")
 
 
+def clusters(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
+    """Semantic k-means grouping of an embedding corpus →
+    (cluster, n_members, avg_sq_dist). The curation-side companion of
+    topk_similar's IVF index (operators/similarity.py)."""
+    from cdc_algorithms_spark.operators.similarity import embedding_clusters
+
+    return embedding_clusters(corpus, k=k, dim=dim, **kw)
+
+
 # --- text analysis ----------------------------------------------------------
 
 def quality(docs: DataFrame, **kw) -> DataFrame:

@@ -259,3 +259,38 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def embedding_clusters(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic grouping of an embedding corpus: k-means cells as a
+    first-class result (cluster id, member count, mean squared distance
+    to the centroid).
+
+    This is the curation-side use of the same Lloyd machinery IVF uses
+    for search: clusters drive semantic dedup (drop near-identical
+    cells), stratified corpus sampling, and topic balance checks. The
+    per-row work is a codegen'd nearest-cell expression over a broadcast
+    k·dim literal matrix — no Python in the assignment path, one
+    aggregate shuffle for the stats.
+    """
+    cents = kmeans_centroids(corpus, k, dim, iters, corpus_id, vec_col, seed)
+    dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in cents])
+    return (
+        corpus.select(
+            _nearest_cell(F.col(vec_col), cents).alias("cluster"),
+            F.array_min(dists).alias("sq_dist"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+    )

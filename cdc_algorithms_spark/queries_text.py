@@ -196,6 +196,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=ANN_K, dim=64, nlist=16, nprobe=4)
 
 
+@register("embedding_clusters")
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic k-means grouping of the embedding corpus (rows-only
+    driver check — Lloyd iterations aren't SQL-expressible; membership
+    conservation and inertia invariants are asserted in
+    tests/test_training_ops.py)."""
+    from cdc_algorithms_spark.operators.similarity import embedding_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_clusters(emb, k=8, dim=64, iters=3)
+
+
 # --- Text analysis ---------------------------------------------------------
 
 # lang marker hits: flat per-language aggregate, mirrored with list_filter

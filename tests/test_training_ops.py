@@ -286,3 +286,23 @@ def test_resize_media_contract(spark, sf_dir):
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             resize_media(media, 32, 8, strict=True)
+
+
+def test_embedding_clusters_invariants(spark):
+    """k-means cells: membership conserved, distances nonnegative, and
+    more Lloyd iterations never increase total inertia on this corpus."""
+    from cdc_algorithms_spark.operators.similarity import embedding_clusters
+    from cdc_algorithms_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    total = emb.count()
+    res = embedding_clusters(emb, k=8, dim=64, iters=3).collect()
+    assert 1 <= len(res) <= 8
+    assert sum(r["n_members"] for r in res) == total
+    assert all(r["avg_sq_dist"] >= 0 for r in res)
+
+    def inertia(iters):
+        rows = embedding_clusters(emb, k=8, dim=64, iters=iters).collect()
+        return sum(r["n_members"] * r["avg_sq_dist"] for r in rows)
+
+    assert inertia(3) <= inertia(0) + 1e-6
