@@ -143,3 +143,67 @@ def streaming_sync_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --- streaming novel-chunk detection vs a static baseline -------------------
+# Incremental corpus ingest: new documents stream in, each micro-batch's
+# chunks are anti-joined against the baseline corpus's (static,
+# broadcast) chunk set, and the running novel-content tally converges to
+# the batch set difference. This is delta-ingest change detection — the
+# streaming face of snapshot_diff — and fully oracle-checkable because
+# the join key is the chunk text itself (fixed chunking is pure SQL).
+# At scale the static side is a bucketed chunk-store table (sinks.py)
+# instead of a broadcast; the stream side is unchanged.
+
+_NOVEL_SIZE = 64
+
+_NOVEL_ORACLE = f"""
+WITH base AS (
+  SELECT DISTINCT substring(d.text, CAST(u.off + 1 AS INT), {_NOVEL_SIZE}) AS chunk_text
+  FROM documents d, UNNEST(range(0, d.n_chars, {_NOVEL_SIZE})) AS u(off)
+  WHERE d.doc_id % 2 = 0
+),
+novel AS (
+  SELECT d.lang,
+         substring(d.text, CAST(u.off + 1 AS INT), {_NOVEL_SIZE}) AS chunk_text,
+         CAST(LEAST({_NOVEL_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM documents d, UNNEST(range(0, d.n_chars, {_NOVEL_SIZE})) AS u(off)
+  WHERE d.doc_id % 2 = 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_novel_chunks,
+       CAST(SUM(length) AS BIGINT) AS novel_bytes
+FROM novel
+WHERE chunk_text NOT IN (SELECT chunk_text FROM base)
+GROUP BY lang
+"""
+
+
+@register("streaming_novel_chunks_by_lang", _NOVEL_ORACLE)
+def streaming_novel_chunks_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.streaming import run_staged_stream
+
+    docs = load_table(spark, "documents", sf_dir)
+    baseline = (
+        fixed_chunks(docs.where(F.col("doc_id") % 2 == 0), _NOVEL_SIZE)
+        .select("chunk_text")
+        .distinct()
+    )
+    lang_map = docs.select(F.col("doc_id").cast("long").alias("m_id"), "lang")
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    stages = [incoming.where(F.col("doc_id") % 6 == 2 * i + 1) for i in range(3)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        chunks = fixed_chunks(stream, _NOVEL_SIZE)
+        novel = chunks.join(F.broadcast(baseline), "chunk_text", "left_anti")
+        return (
+            novel.join(F.broadcast(lang_map), novel.src_id == F.col("m_id"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_novel_chunks"),
+                F.sum("length").cast("long").alias("novel_bytes"),
+            )
+        )
+
+    return run_staged_stream(spark, stages, build, output_mode="complete")

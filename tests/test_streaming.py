@@ -268,3 +268,10 @@ def test_update_mode_matches_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_event_counts_update_mode", SF_DIR)
+
+
+def test_streaming_novel_chunks_vs_duckdb(spark):
+    """Streamed delta-ingest novel-chunk tally == DuckDB set difference."""
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_novel_chunks_by_lang", SF_DIR)
