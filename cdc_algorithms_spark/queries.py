@@ -137,6 +137,23 @@ for _name, _conf in CDC_CONFIGS.items():
     _register_cdc(_name, _conf)
 
 
+@register("dedup_stats_all_algos")
+def q_dedup_stats_all_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head chunker comparison: one dedup-metrics row per
+    algorithm (fixed + the three CDC chunkers) over the same corpus —
+    the experiment the reference runs by hand, one algorithm per binary
+    invocation (main.rs:16-24), as a single DataFrame. Each pipeline is
+    an independent scan branch, so Spark runs the four in parallel;
+    rows-only driver check (CDC cuts aren't SQL-expressible; each
+    branch's own *_dedup_stats / concat invariants are checked
+    separately)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup_stats(fixed_chunks(docs, FIXED_SIZE))
+    for conf in CDC_CONFIGS.values():
+        out = out.unionByName(dedup_stats(cdc_chunks(docs, **conf)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Chunk-size distribution + approximate dedup (SURVEY.md §7 M2, §2.5)
 # ---------------------------------------------------------------------------

@@ -73,3 +73,19 @@ def test_spark_matches_local_cuts(spark, sf_dir):
 @pytest.mark.parametrize("name", ALGOS)
 def test_concat_check_oracle(spark, name):
     compare_with_oracle(spark, f"{name}_concat_check", "/root/testdata/sf0.001")
+
+
+def test_all_algos_comparison_consistent(spark):
+    """One row per algorithm; every branch accounts for the same corpus
+    bytes (FIXTURES.md invariant 1 across algorithms at once)."""
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["dedup_stats_all_algos"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4
+    assert len({r["algo"] for r in rows}) == 4
+    assert len({r["total_bytes"] for r in rows}) == 1  # same corpus everywhere
+    for r in rows:
+        assert 0 < r["dedup_coeff"] <= 1.0
+        assert r["n_unique"] <= r["n_chunks"]
