@@ -49,8 +49,11 @@ def fixed_chunks(
     if chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
     n = F.length(F.col(text_col))
+    # empty text yields no chunks (FixedChunker returns Finished on an
+    # exhausted input, fixed.rs:29-37); without the guard ANSI mode
+    # rejects sequence(0, -1).
     return (
-        docs.select(
+        docs.where(n > 0).select(
             F.col(id_col).cast("long").alias("src_id"),
             F.col(text_col),
             F.posexplode(
