@@ -45,6 +45,8 @@ __all__ = [
     "near_dup_pairs",
     "dedup_groups",
     "topk_similar",
+    "clusters",
+    "profile",
     "quality",
     "tokens",
     "language",
@@ -202,6 +204,14 @@ def clusters(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.similarity import embedding_clusters
 
     return embedding_clusters(corpus, k=k, dim=dim, **kw)
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, **kw) -> DataFrame:
+    """Single-pass per-column data-quality summary (operators/profile.py):
+    null counts, distinct cardinality (approx by default), min/max."""
+    from cdc_algorithms_spark.operators.profile import profile_table
+
+    return profile_table(df, columns, **kw)
 
 
 # --- text analysis ----------------------------------------------------------

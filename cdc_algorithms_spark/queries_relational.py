@@ -691,3 +691,50 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- table profiling (operators/profile.py) ---------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+_PROFILE_ORACLE = """
+WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT u.column, s.n_rows, u.n_nulls, u.n_distinct, u.min_value, u.max_value
+FROM s CROSS JOIN (
+  SELECT 'o_orderkey' AS column,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+         CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+  FROM orders
+) u
+"""
+
+
+@register("profile_orders", _PROFILE_ORACLE)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the orders table (exact mode
+    for oracle parity; the scale default is approx_count_distinct)."""
+    from cdc_algorithms_spark.operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, "orders", sf_dir), _PROFILE_COLS, exact=True
+    )

@@ -51,3 +51,20 @@ def test_events_hourly_locf_matches_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "events_hourly_locf", SF_DIR)
+
+
+def test_profile_orders_oracle(spark):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "profile_orders", "/root/testdata/sf0.001")
+
+
+def test_profile_approx_mode_no_expand(spark):
+    """Scale mode: approx sketches keep the plan Expand-free."""
+    from cdc_algorithms_spark.operators.profile import profile_table
+    from cdc_algorithms_spark.sources.registry import load_table
+    from cdc_algorithms_spark import plans as P
+
+    df = profile_table(load_table(spark, "orders", "/root/testdata/sf0.001"))
+    assert "Expand" not in P.physical_plan(df, "simple")
+    assert df.count() == 6  # all orders columns
