@@ -488,10 +488,17 @@ def connected_components(
     no data — only the converged/changed counter — and lineage is cut
     with localCheckpoint each round so plans stay flat at scale.
     """
+    # Partitioned by the join key BEFORE persisting: every round joins
+    # edges on src, so the cached layout already satisfies the join's
+    # distribution and only the (tiny) labels side shuffles per round —
+    # the edge table, the big side at scale, shuffles zero times in the
+    # loop. (distinct() hash-partitions on (src, dst); one extra
+    # repartition here buys shuffle-free iterations.)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("src")
         .persist()
     )
     labels = (
