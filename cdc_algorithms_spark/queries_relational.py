@@ -738,3 +738,41 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         load_table(spark, "orders", sf_dir), _PROFILE_COLS, exact=True
     )
+
+
+# --- VARIANT-typed semi-structured path (Spark 4) ---------------------------
+# events_json_stats re-parses the JSON string per extraction
+# (get_json_object); the VARIANT path parses ONCE into Spark 4's binary
+# semi-structured encoding and every subsequent extraction is a cheap
+# typed path read — the scale posture for JSON-heavy event streams
+# (parse cost amortized across extractions, and variant columns are
+# shredded/prunable in storage).
+
+_EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_variant_stats", _EVENTS_VARIANT_ORACLE)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_high_k"),
+        )
+    )

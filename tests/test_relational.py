@@ -68,3 +68,9 @@ def test_profile_approx_mode_no_expand(spark):
     df = profile_table(load_table(spark, "orders", "/root/testdata/sf0.001"))
     assert "Expand" not in P.physical_plan(df, "simple")
     assert df.count() == 6  # all orders columns
+
+
+def test_events_variant_stats_oracle(spark):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "events_variant_stats", "/root/testdata/sf0.001")
