@@ -145,3 +145,64 @@ def test_synthetic_blob_node_pipeline(spark):
     )
     row2 = dedup_stats(chunk_segments(segs2, "ae", 16384), key_col="hash").first()
     assert row.asDict() == row2.asDict()
+
+
+def test_slow_ramp_first_chunk_spans_many_segments(spark):
+    """Adversarial long-chunk input: a ramp that raises the running max
+    within every window keeps AE cut-free for ~window·255 bytes, so the
+    first chunk spans multiple 4 KiB segments whose scans emit no owned
+    cuts — every one ships its whole range as a piece and Phase C must
+    reassemble the cross-segment chunk bit-exactly."""
+    import hashlib
+
+    from cdc_algorithms_spark.chunkers.fast import ae_cuts as _ae_cuts
+    from cdc_algorithms_spark.operators.distributed import parallel_chunk_blob
+
+    data = bytes(min(255, i // 60) for i in range(50_000))
+    p = AeParams.make(320, window_size=64)
+    first_cut = _ae_cuts(data, p)[0]
+    assert first_cut > 3 * 4_096  # premise: chunk 0 crosses ≥3 segments
+
+    blobs = spark.createDataFrame([(7, data)], "src_id long, content binary")
+    rows = sorted(
+        parallel_chunk_blob(
+            blobs, "ae", 320, segment_len=4_096, window_size=64
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert sum(r["length"] for r in rows) == len(data)
+    head = rows[0]
+    assert (head["offset"], head["length"]) == (0, first_cut + 1)
+    v = int.from_bytes(
+        hashlib.blake2b(data[: first_cut + 1], digest_size=8).digest(), "big"
+    )
+    expect = v - (1 << 64) if v >= (1 << 63) else v
+    assert head["hash"] == expect
+    # merge invariant: interior boundaries ≥ window apart
+    ends = [r["offset"] + r["length"] - 1 for r in rows]
+    assert all(b - a >= 64 for a, b in zip(ends, ends[1:-1]))
+
+
+def test_ramp_blob_cuts_cross_check(spark):
+    """Sawtooth input: dense deterministic cuts; distributed pipeline ==
+    sequential chunker on the whole buffer, segment geometry varied."""
+    from cdc_algorithms_spark.chunkers.fast import ae_cuts
+    from cdc_algorithms_spark.chunkers.params import AeParams
+    from cdc_algorithms_spark.operators.distributed import parallel_chunk_blob
+
+    data = bytes((i % 251) for i in range(40_000))
+    p = AeParams.make(320, window_size=64)
+    seq_cuts = ae_cuts(data, p)
+    blobs = spark.createDataFrame([(1, data)], "src_id long, content binary")
+    for seg_len in (4_096, 10_000, 64_000):
+        rows = parallel_chunk_blob(
+            blobs, "ae", 320, segment_len=seg_len, window_size=64
+        ).collect()
+        assert sum(r["length"] for r in rows) == len(data)
+        dist_ends = sorted(r["offset"] + r["length"] - 1 for r in rows)
+        # seam merge may drop cuts closer than window to a seam-kept cut,
+        # but every distributed boundary must be a sequential cut, and
+        # they must agree except near seams (<= 1 divergence per seam)
+        assert set(dist_ends) <= set(seq_cuts)
+        n_seams = (len(data) - 1) // seg_len
+        assert len(set(seq_cuts) - set(dist_ends)) <= n_seams
