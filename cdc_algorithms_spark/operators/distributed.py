@@ -271,10 +271,33 @@ def chunk_segments(
                 hashes.append(h)
                 pieces.append(piece)
 
-            for sid, left, right, scan_start, payload, blob_len in zip(
-                pdf["src_id"], pdf["left"], pdf["right"],
-                pdf["scan_start"], pdf["payload"], pdf["blob_len"],
+            # Lazy segment tables (sources/segmented_files.py) carry a
+            # ``path`` instead of ``payload``: this task range-reads its
+            # own slice, so segment bytes are born in the worker that
+            # chunks them — no payload shuffle, no extra Arrow hop.
+            if "payload" in pdf.columns:
+                payload_iter = iter(pdf["payload"])
+
+                def get_payload(_row_i):
+                    return next(payload_iter)
+
+            else:
+                paths = list(pdf["path"])
+                starts = list(pdf["scan_start"])
+                rights = list(pdf["right"])
+
+                def get_payload(row_i):
+                    with open(paths[row_i], "rb") as f:
+                        f.seek(int(starts[row_i]))
+                        return f.read(int(rights[row_i]) - int(starts[row_i]))
+
+            for row_i, (sid, left, right, scan_start, blob_len) in enumerate(
+                zip(
+                    pdf["src_id"], pdf["left"], pdf["right"],
+                    pdf["scan_start"], pdf["blob_len"],
+                )
             ):
+                payload = get_payload(row_i)
                 sid, left, right = int(sid), int(left), int(right)
                 scan_start, blob_len = int(scan_start), int(blob_len)
                 view = memoryview(payload)

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,30 +74,18 @@ def segment_file_ranges(
     segment_len: int,
     overlap: int,
 ) -> DataFrame:
-    """Executor-side range reads → the standard segment table.
+    """Executor-side range reads → a LAZY segment table: the rows carry
+    ``path`` instead of ``payload``, and the consumer's scan task
+    (``chunk_segments``) opens the file and reads its own
+    ``[scan_start, right)`` slice in the same task that chunks it.
 
-    ``repartition`` by (src_id, seg_idx) first so ranges of one big file
-    spread over all tasks instead of clustering in one input split.
+    Two scale effects vs materializing payloads here: the
+    ``repartition`` that fans one file's ranges across the cluster
+    shuffles only metadata (paths + offsets, not corpus bytes), and the
+    bytes never cross the JVM↔Python Arrow boundary an extra time —
+    they are born in the Python worker that consumes them.
     """
     meta = list_file_ranges(spark, path_glob, segment_len, overlap)
-
-    def read_ranges(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for path, scan_start, right in zip(
-                pdf["path"], pdf["scan_start"], pdf["right"]
-            ):
-                with open(path, "rb") as f:
-                    f.seek(int(scan_start))
-                    payloads.append(f.read(int(right - scan_start)))
-            out = pdf[
-                ["src_id", "seg_idx", "left", "right", "blob_len", "scan_start"]
-            ].copy()
-            out["payload"] = payloads
-            yield out
-
-    return meta.repartition("src_id", "seg_idx").mapInPandas(
-        read_ranges, SEGMENT_SCHEMA
+    return meta.repartition("src_id", "seg_idx").select(
+        "src_id", "seg_idx", "left", "right", "blob_len", "scan_start", "path"
     )
