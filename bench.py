@@ -80,6 +80,7 @@ HEADLINE = [
     "chunk_overlap_pairs_fixed",
     "chunk_overlap_pairs_ae",
     "repetition_ratios",
+    "curation_pipeline",
 ]
 
 

@@ -727,3 +727,95 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import repetition_ratios
 
     return repetition_ratios(load_table(spark, "documents", sf_dir), ns=(2, 5))
+
+
+# --- end-to-end curation pipeline ------------------------------------------
+# The composite flow a training-data pipeline actually runs, as ONE
+# oracle-checked query: quality-filter → exact-dedup → per-language
+# token-budget selection → corpus accounting. Every stage is the
+# engine's own operator; the DuckDB oracle replays the identical
+# semantics, so the value check covers the COMPOSITION, not just the
+# parts. Deterministic by construction: the budget pick is a running
+# sum over doc_id order (no Bernoulli sampling, no partition-dependent
+# draws).
+
+_CURATION_CAP = 5_000  # token budget per language
+
+_CURATION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.3 * least(n_chars / 200.0, 1.0)
+               + 0.2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars)
+               + 0.2 * (len(list_distinct(words)) * 1.0 / len(words))
+               + 0.15 * least(len(list_filter(words, x -> list_contains(__ALL_STOP__, x))) * 5.0 / len(words), 1.0)
+               + 0.15 * (1 - least(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 10.0 / n_chars, 1.0)),
+               6) AS quality_score
+  FROM base
+),
+kept AS (SELECT doc_id, lang, text FROM feat WHERE quality_score >= 0.5),
+dedup AS (
+  SELECT doc_id, lang, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM kept
+),
+budget AS (
+  SELECT doc_id, lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM dedup WHERE rn = 1
+),
+cum AS (
+  SELECT lang, toks,
+         SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS running
+  FROM budget
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(toks) AS BIGINT) AS tokens_kept
+FROM cum WHERE running <= __CAP__
+GROUP BY lang
+""".replace(
+    "__ALL_STOP__",
+    "[" + ", ".join(
+        "'" + w + "'" for ms in LANG_MARKERS.values() for w in ms
+    ) + "]",
+).replace("__CAP__", str(_CURATION_CAP))
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    good_ids = (
+        quality_scores(docs)
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+    )
+    kept = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    ).join(good_ids, "doc_id")
+    first_of_text = Window.partitionBy("text").orderBy("doc_id")
+    unique = (
+        kept.withColumn("rn", F.row_number().over(first_of_text))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.ceil(F.length("text") / 4.0).cast("long").alias("toks"),
+        )
+    )
+    running = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        unique.withColumn("running", F.sum("toks").over(running))
+        .where(F.col("running") <= _CURATION_CAP)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("toks").cast("long").alias("tokens_kept"),
+        )
+    )

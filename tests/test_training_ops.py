@@ -306,3 +306,9 @@ def test_embedding_clusters_invariants(spark):
         return sum(r["n_members"] * r["avg_sq_dist"] for r in rows)
 
     assert inertia(3) <= inertia(0) + 1e-6
+
+
+def test_curation_pipeline_oracle(spark):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "curation_pipeline", "/root/testdata/sf0.001")
