@@ -26,24 +26,31 @@ persisted; the corpus itself is read exactly once and never cached (an
 earlier design persisted the whole segment table — a corpus-sized
 cache/spill that dominated at scale AND locally).
 
-Phase B — seam merge (``applyInPandas`` per blob): the reference's
-sequential accept rule — keep a cut only if it is ≥ ``spacing`` bytes
-after the last *kept* cut (ae.rs:74, rabin.rs:110) — is not a window-lag
-filter (rejections chain), so it runs as per-blob Python over the tiny
-cut list. The final boundary ``blob_len-1`` is always kept so bytes are
-conserved (the reference can drop a too-close final boundary and
-silently lose tail bytes from its metrics; we deviate for byte
-conservation, which the oracle concat checks require).
+Phase B — seam merge (``applyInPandas`` per blob) over ONLY the
+seam-adjacent cuts (~3 per segment): the reference's sequential accept
+rule — keep a cut only if it is ≥ ``spacing`` bytes after the last
+*kept* cut (ae.rs:74, rabin.rs:110) — is not a window-lag filter
+(rejections chain), but since consecutive same-scan cuts already
+satisfy the spacing, only a segment's first owned cut is ever
+rejectable; merge-certain chunks bypass the merge entirely as
+scan-emitted done rows, so the per-blob merge group is O(segments) —
+never a single-task O(chunks) bottleneck for a huge blob. The final
+boundary ``blob_len-1`` is always kept so bytes are conserved (the
+reference can drop a too-close final boundary and silently lose tail
+bytes from its metrics; we deviate for byte conservation, which the
+oracle concat checks require).
 
-Phase C — seam-chunk reassembly, for the few spans the merge
-invalidated (~2 per seam + the final chunk): those range-join against
-the Phase-A piece rows, pieces are sliced with ``substring`` on binary,
-reassembled with ``array_sort`` + ``aggregate``/``concat``, and
-fingerprinted with the same blake2b-64 family as Phase A. Chunk CONTENT
-therefore never shuffles and the source is never re-read — at 100 TB
-the dominant costs of the naive design (a second full-corpus shuffle, a
-corpus-sized cache) both disappear; this pipeline ships cuts, hashes,
-and ~1% of payload bytes.
+Phase C — seam-chunk reassembly, for the few spans the merge owns
+(first/second owned cuts per segment + the final chunk): those
+range-join against the Phase-A piece rows, pieces are sliced with
+``substring`` on binary, reassembled with ``array_sort`` +
+``aggregate``/``concat``, and fingerprinted with the same blake2b-64
+family as Phase A; the global per-blob ``chunk_idx`` is then a
+distributed ``row_number`` over offsets. Chunk CONTENT therefore never
+shuffles and the source is never re-read — at 100 TB the dominant
+costs of the naive design (a second full-corpus shuffle, a
+corpus-sized cache, a per-blob merge task) all disappear; this
+pipeline ships cuts, hashes, and ~1% of payload bytes.
 
 Not replicated: the rabin.rs:101 segment-bound bug (right bound fixed at
 ``len/T``) and the O(T·n) per-thread buffer clone at rabin.rs:99.
@@ -216,40 +223,38 @@ def chunk_segments(
     label = f"parallel_{algo}{expected_size}"
 
     # --- Phase A: ONE pass over payloads --------------------------------
-    # Earlier design: persist the whole segment table (corpus-sized
-    # MEMORY_AND_DISK cache) because three subtrees re-read payloads.
-    # At 100 TB that cache IS the bottleneck (a second full-corpus
-    # write/read); locally it was ~40% of pipeline wall + GC churn.
-    # Now the scan task emits everything downstream phases need in one
-    # pass, and the corpus is read exactly once:
+    # The scan task emits everything downstream phases need in one pass;
+    # the corpus is read exactly once and never cached:
     #
-    #   kind=0  cut rows    — (cut, prev_cut, hash): 24 B per chunk, the
-    #                         scan-local fingerprints of merge-certain
-    #                         chunks (see below);
-    #   kind=1  piece rows  — the raw bytes of the few spans the seam
-    #                         merge COULD reassign (a segment's head up
-    #                         to its 2nd owned cut, its tail after the
-    #                         last owned cut; the whole segment when it
-    #                         owns <2 cuts) — ~2·expected_size per
-    #                         segment ≈ 1% of the corpus at the default
-    #                         geometry.
+    #   kind=2  done-chunk rows — (offset, length, hash) of every chunk
+    #           the seam merge provably cannot change (see below): the
+    #           overwhelming majority, they bypass the merge entirely;
+    #   kind=0  seam cut rows   — ONLY the merge-relevant cuts: a
+    #           segment's first two owned cuts (the rejectable /
+    #           rebuildable ones, b=-2) and its last owned cut as
+    #           kept-context (b=-3, never re-emitted as a chunk), plus
+    #           the blob-final sentinel from the task owning the last
+    #           segment — ~3 rows per segment;
+    #   kind=1  piece rows      — raw bytes of the few spans the merge
+    #           COULD reassign (head up to the 2nd owned cut, tail after
+    #           the last owned cut; whole segment when it owns <2 cuts)
+    #           — ~2·expected_size per segment ≈ 1% of the corpus.
     #
-    # Only this mixed output (cuts + ~1% payload bytes) is persisted; at
-    # scale that's a ~1%-of-corpus cache instead of 100%.
+    # Only this mixed output (≈1% of corpus) is persisted.
     #
-    # Which chunks are merge-certain: consecutive cuts from one scan are
-    # >= the merge spacing apart by construction, so the accept rule can
-    # reject at most a segment's FIRST owned cut; the second owned cut
-    # is then always accepted. Hence every chunk bounded by owned cuts
-    # j-1, j with j >= 2 is final exactly as scanned, and its hash ships
-    # as data. Chunks ending at owned cuts 0/1 and the blob-final chunk
-    # are rebuilt in Phase C from piece rows. Phase B re-checks the
-    # assumption anyway: a local hash is used only if the merged
-    # predecessor equals the locally assumed one.
-    #
-    # The blob-final sentinel boundary (blob_len - 1) is emitted by the
-    # task that owns the blob's last segment (right == blob_len), so no
-    # separate aggregate over the source is needed.
+    # Why done chunks are merge-certain: consecutive cuts from one scan
+    # are >= the merge spacing apart by construction, so the sequential
+    # accept rule (ae.rs:74) can reject at most a segment's FIRST owned
+    # cut; the second owned cut is then always accepted. Hence every
+    # chunk bounded by owned cuts j-1, j with j >= 2 is final exactly as
+    # scanned — and the merge itself only ever needs the seam-adjacent
+    # cuts, so its per-blob group is O(segments), not O(chunks). (An
+    # earlier design shipped every cut through the per-blob merge task —
+    # a single-task bottleneck for a 100 TB blob with billions of cuts.)
+    # The same argument gives identical accept decisions on the reduced
+    # cut set: every decision only consults the previous KEPT cut, which
+    # is always one of {previous segment's last owned cut, this
+    # segment's first/second owned cut, sentinel} — all present.
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -306,25 +311,29 @@ def chunk_segments(
                     cut = scan_start + rel
                     if left <= cut < right:  # owned range: exactly-once emission
                         owned.append(rel)
+                k = len(owned)
                 for j, rel in enumerate(owned):
                     if j >= 2:
                         prev_rel = owned[j - 1]
+                        # merge-certain chunk: bypasses Phase B entirely
                         emit(
-                            sid, 0, scan_start + rel, scan_start + prev_rel,
+                            sid, 2, scan_start + prev_rel + 1, rel - prev_rel,
                             blob_len, _h64(view[prev_rel + 1 : rel + 1]), None,
                         )
+                        if j == k - 1:
+                            # kept-context for the next seam's decision
+                            emit(sid, 0, scan_start + rel, -3, blob_len, 0, None)
                     else:
-                        # "no local hash" is a (prev_cut=-2, hash=0) pair,
-                        # NOT a null: a nullable long crosses Arrow into
-                        # applyInPandas as float64 and silently truncates
-                        # hash low bits
+                        # rejectable / rebuildable seam cut (b=-2: "emit
+                        # a chunk if accepted"; hash resolved in Phase C)
                         emit(sid, 0, scan_start + rel, -2, blob_len, 0, None)
-                if right == blob_len:
-                    # blob-final sentinel; merge dedups if the last owned
-                    # cut already sits at blob_len - 1
+                if right == blob_len and not (
+                    owned and scan_start + owned[-1] == blob_len - 1
+                ):
+                    # blob-final sentinel boundary
                     emit(sid, 0, blob_len - 1, -2, blob_len, 0, None)
                 # piece rows: bytes the seam merge could reassign
-                if len(owned) >= 2:
+                if k >= 2:
                     head_to = scan_start + owned[1] + 1
                     emit(
                         sid, 1, left, head_to, blob_len, 0,
@@ -360,74 +369,61 @@ def chunk_segments(
         "src_id long, kind int, a long, b long, blob_len long, "
         "hash long, piece binary",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize EAGERLY: two subtrees (cuts → merge; pieces → Phase C)
+    # Materialize EAGERLY: three subtrees (done rows, seam cuts, pieces)
     # read this, and concurrent query stages that find a partition
     # uncached recompute the whole scan redundantly.
     scanned.count()
 
-    all_cuts = scanned.where(F.col("kind") == 0).select(
+    seam_cuts = scanned.where(F.col("kind") == 0).select(
         "src_id",
         F.col("a").alias("cut"),
         "blob_len",
-        F.col("b").alias("prev_cut"),
-        "hash",
+        F.col("b").alias("flavor"),
     )
 
-    # --- Phase B: sequential seam merge per blob --------------------------
+    # --- Phase B: seam merge per blob (O(segments) rows, not O(chunks)) ---
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         sid = int(pdf["src_id"].iloc[0])
         blob_len = int(pdf["blob_len"].iloc[0])
         final = blob_len - 1
-        # one row per distinct cut; prefer the scan row (prev_cut != -2,
-        # carries a usable hash) over the sentinel duplicate
+        # one row per distinct cut; prefer the emitting flavor (-2) over
+        # kept-context (-3) on collisions
         rows = (
-            pdf.sort_values(["cut", "prev_cut"], ascending=[True, False])
+            pdf.sort_values(["cut", "flavor"], ascending=[True, False])
             .drop_duplicates("cut", keep="first")
         )
         offsets: list[int] = []
         lengths: list[int] = []
-        hashes: list[object] = []
         last = -1
-        for cut, prev_cut, h in zip(rows["cut"], rows["prev_cut"], rows["hash"]):
+        for cut, flavor in zip(rows["cut"], rows["flavor"]):
             cut = int(cut)
             if not (cut == final or cut - last >= spacing):
                 continue
-            offsets.append(last + 1)
-            lengths.append(cut - last)
-            # the local hash is valid only if the merge agreed with the
-            # scan about this chunk's start
-            hashes.append(int(h) if int(prev_cut) == last else None)
+            if int(flavor) != -3:
+                # accepted seam cut that ends a (merge-uncertain) chunk;
+                # context cuts' chunks already exist as done rows
+                offsets.append(last + 1)
+                lengths.append(cut - last)
             last = cut
         return pd.DataFrame(
             {
                 "src_id": pd.Series([sid] * len(offsets), dtype="int64"),
-                "chunk_idx": pd.Series(range(len(offsets)), dtype="int64"),
                 "offset": pd.Series(offsets, dtype="int64"),
                 "length": pd.Series(lengths, dtype="int64"),
-                "hash": pd.Series(hashes, dtype="Int64"),
             }
         )
 
-    spans = all_cuts.groupBy("src_id").applyInPandas(
-        merge, "src_id long, chunk_idx long, offset long, length long, hash long"
+    uncertain = seam_cuts.groupBy("src_id").applyInPandas(
+        merge, "src_id long, offset long, length long"
     )
 
     # --- Phase C: seam-chunk reassembly (the rare path) -------------------
-    # Only spans whose local hash was invalidated by the merge (first
-    # chunk of the blob, ~2 per segment seam, the final chunk) are
-    # rebuilt — from the piece rows the scan shipped, NOT by re-reading
+    # Every merge-emitted chunk (first/second owned cuts, blob-final) is
+    # rebuilt from the piece rows the scan shipped — NOT by re-reading
     # the source. The span side is tiny, so it broadcasts and the piece
     # side streams from the (1%-sized) cache.
-    done = spans.where(F.col("hash").isNotNull()).select(
-        "src_id",
-        F.lit(label).alias("algo"),
-        "chunk_idx",
-        "offset",
-        "length",
-        "hash",
-    )
     piece_tbl = scanned.where(F.col("kind") == 1).select(
         F.col("src_id").alias("p_src_id"),
         F.col("a").alias("p_from"),
@@ -435,9 +431,8 @@ def chunk_segments(
         "piece",
     )
     end = F.col("offset") + F.col("length") - 1
-    fallback = spans.where(F.col("hash").isNull()).drop("hash")
     sliced = piece_tbl.join(
-        F.broadcast(fallback),
+        F.broadcast(uncertain),
         on=[
             F.col("p_src_id") == F.col("src_id"),
             F.col("p_from") <= end,
@@ -445,7 +440,6 @@ def chunk_segments(
         ],
     ).select(
         "src_id",
-        "chunk_idx",
         "offset",
         "length",
         "p_from",
@@ -455,7 +449,7 @@ def chunk_segments(
         ).alias("piece"),
     )
     rebuilt = (
-        sliced.groupBy("src_id", "chunk_idx", "offset", "length")
+        sliced.groupBy("src_id", "offset", "length")
         .agg(
             _h64_udf(
                 F.aggregate(
@@ -465,13 +459,27 @@ def chunk_segments(
                 )
             ).alias("hash")
         )
+    )
+
+    done = scanned.where(F.col("kind") == 2).select(
+        "src_id",
+        F.col("a").alias("offset"),
+        F.col("b").alias("length"),
+        "hash",
+    )
+    # Global chunk ordinal per blob: a distributed sort, NOT a per-blob
+    # task — offsets are unique within a blob by construction (each kept
+    # cut ends exactly one chunk).
+    idx_w = Window.partitionBy("src_id").orderBy("offset")
+    return (
+        done.unionByName(rebuilt)
+        .withColumn("chunk_idx", F.row_number().over(idx_w) - 1)
         .select(
             "src_id",
             F.lit(label).alias("algo"),
-            "chunk_idx",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
             "offset",
             "length",
             "hash",
         )
     )
-    return done.unionByName(rebuilt)
