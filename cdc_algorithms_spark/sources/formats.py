@@ -60,6 +60,17 @@ def save_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None
                 f"{fmt} cannot represent binary columns {binary_cols}; "
                 "use parquet/orc or the content-addressed chunk store"
             )
+    if fmt == "csv":
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if any(t in f.dataType.simpleString() for t in ("array", "map", "struct"))
+        ]
+        if complex_cols:
+            raise ValueError(
+                f"csv is flat-only; columns {complex_cols} are nested — "
+                "use json (lossless with schema) or parquet/orc"
+            )
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.options(header="true", **_TEXT_OPTIONS)

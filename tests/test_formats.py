@@ -54,3 +54,19 @@ def test_orc_preserves_chunk_table(spark, tmp_path):
     back = load_as(spark, path, "orc")
     assert back.count() == chunks.count()
     assert dict(back.dtypes) == dict(chunks.dtypes)
+
+
+def test_csv_refuses_nested_columns(spark, tmp_path):
+    src = load_table(spark, "embeddings", SF_DIR)  # embedding: array<float>
+    with pytest.raises(ValueError, match="flat-only"):
+        save_as(src, str(tmp_path / "x"), "csv")
+
+
+def test_embeddings_roundtrip_json_and_orc(spark, tmp_path):
+    src = load_table(spark, "embeddings", SF_DIR)
+    for fmt in ("json", "orc"):
+        path = str(tmp_path / f"emb_{fmt}")
+        save_as(src, path, fmt)
+        back = load_as(spark, path, fmt, schema=src.schema)
+        assert back.schema == src.schema
+        assert _sorted_rows(back, "vec_id") == _sorted_rows(src, "vec_id")
