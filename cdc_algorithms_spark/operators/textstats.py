@@ -256,3 +256,56 @@ def repetition_ratios(
             F.round(F.col("dup_cnt") / F.col("total"), 6).alias("dup_frac"),
         )
     )
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained word-bigram language-model score per document:
+    ``(doc_id, n_bigrams, avg_logprob)`` where ``avg_logprob`` is the
+    mean natural-log MLE probability ln(c(w1,w2)/c(w1·)) over the doc's
+    bigram occurrences. The statistical tier of quality scoring (the
+    heuristic tier is ``quality_scores``): documents whose word
+    transitions are unlike the corpus — gibberish, wrong-language
+    fragments, mangled extractions — score far below typical text, so a
+    percentile threshold on ``avg_logprob`` is a perplexity filter with
+    no external model. Docs under two words carry no bigram and drop out.
+
+    Plan shape: one scan explodes bigram rows; the model is two hash
+    aggregates over those rows (bigram and prefix counts — both partial
+    map-side); scoring joins the bigram rows back on (w1, w2). The model
+    table is vocabulary-sized — orders smaller than the corpus — so AQE
+    broadcasts it under the threshold, and the per-doc average is a final
+    doc_id-keyed aggregate. Nothing document-sized ever shuffles. The
+    bigram expansion is recomputed for each of the three consumers
+    (scan reuse is cheaper than materializing an exploded corpus-sized
+    table); persist the bigram frame manually if the input scan, not the
+    shuffle, dominates.
+    """
+    ws = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), words(text_col).alias("__ws")
+    ).where(F.size("__ws") >= 2)
+    bi = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bigram_c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix_c = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = bigram_c.join(prefix_c, "w1").select(
+        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("logp")
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

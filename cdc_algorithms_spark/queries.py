@@ -393,3 +393,24 @@ def q_synthetic_blob_ae_node_stats(spark: SparkSession, sf_dir: str) -> DataFram
         seed=11,
     )
     return dedup_stats(chunk_segments(segs, "ae", SYNTH_EXPECTED), key_col="hash")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch dedup estimation (operators/sketches.py): per-language
+# HLL sketches of fixed-chunk identities, global row derived purely by
+# sketch union — the incremental any-subset dedup answer at 100 TB.
+# DataSketches register values aren't reproducible in DuckDB → rows-only
+# driver check; determinism and <2% accuracy vs exact are pinned in
+# tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_sketch_report_fixed")
+def q_dedup_sketch_report_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.sketches import sketch_dedup_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, FIXED_SIZE).join(
+        docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
+    )
+    return sketch_dedup_report(chunks, group_cols=("lang",))

@@ -819,3 +819,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("tokens_kept"),
         )
     )
+
+
+# --- bigram language-model perplexity scoring -------------------------------
+# The statistical tier of quality scoring: a word-bigram MLE model trained
+# on the corpus itself, each document scored by its mean ln-probability.
+# Fully SQL-expressible (explode → two count aggregates → join → avg), so
+# the oracle checks the whole train+score composition.
+
+_LM_BIGRAM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+uc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(c2 * 1.0 / c1)), 6) AS avg_logprob
+FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY bi.doc_id
+"""
+
+
+@register("lm_bigram_scores", _LM_BIGRAM_ORACLE)
+def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import lm_bigram_scores
+
+    return lm_bigram_scores(load_table(spark, "documents", sf_dir))

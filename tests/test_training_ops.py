@@ -31,6 +31,7 @@ ORACLE_QUERIES = [
     "media_frame_counts",
     "chunk_overlap_pairs_fixed",
     "repetition_ratios",
+    "lm_bigram_scores",
 ]
 
 
