@@ -397,3 +397,40 @@ def streaming_event_counts_update_mode(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.max("n_events").cast("long").alias("n_events"))
         .join(exact_users, "event_type")
     )
+
+
+@register("streaming_sketch_unique_estimate")
+def streaming_sketch_unique_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup estimation end-to-end: documents stream in 3
+    micro-batches, fixed chunks feed a complete-mode per-language
+    ``hll_sketch_agg`` — the state store carries the sketch registers
+    between batches, so each batch costs only its own delta (the
+    streaming twin of operators/sketches.py's persisted-sketch contract;
+    at 100 TB this is how a dedup-ratio dashboard follows an ingest
+    firehose without ever re-scanning the corpus). The converged sink is
+    rolled up to per-language + global ('*') estimate rows batch-side
+    via sketch union. DataSketches registers aren't reproducible in
+    DuckDB → rows-only driver check; accuracy vs exact distinct counts
+    is pinned in tests/test_streaming.py."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fixed
+    from cdc_algorithms_spark.operators.sketches import sketch_rollup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    stages = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    lang_of = docs.select(F.col("doc_id").alias("src_id"), "lang")
+
+    def build(stream: DataFrame) -> DataFrame:
+        chunks = _fixed(stream, _FIXED_SIZE).join(lang_of, "src_id")
+        return chunks.groupBy("lang").agg(
+            F.hll_sketch_agg(F.xxhash64("chunk_text"), F.lit(14)).alias("sketch"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="complete")
+    per = sink.withColumn(
+        "est_unique_chunks", F.hll_sketch_estimate("sketch").cast("long")
+    ).withColumnRenamed("lang", "group")
+    glob = sketch_rollup(sink).withColumn("group", F.lit("*"))
+    cols = ["group", "n_chunks", "total_bytes", "est_unique_chunks"]
+    return per.select(*cols).unionByName(glob.select(*cols))

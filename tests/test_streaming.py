@@ -275,3 +275,32 @@ def test_streaming_novel_chunks_vs_duckdb(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_novel_chunks_by_lang", SF_DIR)
+
+
+def test_streaming_sketch_estimate_matches_exact(spark):
+    """Complete-mode hll_sketch_agg carries registers across micro-batches;
+    converged per-language and global estimates must sit within sketch
+    error (<2% at lg_k=14) of the exact batch distinct counts."""
+    res = {
+        r["group"]: r
+        for r in SPARK_QUERIES["streaming_sketch_unique_estimate"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = fixed_chunks(docs, 64).join(
+        docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
+    )
+    exact = {
+        r["lang"]: r["exact"]
+        for r in chunks.groupBy("lang")
+        .agg(F.countDistinct("chunk_text").alias("exact"))
+        .collect()
+    }
+    exact["*"] = chunks.select("chunk_text").distinct().count()
+    assert set(res) == set(exact)
+    total_chunks = chunks.count()
+    assert res["*"]["n_chunks"] == total_chunks
+    for g, row in res.items():
+        rel_err = abs(row["est_unique_chunks"] - exact[g]) / exact[g]
+        assert rel_err < 0.02, (g, row["est_unique_chunks"], exact[g])
