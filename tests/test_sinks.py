@@ -84,3 +84,29 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_partitioned_sink_enables_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB payoff of a partitioned chunk/event layout: a join
+    against a filtered dimension prunes fact partitions at RUNTIME
+    (dynamic partition pruning — the filter value is only known after
+    the dim side runs), so the scan never touches excluded directories.
+    Asserted on the plan: the parquet scan's partition filters carry a
+    dynamicpruning subquery."""
+    ev = load_table(spark, "events", SF_DIR)
+    path = str(tmp_path / "events_by_type")
+    ev.repartition("event_type").write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 0), ("click", 0), ("error", 0)],
+        ["event_type", "keep"],
+    ).where(F.col("keep") == 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert [r["event_type"] for r in rows] == ["purchase"]
+    exact = ev.where(F.col("event_type") == "purchase").count()
+    assert rows[0]["n"] == exact
