@@ -153,3 +153,40 @@ def approx_dedup_stats(
             ).alias("dedup_coeff_est"),
         )
     )
+
+
+def reconstruct_docs(
+    recipes: DataFrame,
+    store: DataFrame,
+    id_col: str = "src_id",
+    hash_col: str = "hash",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """The dedup READ path: rebuild each source from its chunk-hash
+    recipe plus the content-addressed store — the inverse of chunk →
+    hash → dropDuplicates, proving the store losslessly round-trips
+    (what a delta-sync consumer does after `sync_plan` ships only novel
+    chunks).
+
+    ``recipes``: (id, chunk_idx, hash) — per-source hash sequence, the
+    only per-source state a dedup system persists. ``store``:
+    (hash, chunk_text) — one row per unique chunk.
+
+    Shuffle profile at scale: one join keyed on the hash (store side is
+    unique-chunk-sized — broadcast when it fits, shuffle otherwise) and
+    one grouping by source; assembly is array_sort + array_join inside
+    codegen, no Python, no window, no per-row UDF.
+    """
+    joined = recipes.join(store, hash_col)
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+            "",
+        ).alias("restored_text"),
+    )

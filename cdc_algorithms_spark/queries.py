@@ -414,3 +414,46 @@ def q_dedup_sketch_report_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
     )
     return sketch_dedup_report(chunks, group_cols=("lang",))
+
+
+# ---------------------------------------------------------------------------
+# Dedup round-trip: recipe (per-doc hash sequence) + content-addressed
+# store must losslessly rebuild every document — the read path a
+# delta-sync consumer runs. The oracle replays the same reassembly
+# semantics (string_agg ordered by chunk index) against the raw text.
+# ---------------------------------------------------------------------------
+
+_RECONSTRUCT_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE}),
+r AS (
+  SELECT src_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         string_agg(chunk_text, '' ORDER BY chunk_idx) AS restored
+  FROM chunks GROUP BY src_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       r.n_chunks,
+       (r.restored = d.text) AS ok
+FROM documents d JOIN r ON r.src_id = d.doc_id
+"""
+
+
+@register("reconstruct_docs_check", _RECONSTRUCT_ORACLE)
+def q_reconstruct_docs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup import reconstruct_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, FIXED_SIZE).withColumn(
+        "hash", F.xxhash64("chunk_text")
+    )
+    recipes = chunks.select("src_id", "chunk_idx", "hash")
+    store = chunks.select("hash", "chunk_text").dropDuplicates(["hash"])
+    return (
+        reconstruct_docs(recipes, store)
+        .join(docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select(
+            F.col("src_id").cast("long").alias("doc_id"),
+            "n_chunks",
+            (F.col("restored_text") == F.col("text")).alias("ok"),
+        )
+    )

@@ -90,3 +90,18 @@ def test_empty_and_degenerate_inputs(spark):
     assert cdc_chunks(one_char, "ae", 320).agg(
         {"length": "sum"}
     ).first()[0] == 1
+
+
+def test_reconstruct_docs_check_oracle(spark):
+    compare_with_oracle(spark, "reconstruct_docs_check", "/root/testdata/sf0.001")
+
+
+def test_reconstruct_round_trips_every_doc(spark):
+    """Recipe + content-addressed store must rebuild every document
+    byte-for-byte (the dedup read path)."""
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    res = SPARK_QUERIES["reconstruct_docs_check"](spark, "/root/testdata/sf0.001")
+    assert res.where("NOT ok").count() == 0
+    n_docs_with_text = res.count()
+    assert n_docs_with_text > 0
