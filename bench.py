@@ -81,6 +81,8 @@ HEADLINE = [
     "chunk_overlap_pairs_ae",
     "repetition_ratios",
     "curation_pipeline",
+    "lm_bigram_scores",
+    "dedup_sketch_report_fixed",
 ]
 
 

@@ -457,3 +457,48 @@ def q_reconstruct_docs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("restored_text") == F.col("text")).alias("ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate mining: the most-duplicated chunks across distinct documents
+# (license headers, navigation templates, signatures). A curation pipeline
+# strips or downweights these before training. Heavy-hitter shape: one
+# partial-agg shuffle on the chunk key, then a tiny top-k sort — no
+# document content moves after the explode.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_TOPK = 20
+_BOILERPLATE_ORACLE = f"""
+WITH chunks AS ({{chunks}}),
+per_chunk AS (
+  SELECT chunk_text,
+         CAST(COUNT(*) AS BIGINT) AS occurrences,
+         CAST(COUNT(DISTINCT src_id) AS BIGINT) AS n_docs,
+         CAST(MAX(length) AS BIGINT) AS chunk_len
+  FROM chunks GROUP BY chunk_text
+)
+SELECT chunk_text, occurrences, n_docs, chunk_len
+FROM per_chunk
+WHERE n_docs >= 2
+ORDER BY occurrences DESC, chunk_text
+LIMIT {_BOILERPLATE_TOPK}
+""".format(chunks=_FIXED_CHUNKS_ORACLE)
+
+
+@register("boilerplate_chunks", _BOILERPLATE_ORACLE)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_chunk = (
+        fixed_chunks(docs, FIXED_SIZE)
+        .groupBy("chunk_text")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.countDistinct("src_id").cast("long").alias("n_docs"),
+            F.max("length").cast("long").alias("chunk_len"),
+        )
+    )
+    return (
+        per_chunk.where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("occurrences"), "chunk_text")
+        .limit(_BOILERPLATE_TOPK)
+    )

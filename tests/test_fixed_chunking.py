@@ -105,3 +105,7 @@ def test_reconstruct_round_trips_every_doc(spark):
     assert res.where("NOT ok").count() == 0
     n_docs_with_text = res.count()
     assert n_docs_with_text > 0
+
+
+def test_boilerplate_chunks_oracle(spark):
+    compare_with_oracle(spark, "boilerplate_chunks", "/root/testdata/sf0.001")
