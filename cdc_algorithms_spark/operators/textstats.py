@@ -309,3 +309,34 @@ def lm_bigram_scores(
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def char_entropy_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy in bits:
+    ``(doc_id, n_chars, n_distinct_chars, entropy_bits)``. Natural text
+    sits near 4 bits/char; ciphertext/compressed junk pushes toward the
+    alphabet ceiling and template spam collapses toward 0 — both tails
+    are curation drop candidates that the word-level scorers miss.
+
+    Pure built-ins: one char explode (linear blow-up, stays columnar in
+    codegen) and two keyed aggregates; entropy folds over the per-char
+    frequencies with log2. No UDF, fully oracle-checkable.
+    """
+    chars = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.explode(F.split(text_col, "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt") / F.col("n_chars")
+    return freq.groupBy("doc_id").agg(
+        F.first("n_chars").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )

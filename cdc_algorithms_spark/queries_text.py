@@ -853,3 +853,30 @@ def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import lm_bigram_scores
 
     return lm_bigram_scores(load_table(spark, "documents", sf_dir))
+
+
+# --- character-entropy scoring ----------------------------------------------
+# Both tails are curation signals: near-0 = template spam, near-ceiling =
+# ciphertext/compressed junk. Pure explode + two aggregates, no UDF.
+
+_CHAR_ENTROPY_ORACLE = r"""
+WITH ch AS (
+  SELECT doc_id, length(text) AS n_chars, substring(text, CAST(i AS INT), 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+  WHERE length(text) > 0
+),
+freq AS (SELECT doc_id, n_chars, ch, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(-SUM((cnt * 1.0 / n_chars) * log2(cnt * 1.0 / n_chars)), 6)
+         AS entropy_bits
+FROM freq GROUP BY doc_id
+"""
+
+
+@register("char_entropy_scores", _CHAR_ENTROPY_ORACLE)
+def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import char_entropy_scores
+
+    return char_entropy_scores(load_table(spark, "documents", sf_dir))

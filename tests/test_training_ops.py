@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     "chunk_overlap_pairs_fixed",
     "repetition_ratios",
     "lm_bigram_scores",
+    "char_entropy_scores",
 ]
 
 
