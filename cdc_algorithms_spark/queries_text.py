@@ -880,3 +880,72 @@ def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import char_entropy_scores
 
     return char_entropy_scores(load_table(spark, "documents", sf_dir))
+
+
+# --- dedup cluster representatives ------------------------------------------
+# Turning dedup groups into an actionable keep/drop list: per near-dup
+# component, keep the highest-quality member (ties to the smallest
+# doc_id) — the selection policy a curation pipeline applies after
+# clustering. Oracle replays components (recursive closure) + the exact
+# quality formula + arg-max.
+
+_CLUSTER_REPS_ORACLE = (
+    _COMPONENTS_ORACLE.replace(
+        "SELECT CAST(node AS BIGINT) AS doc_id,\n"
+        "       CAST(MIN(seen) AS BIGINT) AS component_id\n"
+        "FROM reach GROUP BY node",
+        """,
+comp AS (
+  SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node
+),
+q AS (
+  SELECT d.doc_id,
+         ROUND(0.3 * least(length(d.text) / 200.0, 1.0)
+               + 0.2 * (length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0 / length(d.text))
+               + 0.2 * (len(list_distinct(w.words)) * 1.0 / len(w.words))
+               + 0.15 * least(len(list_filter(w.words, x -> list_contains(__ALL_STOP__, x))) * 5.0 / len(w.words), 1.0)
+               + 0.15 * (1 - least(length(regexp_replace(d.text, '[^.,;:!?''"()]', '', 'g')) * 10.0 / length(d.text), 1.0)),
+               6) AS quality_score
+  FROM documents d JOIN w ON w.doc_id = d.doc_id
+)
+SELECT CAST(c.component_id AS BIGINT) AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST((ARRAY_AGG(c.doc_id ORDER BY q.quality_score DESC, c.doc_id ASC))[1] AS BIGINT) AS rep_doc_id,
+       ROUND(MAX(q.quality_score), 6) AS rep_quality
+FROM comp c JOIN q ON q.doc_id = c.doc_id
+GROUP BY c.component_id""",
+    )
+).replace(
+    "__ALL_STOP__",
+    "[" + ", ".join("'" + w + "'" for ms in LANG_MARKERS.values() for w in ms) + "]",
+)
+
+
+@register("dedup_cluster_reps", _CLUSTER_REPS_ORACLE)
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    comp = connected_components(
+        ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    )
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max_by(
+                "doc_id", F.struct(F.col("quality_score"), -F.col("doc_id"))
+            )
+            .cast("long")
+            .alias("rep_doc_id"),
+            F.round(F.max("quality_score"), 6).alias("rep_quality"),
+        )
+        .select(
+            F.col("component_id").cast("long").alias("component_id"),
+            "n_members",
+            "rep_doc_id",
+            "rep_quality",
+        )
+    )

@@ -33,6 +33,7 @@ ORACLE_QUERIES = [
     "repetition_ratios",
     "lm_bigram_scores",
     "char_entropy_scores",
+    "dedup_cluster_reps",
 ]
 
 
