@@ -340,3 +340,47 @@ def char_entropy_scores(
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
         F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
     )
+
+
+# Conservative PII patterns, chosen to parse identically under Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookarounds, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{9,15}"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Detect and redact common PII before a corpus ships to training:
+    ``(doc_id, n_emails, n_ipv4, n_phones, redacted_text)``. Emails,
+    IPv4 literals, and international-format phone numbers are counted
+    and replaced by ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens. Patterns
+    are deliberately conservative (international phones only — local
+    formats drown in false positives); a production pipeline would add
+    locale packs, but the operator contract and plan shape stay this:
+    map-only regexp work inside codegen, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

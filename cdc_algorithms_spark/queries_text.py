@@ -949,3 +949,48 @@ def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_quality",
         )
     )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# The fixtures carry no PII, so the query scrubs a deterministic
+# PII-bearing augmentation of each document (same construction in the
+# oracle) — the redaction itself is what the value-hash checks.
+
+_PII_AUG_SQL = (
+    "concat(text, ' contact user', doc_id, '@example.com from 10.0.', "
+    "doc_id % 256, '.7 tel +1415550', lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0'))"
+)
+
+_PII_ORACLE = rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\+\d{{9,15}}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+         '\+\d{{9,15}}', '<PHONE>', 'g') AS redacted_text
+FROM aug
+"""
+
+
+@register("pii_scrub_docs", _PII_ORACLE)
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7 tel +1415550"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)

@@ -34,6 +34,7 @@ ORACLE_QUERIES = [
     "lm_bigram_scores",
     "char_entropy_scores",
     "dedup_cluster_reps",
+    "pii_scrub_docs",
 ]
 
 
@@ -315,3 +316,25 @@ def test_curation_pipeline_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "curation_pipeline", "/root/testdata/sf0.001")
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    from cdc_algorithms_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, ip 192.168.0.1, tel +4915112345678"),
+            (2, "no pii here, just 1.2 version and local phone 555-1234"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) == (2, 1, 1)
+    assert "<EMAIL>" in rows[1]["redacted_text"]
+    assert "a@b.co" not in rows[1]["redacted_text"]
+    assert "192.168.0.1" not in rows[1]["redacted_text"]
+    assert "+4915112345678" not in rows[1]["redacted_text"]
+    assert (rows[2]["n_emails"], rows[2]["n_ipv4"], rows[2]["n_phones"]) == (0, 0, 0)
+    assert rows[2]["redacted_text"] == docs.collect()[1]["text"]
+    assert rows[3]["redacted_text"] == ""
