@@ -14,7 +14,7 @@ are exposed explicitly (SURVEY.md §2.4 A3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -189,4 +189,51 @@ def reconstruct_docs(
             ),
             "",
         ).alias("restored_text"),
+    )
+
+
+def duplicated_spans(
+    chunks: DataFrame,
+    min_chunks: int = 2,
+    id_col: str = "src_id",
+    key_col: str = "chunk_text",
+) -> DataFrame:
+    """Maximal runs of consecutive corpus-duplicated chunks per source:
+    ``(src_id, span_start, span_bytes, n_chunks)`` — the chunk-granular
+    form of substring-level training-data dedup (find long stretches a
+    document shares with the rest of the corpus — licenses, templated
+    sections, wholesale copies — and strip just those, keeping the
+    unique remainder).
+
+    Plan: one shuffle keyed on the chunk identity marks chunks whose
+    key occurs under a different source anywhere in the corpus (count
+    vs max==min on the source — no self-matches), then a
+    gaps-and-islands window per source (chunk_idx minus a running
+    dup-rank is constant within a run) folds runs into span rows.
+    Nothing pairwise is ever materialized — cost stays O(chunks), not
+    O(doc pairs), which is what makes it viable at corpus scale.
+    """
+    w_key = Window.partitionBy(key_col)
+    marked = chunks.withColumn(
+        "__dup",
+        (F.count(F.lit(1)).over(w_key) > 1)
+        & (
+            (F.min(id_col).over(w_key) != F.col(id_col))
+            | (F.max(id_col).over(w_key) != F.col(id_col))
+        ),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("chunk_idx")
+    islands = (
+        marked.where("__dup")
+        .withColumn("__grp", F.col("chunk_idx") - F.row_number().over(w_doc))
+    )
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("offset").cast("long").alias("span_start"),
+            F.sum("length").cast("long").alias("span_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        )
+        .where(F.col("n_chunks") >= min_chunks)
+        .select(id_col, "span_start", "span_bytes", "n_chunks")
     )

@@ -502,3 +502,41 @@ def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), "chunk_text")
         .limit(_BOILERPLATE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span mining: maximal runs of consecutive cross-document
+# duplicated chunks — the chunk-granular substring-dedup primitive
+# (strip the copied stretch, keep the unique remainder). Gaps-and-islands
+# over the chunk table; O(chunks), never O(doc pairs).
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE}),
+marked AS (
+  SELECT src_id, chunk_idx, "offset", length,
+         (COUNT(*) OVER (PARTITION BY chunk_text) > 1
+          AND (MIN(src_id) OVER (PARTITION BY chunk_text) != src_id
+               OR MAX(src_id) OVER (PARTITION BY chunk_text) != src_id)) AS dup
+  FROM chunks
+),
+islands AS (
+  SELECT src_id, "offset", length,
+         chunk_idx - ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY chunk_idx) AS grp
+  FROM marked WHERE dup
+)
+SELECT src_id,
+       CAST(MIN("offset") AS BIGINT) AS span_start,
+       CAST(SUM(length) AS BIGINT) AS span_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM islands GROUP BY src_id, grp
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("duplicated_spans_fixed", _DUP_SPANS_ORACLE)
+def q_duplicated_spans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_spans(fixed_chunks(docs, FIXED_SIZE), min_chunks=2)

@@ -109,3 +109,30 @@ def test_reconstruct_round_trips_every_doc(spark):
 
 def test_boilerplate_chunks_oracle(spark):
     compare_with_oracle(spark, "boilerplate_chunks", "/root/testdata/sf0.001")
+
+
+def test_duplicated_spans_oracle(spark):
+    compare_with_oracle(spark, "duplicated_spans_fixed", "/root/testdata/sf0.001")
+
+
+def test_duplicated_spans_finds_planted_copy(spark):
+    """A 4-chunk block copied between two docs must surface as one
+    maximal span in each; unique content must not."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.operators.dedup import duplicated_spans
+
+    shared = "S" * 64 * 4                 # 4 aligned chunks of 64
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 64 + shared + "B" * 64),
+            (2, shared + "C" * 64),
+            (3, "D" * 160),               # unique only
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicated_spans(fixed_chunks(docs, 64), min_chunks=2).collect()
+    by_doc = {r["src_id"]: r for r in spans}
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1]["span_start"] == 64 and by_doc[1]["n_chunks"] == 4
+    assert by_doc[2]["span_start"] == 0 and by_doc[2]["n_chunks"] == 4
+    assert by_doc[1]["span_bytes"] == 256 and by_doc[2]["span_bytes"] == 256
