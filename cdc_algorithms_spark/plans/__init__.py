@@ -11,6 +11,7 @@ than surfacing as a 10× slowdown at scale.
 
 from cdc_algorithms_spark.plans.inspect import (
     broadcast_join_count,
+    sort_merge_join_count,
     codegen_stage_count,
     exchange_count,
     physical_plan,
@@ -23,6 +24,7 @@ __all__ = [
     "physical_plan",
     "exchange_count",
     "broadcast_join_count",
+    "sort_merge_join_count",
     "pushed_filters",
     "read_schema_columns",
     "python_eval_count",

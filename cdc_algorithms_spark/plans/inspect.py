@@ -34,6 +34,14 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
 
 
+def sort_merge_join_count(df: DataFrame) -> int:
+    """Number of sort-merge joins — each sorts BOTH shuffled sides; the
+    witness that a join expected to broadcast fell back to the heavy
+    strategy."""
+    plan = physical_plan(df, "simple")
+    return len(re.findall(r"SortMergeJoin", plan))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The ``PushedFilters`` lists from every parquet scan in the plan."""
     plan = physical_plan(df, "formatted")

@@ -261,3 +261,28 @@ def test_q21_single_orderkey_shuffle_for_exists_pair(spark):
     assert P.python_eval_count(df) == 0
     # orders⋈lineitem join, orderkey agg reuse, supplier agg — bounded
     assert P.exchange_count(df) <= 5
+
+
+def test_lm_bigram_model_joins_broadcast(spark):
+    """The bigram model is vocabulary-sized — both model joins must come
+    back broadcast, never sort-merge, and no Python touches the plan."""
+    df = _q(spark, "lm_bigram_scores")
+    assert P.python_eval_count(df) == 0
+    assert P.broadcast_join_count(df) >= 2
+    assert P.sort_merge_join_count(df) == 0
+
+
+def test_sketch_report_is_two_level_aggregate(spark):
+    """Per-group sketches + union rollup: partial-agg shuffles only —
+    sketch rows (few KiB), never chunk rows twice."""
+    df = _q(spark, "dedup_sketch_report_fixed")
+    assert P.python_eval_count(df) == 0
+
+
+def test_duplicated_spans_shuffles_bounded(spark):
+    """Cross-doc dup marking + per-doc islands: chunk-key window, doc
+    window, span aggregate — and nothing pairwise (no joins at all)."""
+    df = _q(spark, "duplicated_spans_fixed")
+    assert P.python_eval_count(df) == 0
+    assert P.broadcast_join_count(df) + P.sort_merge_join_count(df) == 0
+    assert P.exchange_count(df) <= 3
