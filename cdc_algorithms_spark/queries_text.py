@@ -994,3 +994,64 @@ def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(aug)
+
+
+# --- quantile-band quality filtering ---------------------------------------
+# Keep each language's middle quality band (p10..p90). The scalable
+# shape: one percentile AGGREGATE per language (exact, sort-based
+# partial agg) broadcast back as thresholds — never a global-order
+# percent_rank window, which would funnel the corpus through one
+# partition.
+
+_QUALITY_BAND_ORACLE = (
+    """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words,
+         length(text) AS n_chars, text
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         ROUND(0.3 * least(n_chars / 200.0, 1.0)
+               + 0.2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars)
+               + 0.2 * (len(list_distinct(words)) * 1.0 / len(words))
+               + 0.15 * least(len(list_filter(words, x -> list_contains(__ALL_STOP__, x))) * 5.0 / len(words), 1.0)
+               + 0.15 * (1 - least(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 10.0 / n_chars, 1.0)),
+               6) AS quality_score
+  FROM base
+),
+t AS (
+  SELECT lang,
+         quantile_cont(quality_score, 0.1) AS p10,
+         quantile_cont(quality_score, 0.9) AS p90
+  FROM q GROUP BY lang
+)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id, q.lang, q.quality_score
+FROM q JOIN t ON q.lang = t.lang
+WHERE q.quality_score >= t.p10 AND q.quality_score <= t.p90
+"""
+).replace(
+    "__ALL_STOP__",
+    "[" + ", ".join("'" + w + "'" for ms in LANG_MARKERS.values() for w in ms) + "]",
+)
+
+
+@register("quality_band_by_lang", _QUALITY_BAND_ORACLE)
+def q_quality_band_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_scores(docs).select("doc_id", "quality_score").join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"), "doc_id"
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile("quality_score", F.lit(0.1)).alias("p10"),
+        F.percentile("quality_score", F.lit(0.9)).alias("p90"),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .where(
+            (F.col("quality_score") >= F.col("p10"))
+            & (F.col("quality_score") <= F.col("p90"))
+        )
+        .select("doc_id", "lang", "quality_score")
+    )

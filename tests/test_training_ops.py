@@ -35,6 +35,7 @@ ORACLE_QUERIES = [
     "char_entropy_scores",
     "dedup_cluster_reps",
     "pii_scrub_docs",
+    "quality_band_by_lang",
 ]
 
 
