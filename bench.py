@@ -83,6 +83,13 @@ HEADLINE = [
     "curation_pipeline",
     "lm_bigram_scores",
     "dedup_sketch_report_fixed",
+    "reconstruct_docs_check",
+    "boilerplate_chunks",
+    "duplicated_spans_fixed",
+    "char_entropy_scores",
+    "dedup_cluster_reps",
+    "pii_scrub_docs",
+    "quality_band_by_lang",
 ]
 
 
