@@ -400,8 +400,8 @@ def q_synthetic_blob_ae_node_stats(spark: SparkSession, sf_dir: str) -> DataFram
 # HLL sketches of fixed-chunk identities, global row derived purely by
 # sketch union — the incremental any-subset dedup answer at 100 TB.
 # DataSketches register values aren't reproducible in DuckDB → rows-only
-# driver check; determinism and <2% accuracy vs exact are pinned in
-# tests/test_sketches.py.
+# driver check; repartition-stability and <2% accuracy vs exact are pinned
+# in tests/test_sketches.py.
 # ---------------------------------------------------------------------------
 
 
