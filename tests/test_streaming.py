@@ -304,3 +304,58 @@ def test_streaming_sketch_estimate_matches_exact(spark):
     for g, row in res.items():
         rel_err = abs(row["est_unique_chunks"] - exact[g]) / exact[g]
         assert rel_err < 0.02, (g, row["est_unique_chunks"], exact[g])
+
+
+def test_checkpoint_restart_recovers_dedup_state(spark, tmp_path):
+    """Kill the query between micro-batches, start a NEW query from the
+    same checkpoint: dropDuplicates state must come back from the state
+    store, so chunks first seen before the restart do NOT re-emit after
+    it — the recovery contract a production file/Kafka sink relies on.
+    The memory-sink harness can't show this; a durable parquet sink +
+    checkpointLocation does."""
+    import os
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").limit(60)
+    s1 = docs.where(F.col("doc_id") % 2 == 0)
+    s2 = docs  # stage 2 re-ships stage 1's docs plus the rest
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def start_query():
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        return (
+            incremental_unique_chunks(stream, 64)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    s1.write.mode("append").parquet(in_dir)
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir).select("hash").collect()
+    first_hashes = {r["hash"] for r in first}
+    assert len(first) == len(first_hashes) > 0
+
+    s2.write.mode("append").parquet(in_dir)
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    allrows = spark.read.parquet(out_dir).select("hash").collect()
+    all_hashes = [r["hash"] for r in allrows]
+    # exactly-once across the restart: no hash emitted twice, and the
+    # final set equals the batch-distinct set over the full corpus
+    assert len(all_hashes) == len(set(all_hashes)), "state lost: dup re-emitted"
+    batch = {
+        r["hash"]
+        for r in with_chunk_hash(fixed_chunks(docs, 64)).select("hash").distinct().collect()
+    }
+    assert set(all_hashes) == batch
