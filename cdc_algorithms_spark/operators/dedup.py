@@ -205,21 +205,30 @@ def duplicated_spans(
     sections, wholesale copies — and strip just those, keeping the
     unique remainder).
 
-    Plan: one shuffle keyed on the chunk identity marks chunks whose
-    key occurs under a different source anywhere in the corpus (count
-    vs max==min on the source — no self-matches), then a
-    gaps-and-islands window per source (chunk_idx minus a running
-    dup-rank is constant within a run) folds runs into span rows.
-    Nothing pairwise is ever materialized — cost stays O(chunks), not
-    O(doc pairs), which is what makes it viable at corpus scale.
+    Plan: a chunk-key AGGREGATE (count + min/max source — partial,
+    map-side) joined back marks chunks whose key occurs under a
+    different source (no self-matches); then a gaps-and-islands window
+    per source (chunk_idx minus a running dup-rank is constant within a
+    run) folds runs into span rows. Nothing pairwise is ever
+    materialized — cost stays O(chunks), not O(doc pairs).
+
+    The marking is deliberately aggregate+join rather than a
+    chunk-key window: a hot boilerplate chunk (millions of occurrences
+    at corpus scale) would pin a window's whole partition on one task,
+    while the aggregate combines map-side and AQE can split the skewed
+    probe side of the join.
     """
-    w_key = Window.partitionBy(key_col)
-    marked = chunks.withColumn(
+    key_stats = chunks.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min(id_col).alias("__src_min"),
+        F.max(id_col).alias("__src_max"),
+    )
+    marked = chunks.join(key_stats, key_col).withColumn(
         "__dup",
-        (F.count(F.lit(1)).over(w_key) > 1)
+        (F.col("__occ") > 1)
         & (
-            (F.min(id_col).over(w_key) != F.col(id_col))
-            | (F.max(id_col).over(w_key) != F.col(id_col))
+            (F.col("__src_min") != F.col(id_col))
+            | (F.col("__src_max") != F.col(id_col))
         ),
     )
     w_doc = Window.partitionBy(id_col).orderBy("chunk_idx")

@@ -280,9 +280,11 @@ def test_sketch_report_is_two_level_aggregate(spark):
 
 
 def test_duplicated_spans_shuffles_bounded(spark):
-    """Cross-doc dup marking + per-doc islands: chunk-key window, doc
-    window, span aggregate — and nothing pairwise (no joins at all)."""
+    """Cross-doc dup marking is aggregate+join (map-side partials; AQE
+    can split a hot-chunk probe side — a chunk-key window could not),
+    then per-doc islands window + span aggregate. One join, bounded
+    shuffles, nothing pairwise."""
     df = _q(spark, "duplicated_spans_fixed")
     assert P.python_eval_count(df) == 0
-    assert P.broadcast_join_count(df) + P.sort_merge_join_count(df) == 0
-    assert P.exchange_count(df) <= 3
+    assert P.broadcast_join_count(df) + P.sort_merge_join_count(df) == 1
+    assert P.exchange_count(df) <= 4
