@@ -69,13 +69,16 @@ def exact_dedup(
     if normalize:
         key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
     keyed = docs.select(F.col(id_col).alias("doc_id"), key.alias("__key"))
-    w = Window.partitionBy("__key")
-    return (
-        keyed.withColumn(
-            "canonical_id", F.min("doc_id").over(w).cast("long")
-        )
-        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
-        .select(F.col("doc_id").cast("long"), "canonical_id", "group_size")
+    # Aggregate + join rather than a key window: a massively duplicated
+    # page (millions of copies of one boilerplate text at corpus scale)
+    # would pin a window's whole partition on one task; the aggregate
+    # combines map-side and AQE can split the skewed probe side.
+    groups = keyed.groupBy("__key").agg(
+        F.min("doc_id").cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return keyed.join(groups, "__key").select(
+        F.col("doc_id").cast("long"), "canonical_id", "group_size"
     )
 
 
@@ -129,14 +132,16 @@ def ngram_jaccard_pairs(
             .select("doc_id", "shingle")
         )
 
-    # One shuffle attaches document frequency (count over a shingle
-    # window — no second shuffle for a join), one groupBy builds each
-    # doc's shingle list sorted rarest-first. That single persisted
-    # table serves BOTH roles: its array is the verification set, its
-    # head slice is the prefix.
-    w_sh = Window.partitionBy("shingle")
+    # Document frequency via aggregate + join-back (not a shingle
+    # window: stop-shingles — "of the and" — are exactly the hot keys
+    # that would pin a window partition on one task; the aggregate
+    # combines map-side and AQE can split the skewed probe side), then
+    # one groupBy builds each doc's shingle list sorted rarest-first.
+    # That single persisted table serves BOTH roles: its array is the
+    # verification set, its head slice is the prefix.
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        sh.join(df_counts, "shingle")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
         .select(
@@ -569,10 +574,17 @@ def chunk_overlap_pairs(
         .distinct()
     )
     if max_df is not None:
-        w_ck = Window.partitionBy("ck")
-        s = s.withColumn("df", F.count(F.lit(1)).over(w_ck)).where(
-            F.col("df") <= max_df
-        ).drop("df")
+        # aggregate + semi-join filter, not a key window — boilerplate
+        # chunks are the hot keys the max_df cap exists to drop, and
+        # they'd pin a window partition; the count table is tiny and
+        # the join side AQE-splittable
+        keep = (
+            s.groupBy("ck")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("ck")
+        )
+        s = s.join(keep, "ck", "left_semi")
     w_doc = Window.partitionBy("doc_id")
     s = s.withColumn("n", F.count(F.lit(1)).over(w_doc))
     a, b = s.alias("a"), s.alias("b")
