@@ -56,3 +56,80 @@ def test_distributed_chunking_single_tiny_blob(spark):
     ).collect()
     assert sum(r["length"] for r in rows) == 200
     assert [r["offset"] for r in sorted(rows, key=lambda r: r["chunk_idx"])][0] == 0
+
+
+def test_lm_bigram_scores_degenerate_docs(spark):
+    """Empty and single-word docs carry no bigram and must drop out
+    cleanly; a two-word doc scores ln(1) = 0 when its bigram is unique."""
+    from cdc_algorithms_spark.operators.textstats import lm_bigram_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "alpha beta"), (4, "alpha gamma")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_bigram_scores(docs).collect()}
+    assert set(rows) == {3, 4}
+    # both docs share prefix 'alpha' (c1=2), each bigram unique (c2=1):
+    # avg_logprob = ln(1/2)
+    import math
+
+    assert rows[3]["avg_logprob"] == rows[4]["avg_logprob"] == round(math.log(0.5), 6)
+
+
+def test_char_entropy_degenerate_docs(spark):
+    """Empty docs drop out; a one-char-alphabet doc has entropy 0; a
+    uniform n-char alphabet hits log2(n) exactly."""
+    from cdc_algorithms_spark.operators.textstats import char_entropy_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "abcd")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in char_entropy_scores(docs).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["entropy_bits"] == 0.0 and rows[2]["n_distinct_chars"] == 1
+    assert rows[3]["entropy_bits"] == 2.0 and rows[3]["n_distinct_chars"] == 4
+
+
+def test_duplicated_spans_no_cross_doc_dups(spark):
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fx
+    from cdc_algorithms_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "A" * 128), (2, "B" * 128)], ["doc_id", "text"]
+    )
+    assert duplicated_spans(_fx(docs, 64), min_chunks=2).count() == 0
+
+
+def test_reconstruct_handles_single_chunk_docs(spark):
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fx
+    from cdc_algorithms_spark.operators.dedup import reconstruct_docs
+
+    docs = spark.createDataFrame([(1, "short"), (2, "short")], ["doc_id", "text"])
+    chunks = _fx(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    restored = reconstruct_docs(
+        chunks.select("src_id", "chunk_idx", "hash"),
+        chunks.select("hash", "chunk_text").dropDuplicates(["hash"]),
+    ).collect()
+    assert {r["src_id"]: r["restored_text"] for r in restored} == {1: "short", 2: "short"}
+
+
+def test_quality_band_single_doc_stratum(spark):
+    """A language with one doc: p10 = p90 = its own score, so the doc
+    is kept — the band filter must not drop singleton strata."""
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+    import os, tempfile, shutil
+
+    # build a miniature sf dir with one zh doc and several en docs
+    tmp = tempfile.mkdtemp(prefix="cdc_band_")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"text number {i} with several plain words here", "en", "s", 40)
+             for i in range(6)]
+            + [(99, "一 二 三 四 五 六 七", "zh", "s", 13)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = SPARK_QUERIES["quality_band_by_lang"](spark, tmp).collect()
+        assert 99 in {r["doc_id"] for r in out}, "singleton stratum dropped"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
