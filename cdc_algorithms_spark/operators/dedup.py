@@ -176,10 +176,20 @@ def reconstruct_docs(
     unique-chunk-sized — broadcast when it fits, shuffle otherwise) and
     one grouping by source; assembly is array_sort + array_join inside
     codegen, no Python, no window, no per-row UDF.
+
+    The join is LEFT so an incomplete store cannot silently truncate a
+    document: recipe entries whose hash is absent from the store are
+    counted in ``n_missing`` (and still counted in ``n_chunks``), so
+    ``n_missing > 0`` is the loud corruption signal — an inner join
+    would just drop the chunks and make the short ``restored_text``
+    look consistent with its own ``n_chunks``.
     """
-    joined = recipes.join(store, hash_col)
+    joined = recipes.join(store, hash_col, "left")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col(text_col).isNull().cast("long")).cast("long").alias(
+            "n_missing"
+        ),
         F.array_join(
             F.transform(
                 F.array_sort(

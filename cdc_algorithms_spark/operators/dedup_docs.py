@@ -28,8 +28,12 @@ Everything is Catalyst expressions — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from cdc_algorithms_spark.functions.arrays import cosine_similarity
 from cdc_algorithms_spark.functions.text import shingles_of_words, words
@@ -492,6 +496,16 @@ def connected_components(
     practice while using only joins + groupBy. The driver loop carries
     no data — only the converged/changed counter — and lineage is cut
     with localCheckpoint each round so plans stay flat at scale.
+
+    ``max_iter`` bounds the loop; if propagation has not converged by
+    then (a component with diameter > max_iter — a chain, not a dup
+    cluster) a warning with the residual changed-label count is logged
+    and the partial labels are returned (components may be split, never
+    wrongly merged — labels only ever decrease toward the true
+    minimum). For such graphs — or for dup graphs so skewed that one
+    hub's neighbor list dominates a round — the O(log n)-round
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is the drop-in alternative.
     """
     # Partitioned by the join key BEFORE persisting: every round joins
     # edges on src, so the cached layout already satisfies the join's
@@ -512,7 +526,9 @@ def connected_components(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    changed = 0
+    converged = False
+    for rounds in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -533,7 +549,18 @@ def connected_components(
         changed = new_labels.where(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
+            _log.info("connected_components converged in %d rounds", rounds)
             break
+    if not converged:
+        _log.warning(
+            "connected_components did NOT converge after %d rounds "
+            "(%d labels still changing); components may be split. "
+            "Raise max_iter, or switch to large-star/small-star for "
+            "high-diameter graphs.",
+            max_iter,
+            changed,
+        )
     edges.unpersist()
     return labels.select(
         F.col("doc_id").cast("long"), F.col("component_id").cast("long")

@@ -187,19 +187,23 @@ def parallel_chunk_blob(
     overlap: int | None = None,
     id_col: str = "src_id",
     content_col: str = "content",
+    ordinals: str = "bucketed",
 ) -> DataFrame:
     """Distributed CDC chunking of binary blobs.
 
     Returns ``(src_id, algo, chunk_idx, offset, length, hash)`` where
     ``hash = blake2b64(chunk bytes)`` (the reference's DefaultHasher
-    role, ae.rs:75-78; see ``_h64``).
+    role, ae.rs:75-78; see ``_h64``). See :func:`chunk_segments` for
+    the ``ordinals`` modes.
     """
     if overlap is None:
         overlap = _default_overlap(
             make_params(algo, expected_size, seed, window_size=window_size)
         )
     segments = segment_blob_df(blobs, segment_len, overlap, id_col, content_col)
-    return chunk_segments(segments, algo, expected_size, seed, window_size)
+    return chunk_segments(
+        segments, algo, expected_size, seed, window_size, ordinals=ordinals
+    )
 
 
 def chunk_segments(
@@ -208,13 +212,28 @@ def chunk_segments(
     expected_size: int,
     seed: int = 0,
     window_size: int | None = None,
+    ordinals: str = "bucketed",
 ) -> DataFrame:
     """The segment→chunk pipeline over a prebuilt segment table
     (``src_id, seg_idx, left, right, blob_len, scan_start, payload``) —
     shared by :func:`parallel_chunk_blob` (in-memory blobs) and
     :func:`cdc_algorithms_spark.sources.segmented_files.segment_file_ranges`
     (executor-side range reads of files, the no-whole-blob 100 TB path).
+
+    ``ordinals`` controls the per-blob ``chunk_idx`` column:
+
+    * ``"bucketed"`` (default) — two-phase prefix count; every window
+      partition is bounded, correct at any blob size, at the price of
+      one metadata-row shuffle that Catalyst cannot prune away.
+    * ``"none"`` — omit ``chunk_idx`` entirely; the right choice for
+      aggregate-only consumers (dedup stats, concat checks) where the
+      ordinal machinery would be dead weight in the plan.
+    * ``"window"`` — single ``row_number`` window per blob; prunable
+      when unused, but puts all of a blob's chunk rows in one task —
+      only for small-blob corpora.
     """
+    if ordinals not in ("bucketed", "none", "window"):
+        raise ValueError(f"ordinals must be bucketed|none|window, got {ordinals!r}")
     if algo not in _BOUND_FNS:
         raise ValueError(f"unknown CDC algo {algo!r}; one of {sorted(_BOUND_FNS)}")
     params = make_params(algo, expected_size, seed, window_size=window_size)
@@ -467,19 +486,55 @@ def chunk_segments(
         F.col("b").alias("length"),
         "hash",
     )
-    # Global chunk ordinal per blob: a distributed sort, NOT a per-blob
-    # task — offsets are unique within a blob by construction (each kept
-    # cut ends exactly one chunk).
-    idx_w = Window.partitionBy("src_id").orderBy("offset")
-    return (
-        done.unionByName(rebuilt)
-        .withColumn("chunk_idx", F.row_number().over(idx_w) - 1)
+    merged = done.unionByName(rebuilt)
+    base_cols = [
+        "src_id",
+        F.lit(label).alias("algo"),
+        "offset",
+        "length",
+        "hash",
+    ]
+    if ordinals == "none":
+        return merged.select(*base_cols)
+    if ordinals == "window":
+        idx_w = Window.partitionBy("src_id").orderBy("offset")
+        return merged.withColumn(
+            "chunk_idx", (F.row_number().over(idx_w) - 1).cast("long")
+        ).select(*base_cols[:2], "chunk_idx", *base_cols[2:])
+
+    # "bucketed": global chunk ordinal per blob via a two-phase prefix
+    # count — NOT a row_number over Window.partitionBy(src_id), which
+    # would put every chunk row of a blob in one task (billions of rows
+    # for a 100 TB blob). Offsets are unique within a blob (each kept
+    # cut ends exactly one chunk) and bucket = offset // W is monotone
+    # in offset, so (bucket, offset) order == offset order:
+    #   1. count chunks per (blob, bucket) — partial-agg shuffle of
+    #      metadata rows;
+    #   2. cumulative base per bucket over the tiny aggregated frame
+    #      (O(blob_len / W) rows per blob);
+    #   3. row_number within each bounded (blob, bucket) partition plus
+    #      the bucket's base.
+    bucket_w = expected_size * 1024  # ~1024 chunks per window partition
+    merged = merged.withColumn("__bkt", F.floor(F.col("offset") / bucket_w))
+    prior_buckets = (
+        Window.partitionBy("src_id")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        merged.groupBy("src_id", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
         .select(
             "src_id",
-            F.lit(label).alias("algo"),
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            "offset",
-            "length",
-            "hash",
+            "__bkt",
+            F.coalesce(F.sum("__n").over(prior_buckets), F.lit(0)).alias(
+                "__base"
+            ),
         )
+    )
+    in_bucket = Window.partitionBy("src_id", "__bkt").orderBy("offset")
+    return (
+        merged.join(bases, ["src_id", "__bkt"])
+        .withColumn("chunk_idx", F.col("__base") + F.row_number().over(in_bucket) - 1)
+        .select(*base_cols[:2], F.col("chunk_idx").cast("long"), *base_cols[2:])
     )

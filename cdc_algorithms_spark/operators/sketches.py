@@ -104,12 +104,16 @@ def sketch_dedup_report(
     ``(group, n_chunks, total_bytes, est_unique_chunks,
     est_dup_ratio)`` where ``est_dup_ratio = 1 − est_unique/n_chunks``
     (share of chunk occurrences that are repeats, per the sketch).
+
+    The group column is cast to string so the global row's ``'*'``
+    label unions cleanly with non-string group keys (e.g. an int
+    partition id).
     """
     if len(group_cols) != 1:
         raise ValueError("sketch_dedup_report takes exactly one group column")
     per = chunk_sketches(chunks, group_cols, key_col, length_col, lg_k)
     glob = sketch_rollup(per).withColumn("group", F.lit("*"))
-    per = per.withColumnRenamed(group_cols[0], "group")
+    per = per.withColumn("group", F.col(group_cols[0]).cast("string"))
     cols = ["group", "n_chunks", "total_bytes", "est_unique_chunks"]
     out = per.select(*cols).unionByName(glob.select(*cols))
     return out.withColumn(

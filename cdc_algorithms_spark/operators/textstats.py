@@ -222,22 +222,29 @@ def repetition_ratios(
     whose n-gram appears more than once). High values flag boilerplate /
     looping generations in a training corpus.
 
-    Plan shape: one scan → shingle explode per n (unioned) → two
-    hash aggregates keyed by doc — the same partial-agg pattern as any
-    word-count, so it scales linearly and shuffles only
-    (doc_id, n, gram-hash)-sized rows, never documents.
+    Plan shape: ONE scan + ONE explode — the per-n shingle arrays are
+    tagged with n and flattened into a single array before exploding, so
+    the corpus is read and tokenized once regardless of ``len(ns)``
+    (a union of per-n explodes would re-scan and re-split per n) — then
+    two hash aggregates keyed by doc, the same partial-agg pattern as
+    any word-count: shuffles only (doc_id, n, gram)-sized rows, never
+    documents.
     """
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), words(text_col).alias("__ws")
     )
-    grams = None
-    for n in ns:
-        g = base.select(
-            "doc_id",
-            F.lit(n).cast("int").alias("n"),
-            F.explode(shingles_of_words(F.col("__ws"), n)).alias("g"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    # NB: the tag lambda must be unary — PySpark gives a two-parameter
+    # HOF lambda (element, index), so a `lambda s, _n=n:` default-arg
+    # closure would silently bind _n to the array INDEX.
+    def _tag(_n: int):
+        return lambda s: F.struct(F.lit(_n).cast("int").alias("n"), s.alias("g"))
+
+    tagged = [
+        F.transform(shingles_of_words(F.col("__ws"), n), _tag(n)) for n in ns
+    ]
+    grams = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*tagged))).alias("__x")
+    ).select("doc_id", "__x.n", "__x.g")
     counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         counts.groupBy("doc_id", "n")
@@ -262,6 +269,7 @@ def lm_bigram_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_bigrams: bool = True,
 ) -> DataFrame:
     """Corpus-trained word-bigram language-model score per document:
     ``(doc_id, n_bigrams, avg_logprob)`` where ``avg_logprob`` is the
@@ -278,11 +286,14 @@ def lm_bigram_scores(
     map-side); scoring joins the bigram rows back on (w1, w2). The model
     table is vocabulary-sized — orders smaller than the corpus — so AQE
     broadcasts it under the threshold, and the per-doc average is a final
-    doc_id-keyed aggregate. Nothing document-sized ever shuffles. The
-    bigram expansion is recomputed for each of the three consumers
-    (scan reuse is cheaper than materializing an exploded corpus-sized
-    table); persist the bigram frame manually if the input scan, not the
-    shuffle, dominates.
+    doc_id-keyed aggregate. Nothing document-sized ever shuffles.
+
+    The bigram frame feeds THREE consumers (bigram counts, prefix
+    counts, the scoring probe), so by default it is persisted
+    (``cache_bigrams=True``) — the regex tokenization + explode run
+    once instead of three times. Set ``cache_bigrams=False`` when
+    executor storage is the scarcer resource (the exploded frame is
+    ~2× corpus size) and re-scanning is cheaper than spilling.
     """
     ws = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), words(text_col).alias("__ws")
@@ -296,6 +307,8 @@ def lm_bigram_scores(
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    if cache_bigrams:
+        bi = bi.persist()
     bigram_c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     prefix_c = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     model = bigram_c.join(prefix_c, "w1").select(

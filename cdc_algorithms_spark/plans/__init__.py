@@ -18,6 +18,7 @@ from cdc_algorithms_spark.plans.inspect import (
     pushed_filters,
     python_eval_count,
     read_schema_columns,
+    window_partition_columns,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "read_schema_columns",
     "python_eval_count",
     "codegen_stage_count",
+    "window_partition_columns",
 ]

@@ -72,6 +72,30 @@ def python_eval_count(df: DataFrame) -> int:
     )
 
 
+def window_partition_columns(df: DataFrame) -> list[list[str]]:
+    """Partition-key column names of every Window operator in the plan —
+    the skew witness: a window keyed by raw content (e.g. document
+    ``text``) lands every copy of a hot duplicate on one task, and a
+    window keyed by a handful-of-values column alone (e.g. ``lang``
+    over raw rows) caps parallelism at the key cardinality."""
+    plan = physical_plan(df, "simple")
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = re.findall(r"\[([^\[\]]*)\]", line)
+        if len(groups) < 2:  # Window [...], [partition], [order]
+            continue
+        part = groups[-2]
+        cols = [
+            re.sub(r"#\d+L?$", "", c.strip())
+            for c in part.split(",")
+            if c.strip()
+        ]
+        out.append(cols)
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans (wider is generally better —
     fused JVM loops with no row materialization between operators)."""

@@ -275,7 +275,7 @@ def documents_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parallel_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = parallel_chunk_blob(
         documents_blob(spark, sf_dir), "ae", 320,
-        segment_len=PARALLEL_SEGMENT_LEN,
+        segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
     )
     return dedup_stats(chunks, key_col="hash")
 
@@ -287,7 +287,7 @@ def q_parallel_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parallel_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = parallel_chunk_blob(
         documents_blob(spark, sf_dir), "ae", 320,
-        segment_len=PARALLEL_SEGMENT_LEN,
+        segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
     )
     return chunks.agg(F.sum("length").cast("long").alias("total_len"))
 
@@ -296,9 +296,26 @@ def q_parallel_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parallel_rabin_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = parallel_chunk_blob(
         documents_blob(spark, sf_dir), "rabin", 256, seed=7,
-        segment_len=PARALLEL_SEGMENT_LEN,
+        segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
     )
     return dedup_stats(chunks, key_col="hash")
+
+
+@register(
+    "parallel_rabin_concat_check",
+    "SELECT CAST(SUM(n_chars) AS BIGINT) AS total_len FROM documents",
+)
+def q_parallel_rabin_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-conservation oracle for the Rabin distributed pipeline
+    (reference rabin.rs:61-90 ``get_bounds`` + rabin.rs:92-128
+    ``parallel_chunking``, with the rabin.rs:101 segment-bound bug
+    corrected): the seam-merged chunk lengths must sum exactly to the
+    corpus size — mirrors ``parallel_ae_concat_check``."""
+    chunks = parallel_chunk_blob(
+        documents_blob(spark, sf_dir), "rabin", 256, seed=7,
+        segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
+    )
+    return chunks.agg(F.sum("length").cast("long").alias("total_len"))
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +334,7 @@ def q_binaryfile_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = load_binary_files(spark, sf_dir, "*.parquet").select(
         F.xxhash64("path").alias("src_id"), F.col("content")
     )
-    chunks = parallel_chunk_blob(files, "ae", 4096, segment_len=262144)
+    chunks = parallel_chunk_blob(files, "ae", 4096, segment_len=262144, ordinals="none")
     return dedup_stats(chunks, key_col="hash")
 
 
@@ -333,7 +350,9 @@ def q_file_ranges_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = segment_file_ranges(
         spark, f"{sf_dir}/*.parquet", segment_len=262144, overlap=4096 - 256
     )
-    return dedup_stats(chunk_segments(segs, "ae", 4096), key_col="hash")
+    return dedup_stats(
+        chunk_segments(segs, "ae", 4096, ordinals="none"), key_col="hash"
+    )
 
 
 @register("datasource_ae_dedup_stats")
@@ -350,7 +369,9 @@ def q_datasource_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = read_file_segments(
         spark, f"{sf_dir}/*.parquet", segment_len=262144, overlap=4096 - 256
     )
-    return dedup_stats(chunk_segments(segs, "ae", 4096), key_col="hash")
+    return dedup_stats(
+        chunk_segments(segs, "ae", 4096, ordinals="none"), key_col="hash"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -392,7 +413,9 @@ def q_synthetic_blob_ae_node_stats(spark: SparkSession, sf_dir: str) -> DataFram
         overlap=SYNTH_EXPECTED - 256,
         seed=11,
     )
-    return dedup_stats(chunk_segments(segs, "ae", SYNTH_EXPECTED), key_col="hash")
+    return dedup_stats(
+        chunk_segments(segs, "ae", SYNTH_EXPECTED, ordinals="none"), key_col="hash"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -540,3 +563,104 @@ def q_duplicated_spans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return duplicated_spans(fixed_chunks(docs, FIXED_SIZE), min_chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (COVERAGE.md "verification rotation").
+#
+# The external driver compares the FIRST 50 registry entries against their
+# DuckDB oracles each round (CORRECTNESS_r01 was exactly registration
+# positions 1-50, leaving 66 oracle-backed queries unverified). The
+# registry is therefore re-ordered after all registrations:
+#
+#   1. an explicit per-round verification window (oracle-backed queries
+#      with no green driver row yet, plus fixes that must re-verify),
+#   2. the remaining never-green oracle-backed backlog (next rotation),
+#   3. previously-green oracle-backed queries (re-verified when the
+#      window allows),
+#   4. no-oracle entries (rows-only checks — least driver signal) last.
+#
+# Implementations are untouched; this is pure dict ordering.
+# ---------------------------------------------------------------------------
+
+# hash_match == true rows in CORRECTNESS_r01.json (driver DuckDB oracle, sf0.01)
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    "fixed_chunks", "fixed_dedup_stats", "ae_concat_check",
+    "rabin_concat_check", "fastcdc_concat_check", "chunk_size_histogram_fixed",
+    "dedup_stats_by_lang", "parallel_ae_concat_check", "snapshot_diff_fixed",
+    "change_ratio_fixed", "sync_plan_fixed", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "brand_volume",
+    "top_order_per_customer", "events_json_stats", "user_sessions",
+    "purchase_and_error_users", "docs_rollup", "events_cube",
+    "docs_grouping_sets", "events_pivot_by_type", "sliding_event_value",
+    "chunk_len_median_udaf", "events_hourly_locf",
+    "sql_frontend_pricing_summary", "rolling_7d_user_value",
+    "customer_balance_quartiles", "events_props_map_stats", "profile_orders",
+    "events_variant_stats", "q6_forecast_revenue",
+})
+
+# Round-2 window: 50 oracle-backed queries with no green row yet —
+# r01 fixes first, then TPC-H extra, subqueries, join family,
+# LLM-pipeline, and the north-star streaming change-feed queries.
+_VERIFY_WINDOW: list[str] = [
+    # r01 failures, re-verifying their fixes
+    "price_quantiles", "part_metrics_unpivot",
+    # new this round: Rabin distributed byte-conservation (C6/P2)
+    "parallel_rabin_concat_check",
+    # TPC-H extra (18)
+    "q2_cheapest_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_stock", "q12_late_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    # subqueries (scalar / correlated)
+    "orders_above_global_avg", "suppliers_above_nation_avg",
+    # join family (as-of / range / interval / anti / semi / salted)
+    "asof_last_view_before_purchase", "value_band_range_join",
+    "order_pairs_within_30d", "customers_no_1995_order",
+    "parts_shipped_1998_semi", "viewers_never_purchased",
+    "monthly_order_stats", "salted_user_segment_join",
+    # LLM-pipeline (15)
+    "exact_dedup_docs", "ngram_jaccard_pairs", "embedding_near_dup",
+    "ann_bruteforce_topk", "lang_marker_hits", "language_id",
+    "quality_scores", "token_counts", "repetition_ratios",
+    "curation_pipeline", "lm_bigram_scores", "char_entropy_scores",
+    "dedup_cluster_reps", "pii_scrub_docs", "quality_band_by_lang",
+    # streaming change-detection north star (4)
+    "streaming_stateful_ae_concat_check", "streaming_change_feed",
+    "streaming_sync_totals", "streaming_novel_chunks_by_lang",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _VERIFY_WINDOW if n not in SPARK_QUERIES]
+    assert not missing, f"verify window references unknown queries: {missing}"
+    no_oracle = [n for n in _VERIFY_WINDOW if n not in ORACLE_SQL]
+    assert not no_oracle, f"verify window entries without oracles: {no_oracle}"
+
+    ordered: list[str] = []
+    seen: set[str] = set()
+
+    def take(names) -> None:
+        for n in names:
+            if n in SPARK_QUERIES and n not in seen:
+                ordered.append(n)
+                seen.add(n)
+
+    take(_VERIFY_WINDOW)
+    take(n for n in SPARK_QUERIES if n in ORACLE_SQL and n not in _DRIVER_GREEN)
+    take(n for n in SPARK_QUERIES if n in ORACLE_SQL)
+    take(SPARK_QUERIES)
+    assert len(ordered) == len(SPARK_QUERIES)
+
+    reordered = {n: SPARK_QUERIES[n] for n in ordered}
+    SPARK_QUERIES.clear()
+    SPARK_QUERIES.update(reordered)
+    oracle = {n: ORACLE_SQL[n] for n in ordered if n in ORACLE_SQL}
+    ORACLE_SQL.clear()
+    ORACLE_SQL.update(oracle)
+
+
+_reorder_registry()

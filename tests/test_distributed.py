@@ -206,3 +206,35 @@ def test_ramp_blob_cuts_cross_check(spark):
         assert set(dist_ends) <= set(seq_cuts)
         n_seams = (len(data) - 1) // seg_len
         assert len(set(seq_cuts) - set(dist_ends)) <= n_seams
+
+
+def test_ordinal_modes_agree_and_none_omits(spark, blob, blob_df):
+    """chunk_idx from the scalable two-phase prefix count ('bucketed',
+    default) must equal the per-blob window ordinal exactly — blob
+    length here spans multiple ordinal buckets (bucket width =
+    expected_size·1024 = 320 KiB at expected 320, segment 16 KiB), so
+    the cross-bucket base offsets are actually exercised. 'none' must
+    omit the column (the aggregate-only fast path)."""
+    kwargs = dict(algo="ae", expected_size=320, segment_len=16384)
+    bucketed = parallel_chunk_blob(blob_df, ordinals="bucketed", **kwargs)
+    windowed = parallel_chunk_blob(blob_df, ordinals="window", **kwargs)
+    b = {r["offset"]: r["chunk_idx"] for r in bucketed.collect()}
+    w = {r["offset"]: r["chunk_idx"] for r in windowed.collect()}
+    assert b == w and sorted(b.values()) == list(range(len(b)))
+
+    none = parallel_chunk_blob(blob_df, ordinals="none", **kwargs)
+    assert "chunk_idx" not in none.columns
+    assert none.count() == len(b)
+
+
+def test_stats_route_plan_has_no_ordinal_machinery(spark):
+    """The dedup-stats queries opt out of chunk_idx (ordinals='none'):
+    their plans must carry no ordinal join/window — only the Phase-C
+    piece-reassembly join and the dedup aggregates."""
+    from cdc_algorithms_spark import plans as P
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["parallel_ae_dedup_stats"](spark, "/root/testdata/sf0.001")
+    assert not P.window_partition_columns(df)
+    assert P.broadcast_join_count(df) + P.sort_merge_join_count(df) <= 1
+    assert P.exchange_count(df) <= 8

@@ -113,6 +113,42 @@ def test_reconstruct_handles_single_chunk_docs(spark):
     assert {r["src_id"]: r["restored_text"] for r in restored} == {1: "short", 2: "short"}
 
 
+def test_reconstruct_flags_missing_store_chunks(spark):
+    """An incomplete content-addressed store must be LOUD: recipe
+    entries with no store row count into n_missing instead of silently
+    truncating restored_text with a self-consistent n_chunks."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fx
+    from cdc_algorithms_spark.operators.dedup import reconstruct_docs
+
+    docs = spark.createDataFrame([(1, "x" * 64 + "y" * 64)], ["doc_id", "text"])
+    chunks = _fx(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    store = (
+        chunks.select("hash", "chunk_text")
+        .dropDuplicates(["hash"])
+        .where(F.col("chunk_text").startswith("x"))  # drop the y-chunk
+    )
+    row = reconstruct_docs(
+        chunks.select("src_id", "chunk_idx", "hash"), store
+    ).collect()[0]
+    assert row["n_chunks"] == 2
+    assert row["n_missing"] == 1
+    assert row["restored_text"] == "x" * 64  # what survived, flagged short
+
+
+def test_sketch_report_accepts_nonstring_group(spark):
+    """An int group column (e.g. a partition id) must union with the
+    global '*' row — the group key is cast to string internally."""
+    from cdc_algorithms_spark.operators.sketches import sketch_dedup_report
+
+    chunks = spark.createDataFrame(
+        [(1, "aa", 2), (1, "bb", 2), (2, "aa", 2), (2, "cc", 2)],
+        ["part_id", "chunk_text", "length"],
+    )
+    rows = sketch_dedup_report(chunks, group_cols=("part_id",)).collect()
+    groups = {r["group"] for r in rows}
+    assert groups == {"1", "2", "*"}
+
+
 def test_quality_band_single_doc_stratum(spark):
     """A language with one doc: p10 = p90 = its own score, so the doc
     is kept — the band filter must not drop singleton strata."""

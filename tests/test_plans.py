@@ -288,3 +288,22 @@ def test_duplicated_spans_shuffles_bounded(spark):
     assert P.python_eval_count(df) == 0
     assert P.broadcast_join_count(df) + P.sort_merge_join_count(df) == 1
     assert P.exchange_count(df) <= 4
+
+
+def test_curation_pipeline_windows_are_skew_safe(spark):
+    """The curation flow must never window-partition by raw ``text``
+    (hot duplicate → one task) and must bound its running sum to
+    (lang, bucket) partitions instead of whole-language ones; the only
+    lang-alone window allowed is the tiny per-bucket offsets frame
+    (post-aggregate, O(buckets) rows)."""
+    df = _q(spark, "curation_pipeline")
+    specs = P.window_partition_columns(df)
+    assert specs, "expected window operators in the plan"
+    for cols in specs:
+        assert "text" not in cols, f"text-keyed window: {cols}"
+    assert any(
+        "lang" in cols and "bucket" in cols for cols in specs
+    ), f"bounded (lang, bucket) running-sum window missing: {specs}"
+    # dedup is aggregate+join, not a text window: the text exchange is
+    # the partial-aggregated groupBy, and exactly one such key exists
+    assert P.python_eval_count(df) == 0

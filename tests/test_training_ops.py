@@ -267,6 +267,49 @@ def test_components_merge_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_components_pathological_star_graph(spark):
+    """One hub connected to every spoke — the max-skew dup graph (a
+    boilerplate page duplicated n times all pairing with one canonical).
+    Must converge fast (diameter 2) with every node labeled by the hub's
+    min id, and the skewed neighbor list must not break the join path."""
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    n = 2000
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    rows = connected_components(pairs, max_iter=5).collect()
+    assert len(rows) == n
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_components_nonconvergence_warns_not_hangs(spark, caplog):
+    """A path graph with diameter > max_iter must stop at the cap,
+    return partial (never wrongly merged) labels, and log the residual
+    changed count."""
+    import logging
+
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with caplog.at_level(logging.WARNING, "cdc_algorithms_spark.operators.dedup_docs"):
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(pairs, max_iter=3).collect()
+        }
+    assert any("did NOT converge" in r.message for r in caplog.records)
+    # labels only decrease toward the true min: nothing merged wrongly
+    assert all(cid <= did for did, cid in got.items())
+    # ...and convergence with enough rounds yields the single component
+    full = {
+        r["component_id"]
+        for r in connected_components(pairs, max_iter=40).collect()
+    }
+    assert full == {0}
+
+
 def test_stratified_sample_and_tfidf_match_oracle(spark, sf_dir):
     from tests.oracle import compare_with_oracle
 
