@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_cluster_reps",
     "pii_scrub_docs",
     "quality_band_by_lang",
+    "benchmark_decontamination",
 ]
 
 
@@ -125,6 +126,7 @@ BASELINE_SF01 = {
     "duplicated_spans_fixed": 0.40, "char_entropy_scores": 0.27,
     "dedup_cluster_reps": 1.94, "pii_scrub_docs": 0.14,
     "quality_band_by_lang": 0.80,
+    "benchmark_decontamination": 1.00,  # added r02 (median-of-3 at pin time)
 }
 
 

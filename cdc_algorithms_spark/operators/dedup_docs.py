@@ -567,6 +567,48 @@ def connected_components(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how much of it
+    overlaps an evaluation set — ``(doc_id, n_shingles, n_shared,
+    overlap_frac)`` where ``n_shared`` counts the doc's distinct word
+    n-grams that also occur anywhere in ``bench``. The standard
+    train-set hygiene step before an LLM run: drop (or flag) docs with
+    ``n_shared > 0`` (long n-grams make accidental collisions rare).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (thousands of eval docs vs billions of training docs), so its
+    distinct-shingle set BROADCASTS; the training side is one map-only
+    shingle explode + broadcast hash join + doc-keyed aggregate —
+    nothing corpus-sized shuffles, no pairwise anything.
+    """
+    tr = doc_shingles(train, n, id_col, text_col)
+    bench_sh = (
+        doc_shingles(bench, n, id_col, text_col).select("shingle").distinct()
+    )
+    totals = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    hits = (
+        tr.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        F.col("doc_id").cast("long"),
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        F.round(
+            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("overlap_frac"),
+    )
+
+
 def chunk_overlap_pairs(
     chunks: DataFrame,
     threshold: float = 0.5,

@@ -635,11 +635,10 @@ _VERIFY_WINDOW: list[str] = [
 
 
 def _reorder_registry() -> None:
-    missing = [n for n in _VERIFY_WINDOW if n not in SPARK_QUERIES]
-    assert not missing, f"verify window references unknown queries: {missing}"
-    no_oracle = [n for n in _VERIFY_WINDOW if n not in ORACLE_SQL]
-    assert not no_oracle, f"verify window entries without oracles: {no_oracle}"
-
+    # Window hygiene (unknown names, oracle-less entries) is pinned by
+    # tests/test_api.py::test_verify_window_composition — NOT asserted
+    # here, so a stale window name can never take down the whole driver
+    # contract at import time.
     ordered: list[str] = []
     seen: set[str] = set()
 

@@ -870,6 +870,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- benchmark decontamination ----------------------------------------------
+# Train-set hygiene before an LLM run: flag training docs sharing word
+# n-grams with an evaluation set. The fixture's "benchmark" is the
+# deterministic doc_id % 17 == 0 slice; everything else is "train".
+
+DECONTAM_N = 5
+_DECONTAM_MOD = 17
+
+_DECONTAM_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(DECONTAM_N)},
+tr AS (SELECT * FROM sh WHERE doc_id % {_DECONTAM_MOD} <> 0),
+be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECONTAM_MOD} = 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM tr JOIN be USING (shingle) GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       ROUND(COALESCE(h.n_shared, 0) * 1.0 / t.n_shingles, 6) AS overlap_frac
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+
+@register("benchmark_decontamination", _DECONTAM_ORACLE)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup_docs import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
+    return decontaminate(train, bench, n=DECONTAM_N)
+
+
 # --- bigram language-model perplexity scoring -------------------------------
 # The statistical tier of quality scoring: a word-bigram MLE model trained
 # on the corpus itself, each document scored by its mean ln-probability.

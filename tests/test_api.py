@@ -73,3 +73,39 @@ def test_text_verbs(spark):
     assert api.language(docs).count() == docs.count()
     assert api.repetition(docs).count() == 2 * docs.count()
     assert api.fingerprints(docs).count() > 0
+
+
+def test_verify_window_composition():
+    """The driver oracle-compares the FIRST 50 registry entries; the
+    window must therefore be exactly the declared _VERIFY_WINDOW, every
+    entry oracle-backed, every name real (the reorder itself is lenient
+    so a stale name can't break the driver contract at import — this
+    test is where staleness fails loudly)."""
+    from cdc_algorithms_spark.queries import (
+        ORACLE_SQL,
+        SPARK_QUERIES,
+        _DRIVER_GREEN,
+        _VERIFY_WINDOW,
+    )
+
+    missing = [n for n in _VERIFY_WINDOW if n not in SPARK_QUERIES]
+    assert not missing, f"window references unknown queries: {missing}"
+    assert len(_VERIFY_WINDOW) == 50
+    assert len(set(_VERIFY_WINDOW)) == 50
+    head = list(SPARK_QUERIES)[:50]
+    assert head == _VERIFY_WINDOW
+    assert all(n in ORACLE_SQL for n in head)
+    stale_green = [n for n in _DRIVER_GREEN if n not in SPARK_QUERIES]
+    assert not stale_green, f"green-set references unknown queries: {stale_green}"
+    # backlog ordering: every oracle-backed never-green query precedes
+    # all previously-green and no-oracle entries
+    names = list(SPARK_QUERIES)
+    backlog_end = max(
+        i for i, n in enumerate(names)
+        if n in ORACLE_SQL and n not in _DRIVER_GREEN
+    )
+    for i in range(backlog_end):
+        n = names[i]
+        assert n in ORACLE_SQL and n not in _DRIVER_GREEN or i < 50, (
+            f"ordering violated at {i}: {n}"
+        )

@@ -307,3 +307,13 @@ def test_curation_pipeline_windows_are_skew_safe(spark):
     # dedup is aggregate+join, not a text window: the text exchange is
     # the partial-aggregated groupBy, and exactly one such key exists
     assert P.python_eval_count(df) == 0
+
+
+def test_decontamination_broadcasts_bench_side(spark):
+    """The benchmark shingle set must broadcast (it is tiny vs the
+    corpus); the training side is map-only explode + doc-keyed
+    aggregates — no corpus-sized shuffle, no Python."""
+    df = _q(spark, "benchmark_decontamination")
+    assert P.python_eval_count(df) == 0
+    assert P.broadcast_join_count(df) >= 1
+    assert P.sort_merge_join_count(df) <= 1  # totals⋈hits on doc_id only

@@ -382,3 +382,31 @@ def test_pii_scrub_detects_and_redacts(spark):
     assert (rows[2]["n_emails"], rows[2]["n_ipv4"], rows[2]["n_phones"]) == (0, 0, 0)
     assert rows[2]["redacted_text"] == docs.collect()[1]["text"]
     assert rows[3]["redacted_text"] == ""
+
+
+def test_benchmark_decontamination_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "benchmark_decontamination", sf_dir)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc containing a benchmark doc verbatim must be flagged
+    with full overlap; an unrelated doc must report zero shared."""
+    from cdc_algorithms_spark.operators.dedup_docs import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, bench, n=5).collect()}
+    assert got[1]["n_shared"] > 0
+    assert got[2]["n_shared"] == 0
+    assert got[2]["overlap_frac"] == 0.0
