@@ -567,6 +567,111 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id) via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round alternative to :func:`connected_components` for
+    graphs where min-label's O(diameter) rounds or a hub's single-task
+    neighbor list would hurt: long chains, heavily skewed dup graphs.
+
+    Each round is two aggregate+join passes over the edge list:
+
+    * large-star: every node links its LARGER neighbors to its current
+      minimum neighbor — hubs shrink because their big neighborhoods
+      re-point in one pass (the aggregate is map-side partial, so a
+      billion-spoke hub never lands on one task);
+    * small-star: every node links its smaller-or-equal neighbors to
+      the minimum — flattening chains by pointer doubling.
+
+    Convergence is detected with a count + order-insensitive xxhash
+    checksum of the edge set (no expensive set diff); the fixpoint is a
+    star forest where every node's sole neighbor is its component
+    minimum. Use min-label for shallow near-dup clusters (fewer, lighter
+    rounds); use this for adversarial shapes.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+    )
+    nodes = sym.select(F.col("u").alias("doc_id")).distinct()
+
+    def _edge_sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
+        ).collect()[0]
+        return row["n"], row["sig"]
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        directed = (
+            e.where(cond)
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        if not large:
+            # small-star also links u itself to its minimum — without
+            # this the largest node of a component (no v > u neighbor to
+            # re-emit it in the next large-star) would detach.
+            directed = directed.unionByName(
+                mins.select(F.col("u"), F.col("m").alias("v")).where(
+                    F.col("u") != F.col("v")
+                )
+            )
+        return (
+            directed.unionByName(
+                directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+    edges = sym.localCheckpoint()
+    sig = _edge_sig(edges)
+    converged = False
+    for rounds in range(1, max_iter + 1):
+        edges = _star(_star(edges, large=True), large=False)
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            converged = True
+            _log.info("connected_components_star converged in %d rounds", rounds)
+            break
+        sig = new_sig
+    if not converged:
+        _log.warning(
+            "connected_components_star did NOT converge after %d rounds",
+            max_iter,
+        )
+    # Fixpoint is a star forest: each node's min neighbor is its root;
+    # roots (and isolated-after-self-loop-removal nodes) label themselves.
+    labels = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        F.col("u").alias("doc_id"),
+        F.least("u", "mv").alias("component_id"),
+    )
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("component_id", F.col("doc_id")).cast("long").alias(
+                "component_id"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -410,3 +410,48 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert got[1]["n_shared"] > 0
     assert got[2]["n_shared"] == 0
     assert got[2]["overlap_frac"] == 0.0
+
+
+def test_star_components_match_minlabel(spark):
+    """Large-star/small-star must produce identical components to
+    min-label propagation on random and structured graphs."""
+    import random
+
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(5)
+    cases = {
+        "random": [(rng.randrange(120), rng.randrange(120)) for _ in range(90)],
+        "star": [(0, i) for i in range(1, 300)],
+        "two": [(1, 2), (3, 4), (5, 6), (2, 3)],
+    }
+    for name, pairs_list in cases.items():
+        df = spark.createDataFrame(pairs_list, ["id_a", "id_b"])
+        a = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        b = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, name
+
+
+def test_star_components_logarithmic_rounds_on_chain(spark):
+    """A 300-edge path needs ~300 min-label rounds but must converge
+    within 12 star rounds (pointer doubling) — the reason the star
+    scheme exists for high-diameter graphs."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    got = connected_components_star(pairs, max_iter=12).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == 301
