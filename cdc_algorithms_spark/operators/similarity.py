@@ -294,3 +294,79 @@ def embedding_clusters(
             F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    threshold: float = 0.95,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the embedding
+    corpus with k-means, then WITHIN each cluster drop every vector
+    whose cosine to an already-kept lower-id vector is ≥ ``threshold``.
+    Returns ``(vec_id, cluster, keep, dup_of, dup_cosine)`` — ``dup_of``
+    is the kept vector that shadowed a dropped one (null for keepers).
+
+    Why the cluster stage exists: pairwise cosine over the full corpus
+    is O(n²); clustering bounds the quadratic work to within-cell pairs
+    (near-duplicates land in the same cell because they are near the
+    same centroid). ``k`` is the dial: pick it so the expected cell size
+    (n/k) keeps the per-cell O(m²) BLAS kernel in memory — for
+    pathologically hot cells, raise k or pre-split cells (same guidance
+    as IVF). Assignment is a codegen'd broadcast-centroid expression;
+    the only shuffle is the groupBy(cluster) feeding the per-cell
+    kernel; the greedy keep rule is deterministic (ascending id), so
+    output is reproducible across partitionings.
+    """
+    cents = kmeans_centroids(corpus, k, dim, iters, corpus_id, vec_col, seed)
+    assigned = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+        _nearest_cell(F.col(vec_col), cents).alias("cluster"),
+    )
+
+    def dedup_cell(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X /= norms
+        m = len(pdf)
+        keep = np.ones(m, dtype=bool)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        dup_cos = np.full(m, np.nan)
+        C = X @ X.T
+        for i in range(1, m):
+            kept_idx = np.nonzero(keep[:i])[0]
+            if kept_idx.size == 0:
+                continue
+            sims = C[i, kept_idx]
+            j = int(np.argmax(sims))
+            if sims[j] >= threshold:
+                keep[i] = False
+                dup_of[i] = int(pdf["vec_id"].iloc[int(kept_idx[j])])
+                dup_cos[i] = round(float(sims[j]), 6)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster": pd.Series([int(key[0])] * m, dtype="int32"),
+                "keep": keep,
+                "dup_of": pd.Series(
+                    [None if d < 0 else d for d in dup_of], dtype="object"
+                ),
+                "dup_cosine": dup_cos,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cell,
+        "vec_id long, cluster int, keep boolean, dup_of long, dup_cosine double",
+    )

@@ -208,6 +208,19 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_clusters(emb, k=8, dim=64, iters=3)
 
 
+@register("semantic_dedup_embeddings")
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding corpus:
+    k-means cells bound the quadratic work, then per-cell cosine prunes
+    near-identical vectors (rows-only driver check — Lloyd iterations
+    aren't SQL-expressible; planted-duplicate and determinism invariants
+    are asserted in tests/test_training_ops.py)."""
+    from cdc_algorithms_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semantic_dedup(emb, k=8, dim=64, threshold=0.95)
+
+
 # --- Text analysis ---------------------------------------------------------
 
 # lang marker hits: flat per-language aggregate, mirrored with list_filter

@@ -455,3 +455,28 @@ def test_star_components_logarithmic_rounds_on_chain(spark):
     got = connected_components_star(pairs, max_iter=12).collect()
     assert {r["component_id"] for r in got} == {0}
     assert len(got) == 301
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
+    """Exact duplicate vectors must be pruned (cosine 1.0 ≥ threshold)
+    with dup_of pointing at the lower-id original; output is
+    deterministic across runs and conserves the corpus."""
+    from cdc_algorithms_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    out = semantic_dedup(corpus, k=4, dim=64, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == corpus.count()
+    for vid in range(20):
+        clone = rows.get(100000 + vid)
+        assert clone is not None
+        assert not clone["keep"]
+        assert clone["dup_of"] == vid
+        assert clone["dup_cosine"] >= 0.95
+    again = {r["vec_id"]: r["keep"] for r in
+             semantic_dedup(corpus, k=4, dim=64, threshold=0.95).collect()}
+    assert again == {v: r["keep"] for v, r in rows.items()}
