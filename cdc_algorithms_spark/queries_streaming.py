@@ -222,6 +222,58 @@ def streaming_purchases_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- streaming benchmark decontamination ------------------------------------
+# The train-set hygiene step as a continuous pipeline: documents ARRIVE
+# (crawl output, upload queue) and each micro-batch is scored against a
+# STATIC broadcast benchmark shingle set. Same converged result as the
+# batch `benchmark_decontamination` query, same oracle.
+
+
+from cdc_algorithms_spark.queries_text import _DECONTAM_ORACLE  # noqa: E402
+
+
+@register("streaming_decontamination", _DECONTAM_ORACLE)
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fed in 3 micro-batches; each batch's shingles left-join
+    the broadcast benchmark set (stream never shuffles for the join) and
+    a complete-mode per-doc aggregate accumulates overlap counts. A doc
+    lives entirely inside one micro-batch, so the converged sink must
+    equal the batch decontamination result row-for-row."""
+    from cdc_algorithms_spark.operators.dedup_docs import doc_shingles
+    from cdc_algorithms_spark.queries_text import _DECONTAM_MOD, DECONTAM_N
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench_sh = (
+        doc_shingles(docs.where(F.col("doc_id") % _DECONTAM_MOD == 0), DECONTAM_N)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
+    stages = [train.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        sh = doc_shingles(stream, DECONTAM_N)
+        return (
+            sh.join(F.broadcast(bench_sh), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_shared"),
+            )
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="complete")
+    return sink.select(
+        F.col("doc_id").cast("long"),
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    )
+
+
 _STATEFUL_CONCAT_ORACLE = """
 SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
 FROM documents

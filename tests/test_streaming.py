@@ -359,3 +359,11 @@ def test_checkpoint_restart_recovers_dedup_state(spark, tmp_path):
         for r in with_chunk_hash(fixed_chunks(docs, 64)).select("hash").distinct().collect()
     }
     assert set(all_hashes) == batch
+
+
+def test_streaming_decontamination_matches_oracle(spark):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(
+        spark, "streaming_decontamination", "/root/testdata/sf0.001"
+    )
