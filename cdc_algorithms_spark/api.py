@@ -44,6 +44,8 @@ __all__ = [
     "change_ratio",
     "near_dup_pairs",
     "dedup_groups",
+    "decontaminate",
+    "semantic_dedup",
     "topk_similar",
     "clusters",
     "profile",
@@ -172,12 +174,36 @@ def near_dup_pairs(docs: DataFrame, method: str = "minhash", **kw) -> DataFrame:
     raise ValueError(f"unknown near-dup method {method!r}")
 
 
-def dedup_groups(pairs: DataFrame, **kw) -> DataFrame:
+def dedup_groups(pairs: DataFrame, method: str = "minlabel", **kw) -> DataFrame:
     """Transitive closure of a near-dup pair graph → (doc_id,
-    component_id) keep/drop groups (iterative min-label propagation)."""
-    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+    component_id) keep/drop groups. method ∈ {"minlabel" (O(diameter)
+    rounds — shallow dup clusters), "star" (large-star/small-star,
+    O(log n) rounds — chains / hub-skewed graphs)}."""
+    from cdc_algorithms_spark.operators import dedup_docs as D
 
-    return connected_components(pairs, **kw)
+    if method == "minlabel":
+        return D.connected_components(pairs, **kw)
+    if method == "star":
+        return D.connected_components_star(pairs, **kw)
+    raise ValueError(f"unknown components method {method!r}")
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, **kw) -> DataFrame:
+    """Train-vs-benchmark n-gram overlap flags per training doc
+    (operators/dedup_docs.py::decontaminate) — the pre-training
+    eval-set hygiene step."""
+    from cdc_algorithms_spark.operators.dedup_docs import decontaminate as _d
+
+    return _d(train, bench, **kw)
+
+
+def semantic_dedup(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: k-means cells bound the
+    quadratic work, per-cell cosine prunes near-identical vectors
+    (operators/similarity.py::semantic_dedup)."""
+    from cdc_algorithms_spark.operators.similarity import semantic_dedup as _s
+
+    return _s(corpus, k=k, dim=dim, **kw)
 
 
 def topk_similar(
