@@ -46,6 +46,7 @@ __all__ = [
     "dedup_groups",
     "decontaminate",
     "semantic_dedup",
+    "mixture",
     "topk_similar",
     "clusters",
     "profile",
@@ -195,6 +196,14 @@ def decontaminate(train: DataFrame, bench: DataFrame, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup_docs import decontaminate as _d
 
     return _d(train, bench, **kw)
+
+
+def mixture(docs: DataFrame, weights, total_tokens: int, **kw) -> DataFrame:
+    """Weighted per-source token-budget mixture plan with deterministic
+    lowest-id-first document selection (operators/mixture.py)."""
+    from cdc_algorithms_spark.operators.mixture import mixture_plan
+
+    return mixture_plan(docs, weights, total_tokens, **kw)
 
 
 def semantic_dedup(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Training-data mixture planning: weighted per-source token budgets.
+
+A training run specifies a source mixture ("40% web, 30% code, …") over
+a total token budget; the pipeline must turn that into a concrete,
+deterministic document selection. ``mixture_plan`` computes, per
+source: the available tokens, the weight-allocated budget (capped by
+availability), and the documents actually selected — lowest doc_id
+first until the source's budget is exhausted (the same deterministic
+pick rule as the curation pipeline's per-language cap).
+
+Scale shape: token counting is map-only; per-source availability is one
+partial-agg shuffle; the weights table is a literal broadcast; document
+selection is the bounded two-phase prefix sum (operators/prefix.py) —
+no whole-source single-task window anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.prefix import bounded_running_sum
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    total_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    bucket: int = 1024,
+) -> DataFrame:
+    """Per-source mixture summary: ``(source, weight, available_tokens,
+    allocated_tokens, tokens_selected, n_docs_selected)``.
+
+    ``allocated = min(available, floor(total_tokens * weight))`` —
+    under-weighted surplus is NOT redistributed (deterministic,
+    single-pass; callers wanting redistribution re-run with renormalized
+    weights over the short sources' leftovers). Sources absent from
+    ``weights`` get weight 0 and select nothing but still report
+    availability.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.ceil(F.length(text_col) / 4.0).cast("long").alias("toks"),
+    )
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        "source string, weight double",
+    )
+    avail = toks.groupBy("source").agg(
+        F.sum("toks").cast("long").alias("available_tokens")
+    )
+    alloc = (
+        avail.join(F.broadcast(wdf), "source", "left")
+        .select(
+            "source",
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+            "available_tokens",
+            F.least(
+                F.col("available_tokens"),
+                F.floor(total_tokens * F.coalesce("weight", F.lit(0.0))).cast(
+                    "long"
+                ),
+            ).alias("allocated_tokens"),
+        )
+    )
+    running = bounded_running_sum(
+        toks, ["source"], "doc_id", "toks", bucket=bucket
+    )
+    selected = (
+        running.join(
+            F.broadcast(alloc.select("source", "allocated_tokens")), "source"
+        )
+        .where(F.col("running") <= F.col("allocated_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("toks").cast("long").alias("tokens_selected"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+        )
+    )
+    return alloc.join(selected, "source", "left").select(
+        "source",
+        "weight",
+        "available_tokens",
+        "allocated_tokens",
+        F.coalesce("tokens_selected", F.lit(0)).cast("long").alias(
+            "tokens_selected"
+        ),
+        F.coalesce("n_docs_selected", F.lit(0)).cast("long").alias(
+            "n_docs_selected"
+        ),
+    )

@@ -842,36 +842,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length("text") / 4.0).cast("long").alias("toks"),
     )
 
-    # Two-phase prefix sum over doc_id order (bucket = doc_id // B is
-    # monotone in doc_id, so (bucket, doc_id) order == doc_id order).
-    # The frame feeds both the offsets lineage and the final running sum,
-    # so persist it — metadata-only rows (doc_id, lang, toks, bucket),
-    # never document text.
-    bucketed = unique.withColumn(
-        "bucket", F.floor(F.col("doc_id") / _CURATION_BUCKET)
-    ).persist()
-    per_bucket = bucketed.groupBy("lang", "bucket").agg(
-        F.sum("toks").alias("bucket_toks")
-    )
-    prior_buckets = (
-        Window.partitionBy("lang")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per_bucket.select(
-        "lang",
-        "bucket",
-        F.coalesce(F.sum("bucket_toks").over(prior_buckets), F.lit(0)).alias(
-            "offset_toks"
-        ),
-    )
-    in_bucket = (
-        Window.partitionBy("lang", "bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = bucketed.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
-        "running", F.col("offset_toks") + F.sum("toks").over(in_bucket)
+    # Two-phase prefix sum over doc_id order (operators/prefix.py): the
+    # frame feeds both the bases lineage and the final running sum, so
+    # persist it — metadata-only rows (doc_id, lang, toks), never
+    # document text.
+    from cdc_algorithms_spark.operators.prefix import bounded_running_sum
+
+    running = bounded_running_sum(
+        unique.persist(), ["lang"], "doc_id", "toks", bucket=_CURATION_BUCKET
     )
     return (
         running.where(F.col("running") <= _CURATION_CAP)
@@ -916,6 +894,63 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
     train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
     return decontaminate(train, bench, n=DECONTAM_N)
+
+
+# --- training-data mixture planning -----------------------------------------
+# Weighted per-source token budgets → deterministic document selection
+# (operators/mixture.py). Fixture weights: src0..src7 get 1%..8% of a
+# 10k-token budget (allocation-capped); src8 gets 50% (availability-
+# capped); the rest weight 0 (report availability, select nothing).
+
+_MIX_TOTAL = 10_000
+_MIX_WEIGHTS = {f"src{i}": (i + 1) / 100 for i in range(8)} | {"src8": 0.5}
+
+_MIXTURE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents
+),
+w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+avail AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS available_tokens
+  FROM toks GROUP BY source
+),
+alloc AS (
+  SELECT a.source,
+         CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight,
+         a.available_tokens,
+         LEAST(a.available_tokens,
+               CAST(FLOOR({_MIX_TOTAL} * COALESCE(w.weight, 0.0)) AS BIGINT))
+           AS allocated_tokens
+  FROM avail a LEFT JOIN w USING (source)
+),
+run AS (
+  SELECT source, toks,
+         SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS running
+  FROM toks
+),
+sel AS (
+  SELECT r.source,
+         CAST(SUM(r.toks) AS BIGINT) AS tokens_selected,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_selected
+  FROM run r JOIN alloc USING (source)
+  WHERE r.running <= alloc.allocated_tokens
+  GROUP BY r.source
+)
+SELECT a.source, a.weight, a.available_tokens, a.allocated_tokens,
+       CAST(COALESCE(s.tokens_selected, 0) AS BIGINT) AS tokens_selected,
+       CAST(COALESCE(s.n_docs_selected, 0) AS BIGINT) AS n_docs_selected
+FROM alloc a LEFT JOIN sel s USING (source)
+"""
+
+
+@register("mixture_plan_by_source", _MIXTURE_ORACLE)
+def q_mixture_plan_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.mixture import mixture_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_TOTAL)
 
 
 # --- bigram language-model perplexity scoring -------------------------------

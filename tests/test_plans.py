@@ -302,7 +302,8 @@ def test_curation_pipeline_windows_are_skew_safe(spark):
     for cols in specs:
         assert "text" not in cols, f"text-keyed window: {cols}"
     assert any(
-        "lang" in cols and "bucket" in cols for cols in specs
+        "lang" in cols and ("bucket" in cols or "__bkt" in cols)
+        for cols in specs
     ), f"bounded (lang, bucket) running-sum window missing: {specs}"
     # dedup is aggregate+join, not a text window: the text exchange is
     # the partial-aggregated groupBy, and exactly one such key exists

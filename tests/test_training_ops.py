@@ -480,3 +480,34 @@ def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
     again = {r["vec_id"]: r["keep"] for r in
              semantic_dedup(corpus, k=4, dim=64, threshold=0.95).collect()}
     assert again == {v: r["keep"] for v, r in rows.items()}
+
+
+def test_mixture_plan_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "mixture_plan_by_source", sf_dir)
+
+
+def test_mixture_plan_caps_and_determinism(spark):
+    """Allocation-capped, availability-capped, and zero-weight sources
+    must behave per contract; selection is lowest-doc_id-first."""
+    from cdc_algorithms_spark.operators.mixture import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a" * 40, "big") for i in range(10)]          # 10 toks each
+        + [(100 + i, "b" * 40, "small") for i in range(2)]  # 20 avail
+        + [(200, "c" * 40, "ignored")],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"big": 0.3, "small": 0.9}, total_tokens=100
+        ).collect()
+    }
+    big = out["big"]  # allocation-capped: floor(100*0.3)=30 of 100 avail
+    assert (big["allocated_tokens"], big["tokens_selected"], big["n_docs_selected"]) == (30, 30, 3)
+    small = out["small"]  # availability-capped: 20 avail < floor(90)
+    assert (small["allocated_tokens"], small["tokens_selected"]) == (20, 20)
+    ign = out["ignored"]  # weight 0: availability reported, nothing picked
+    assert (ign["weight"], ign["available_tokens"], ign["n_docs_selected"]) == (0.0, 10, 0)
