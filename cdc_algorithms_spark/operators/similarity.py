@@ -126,6 +126,8 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(map(float, r["v"])) for r in init]
+    if not cents:  # empty corpus: no centroids, callers return empty typed frames
+        return []
     for _ in range(iters):
         assigned = corpus.select(
             _nearest_cell(F.col(vec_col), cents).alias("cell"),
@@ -168,6 +170,10 @@ def ivf_topk(
     be persisted/bucketed once and reused across query batches.
     """
     cents = kmeans_centroids(corpus, nlist, dim, iters, corpus_id, vec_col, seed)
+    if not cents:  # empty corpus -> no neighbors, typed-empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, rank bigint, vec_id bigint, cosine double"
+        )
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -282,6 +288,10 @@ def embedding_clusters(
     aggregate shuffle for the stats.
     """
     cents = kmeans_centroids(corpus, k, dim, iters, corpus_id, vec_col, seed)
+    if not cents:  # empty corpus -> typed-empty report
+        return corpus.sparkSession.createDataFrame(
+            [], "cluster bigint, n_members bigint, avg_sq_dist double"
+        )
     dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in cents])
     return (
         corpus.select(
@@ -324,6 +334,11 @@ def semantic_dedup(
     output is reproducible across partitionings.
     """
     cents = kmeans_centroids(corpus, k, dim, iters, corpus_id, vec_col, seed)
+    if not cents:  # empty corpus -> typed-empty result
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "vec_id long, cluster int, keep boolean, dup_of long, dup_cosine double",
+        )
     assigned = corpus.select(
         F.col(corpus_id).cast("long").alias("vec_id"),
         F.col(vec_col).alias("__vec"),

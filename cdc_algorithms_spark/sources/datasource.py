@@ -70,12 +70,16 @@ class _FileSegmentsReader(DataSourceReader):
             )
 
     def partitions(self) -> Sequence[InputPartition]:
-        # driver-side: metadata only — paths, sizes, offsets.
+        # driver-side: metadata only — paths, sizes, offsets. Directory
+        # matches (Spark-written datasets named *.parquet) expand to
+        # their contained data files.
+        from cdc_algorithms_spark.sources.segmented_files import (
+            expand_data_files,
+        )
+
         parts: list[InputPartition] = []
-        for path in sorted(_glob.glob(self.path_glob)):
+        for path in expand_data_files(self.path_glob):
             size = os.path.getsize(path)
-            if size == 0:
-                continue
             for seg_idx, left in enumerate(range(0, size, self.segment_len)):
                 parts.append(
                     _SegmentPartition(

@@ -33,6 +33,30 @@ SEGMENT_SCHEMA = (
 )
 
 
+def expand_data_files(path_glob: str) -> list[str]:
+    """Glob matches expanded to regular data files.
+
+    A match that is a DIRECTORY (the normal layout for Spark-written
+    datasets — a dir literally named ``part.parquet``) contributes its
+    contained regular files, skipping hidden files and ``_SUCCESS``-style
+    commit markers. Zero-byte files are dropped (nothing to chunk).
+    """
+    out: list[str] = []
+    for path in sorted(_glob.glob(path_glob)):
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                f = os.path.join(path, name)
+                if (
+                    os.path.isfile(f)
+                    and not name.startswith((".", "_"))
+                    and os.path.getsize(f) > 0
+                ):
+                    out.append(f)
+        elif os.path.isfile(path) and os.path.getsize(path) > 0:
+            out.append(path)
+    return out
+
+
 def list_file_ranges(
     spark: SparkSession,
     path_glob: str,
@@ -48,10 +72,8 @@ def list_file_ranges(
     if segment_len <= 0 or overlap < 0:
         raise ValueError(f"bad segment_len={segment_len} overlap={overlap}")
     rows = []
-    for path in sorted(_glob.glob(path_glob)):
+    for path in expand_data_files(path_glob):
         size = os.path.getsize(path)
-        if size == 0:
-            continue
         for seg_idx, left in enumerate(range(0, size, segment_len)):
             rows.append((path, seg_idx, left, min(left + segment_len, size), size))
     meta = spark.createDataFrame(

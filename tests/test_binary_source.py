@@ -100,3 +100,35 @@ def test_python_datasource_partition_granularity(spark):
     expected = (size + 65535) // 65536
     assert segs.count() == expected
     assert segs.rdd.getNumPartitions() == expected
+
+
+def test_segment_sources_expand_directory_datasets(spark, tmp_path):
+    """A glob match that is a DIRECTORY (Spark-written dataset named
+    *.parquet) must expand to its contained data files — chunking the
+    directory-shaped dataset equals chunking its inner files directly,
+    and commit markers/hidden files are ignored."""
+    import os
+
+    from cdc_algorithms_spark.operators.dedup import dedup_stats
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.segmented_files import (
+        expand_data_files,
+        segment_file_ranges,
+    )
+
+    d = tmp_path / "data.parquet"
+    d.mkdir()
+    inner = d / "part-00000.bin"
+    inner.write_bytes(os.urandom(200_000))
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".hidden").write_bytes(b"junk")
+
+    assert expand_data_files(str(tmp_path / "*.parquet")) == [str(inner)]
+
+    def stats(glob):
+        segs = segment_file_ranges(spark, glob, segment_len=65536, overlap=4096)
+        return chunk_segments(segs, "ae", 4096, ordinals="none")
+
+    via_dir = dedup_stats(stats(str(tmp_path / "*.parquet")), key_col="hash")
+    via_file = dedup_stats(stats(str(inner)), key_col="hash")
+    assert via_dir.collect() == via_file.collect()

@@ -169,3 +169,31 @@ def test_quality_band_single_doc_stratum(spark):
         assert 99 in {r["doc_id"] for r in out}, "singleton stratum dropped"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """Empty inputs are routine at scale (a filter or partition can
+    eliminate everything); the formerly-failing classes — k-means
+    consumers (empty centroid list) and the segment file sources — plus
+    a sample of each query family must return empty/zero results, not
+    raise."""
+    import os
+
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+    from cdc_algorithms_spark.sources.registry import TABLES
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        stage = str(tmp_path / f"__s_{t}")
+        df.limit(0).write.mode("overwrite").parquet(stage)
+        os.rename(stage, str(tmp_path / f"{t}.parquet"))
+    names = [
+        "ann_ivf_topk", "embedding_clusters", "semantic_dedup_embeddings",
+        "file_ranges_ae_dedup_stats", "datasource_ae_dedup_stats",
+        "exact_dedup_docs", "curation_pipeline", "mixture_plan_by_source",
+        "q1_pricing_summary", "fixed_dedup_stats",
+        "benchmark_decontamination", "duplicated_spans_fixed",
+    ]
+    for name in names:
+        SPARK_QUERIES[name](spark, str(tmp_path)).count()  # must not raise
