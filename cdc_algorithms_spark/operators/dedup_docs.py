@@ -81,9 +81,11 @@ def exact_dedup(
         F.min("doc_id").cast("long").alias("canonical_id"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
     )
-    return keyed.join(groups, "__key").select(
-        F.col("doc_id").cast("long"), "canonical_id", "group_size"
-    )
+    # Null-safe equality: docs with NULL text must come back out (as one
+    # null-key group) — a plain equi-join would silently drop them.
+    return keyed.join(
+        groups, keyed["__key"].eqNullSafe(groups["__key"])
+    ).select(F.col("doc_id").cast("long"), "canonical_id", "group_size")
 
 
 def doc_shingles(

@@ -186,6 +186,9 @@ def doc_fingerprints_fast(
     def _winnow(texts: "pd.Series") -> "pd.Series":
         out = []
         for t in texts:
+            if t is None:  # null text → no fingerprints (explode drops row)
+                out.append([])
+                continue
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
             n = b.size
             if n == 0:

@@ -197,3 +197,22 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ]
     for name in names:
         SPARK_QUERIES[name](spark, str(tmp_path)).count()  # must not raise
+
+
+def test_null_text_docs_handled(spark):
+    """NULL text values (routine in crawled corpora) must neither crash
+    the Arrow winnowing path nor silently vanish from exact dedup."""
+    from cdc_algorithms_spark.operators.dedup_docs import exact_dedup
+    from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world"), (3, None), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}, "null-text docs dropped from dedup"
+    assert got[2]["canonical_id"] == got[4]["canonical_id"] == 2
+    assert got[1]["canonical_id"] == got[3]["canonical_id"] == 1  # null group
+
+    fps = doc_fingerprints_fast(docs).collect()
+    assert {r["doc_id"] for r in fps} == {2, 4}  # null docs emit nothing
