@@ -205,7 +205,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name",
             "nation",
             "revenue",
-            F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2).alias("acctbal"),
+            F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("acctbal"),
         )
         .orderBy(F.desc("revenue"), "custkey")
         .limit(20)
@@ -310,7 +312,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
-            F.round(F.col("total_revenue"), 2).alias("total_revenue"),
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -509,9 +511,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).alias(
-                "total_acctbal"
-            ),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 
@@ -646,7 +648,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -691,7 +693,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(threshold))
         .where(F.col("value") > F.col("cutoff"))
-        .select("partkey", F.round(F.col("value"), 2).alias("part_value"))
+        .select(
+            "partkey", F.round(F.col("value"), 2).cast("double").alias("part_value")
+        )
     )
 
 
