@@ -91,6 +91,9 @@ HEADLINE = [
     "pii_scrub_docs",
     "quality_band_by_lang",
     "benchmark_decontamination",
+    "sequence_packing_plan",
+    "text_cleaning",
+    "incremental_ingest_stats",
 ]
 
 
@@ -127,6 +130,9 @@ BASELINE_SF01 = {
     "dedup_cluster_reps": 1.94, "pii_scrub_docs": 0.14,
     "quality_band_by_lang": 0.80,
     "benchmark_decontamination": 1.00,  # added r02 (median-of-3 at pin time)
+    "sequence_packing_plan": 1.00,      # added r02
+    "text_cleaning": 0.21,              # added r02
+    "incremental_ingest_stats": 0.43,   # added r02
 }
 
 

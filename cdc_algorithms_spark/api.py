@@ -47,6 +47,9 @@ __all__ = [
     "decontaminate",
     "semantic_dedup",
     "mixture",
+    "pack_sequences",
+    "ingest",
+    "clean",
     "topk_similar",
     "clusters",
     "profile",
@@ -204,6 +207,35 @@ def mixture(docs: DataFrame, weights, total_tokens: int, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.mixture import mixture_plan
 
     return mixture_plan(docs, weights, total_tokens, **kw)
+
+
+def pack_sequences(docs: DataFrame, seq_len: int, **kw) -> DataFrame:
+    """Concat-and-split packing plan of the token stream into fixed
+    ``seq_len``-token training sequences — per-sequence doc/token/
+    boundary accounting via a bounded two-phase prefix sum
+    (operators/packing.py)."""
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    return sequence_packing(docs, seq_len, **kw)
+
+
+def ingest(index: DataFrame, batch_chunks: DataFrame, **kw) -> DataFrame:
+    """Incremental-ingest accounting: dedup a new batch's chunks against
+    the persisted chunk-hash index without re-reading the corpus
+    (operators/ingest.py::ingest_stats). Pair with
+    ``operators.ingest.updated_index`` to advance the index."""
+    from cdc_algorithms_spark.operators.ingest import ingest_stats
+
+    return ingest_stats(index, batch_chunks, **kw)
+
+
+def clean(docs: DataFrame, **kw) -> DataFrame:
+    """Pre-scoring text normalization: strip control characters,
+    collapse whitespace runs, trim — map-only codegen regexes
+    (operators/textstats.py::clean_text)."""
+    from cdc_algorithms_spark.operators.textstats import clean_text
+
+    return clean_text(docs, **kw)
 
 
 def semantic_dedup(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:

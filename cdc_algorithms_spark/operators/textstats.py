@@ -400,3 +400,37 @@ def pii_scrub(
         .alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+# Explicit character classes, identical bytes on the Spark (Java regex)
+# and DuckDB (RE2) sides — the engines' \s / control-class shorthands
+# differ (Java \s includes \x0B, RE2's does not), so cleaning semantics
+# are pinned by enumeration, not shorthand.
+CLEAN_CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+CLEAN_WS_RUN = "[ \\t\\n\\r]+"
+
+
+def clean_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization pass an extraction pipeline runs before any scoring
+    or dedup (Dolma/CCNet-style): strip control characters, collapse
+    whitespace runs (including newlines) to single spaces, trim. Emits
+    ``(doc_id, raw_len, clean_len, n_removed, clean_text)``.
+
+    Map-only codegen ``regexp_replace`` chain — no shuffle, no Python;
+    at 100 TB this fuses into the source scan stage. Dedup keyed on the
+    CLEANED text catches trivially-reformatted copies that byte-exact
+    dedup misses; run this ahead of ``exact_dedup``/``minhash_lsh``.
+    """
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(t, CLEAN_CONTROL, ""), CLEAN_WS_RUN, " ")
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(t).cast("long").alias("raw_len"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        (F.length(t) - F.length(cleaned)).cast("long").alias("n_removed"),
+        cleaned.alias("clean_text"),
+    )

@@ -375,6 +375,57 @@ def q_datasource_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental ingest (operators/ingest.py): dedup a NEW batch against the
+# persisted chunk-hash index of the already-ingested corpus — the 100 TB
+# operating mode where the existing data is never re-read. Fixture split:
+# docs with doc_id % 3 == 0 are "the new batch", the rest are "already
+# ingested". chunk_text stands in for the hash so the oracle can replay
+# membership exactly.
+# ---------------------------------------------------------------------------
+
+_INGEST_MOD = 3
+
+_INGEST_ORACLE = f"""
+WITH chunks AS ({_FIXED_CHUNKS_ORACLE}),
+old AS (
+  SELECT chunk_text, MAX(length) AS length
+  FROM chunks WHERE src_id % {_INGEST_MOD} <> 0 GROUP BY chunk_text
+),
+batch AS (
+  SELECT chunk_text, COUNT(*) AS occurrences,
+         SUM(length) AS bytes_all, MAX(length) AS length
+  FROM chunks WHERE src_id % {_INGEST_MOD} = 0 GROUP BY chunk_text
+),
+marked AS (
+  SELECT b.*, (o.chunk_text IS NOT NULL) AS known
+  FROM batch b LEFT JOIN old o USING (chunk_text)
+)
+SELECT CAST(SUM(bytes_all) AS BIGINT) AS batch_bytes,
+       CAST(SUM(occurrences) AS BIGINT) AS batch_chunks,
+       CAST(SUM(CASE WHEN NOT known THEN length ELSE 0 END) AS BIGINT) AS novel_bytes,
+       CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT) AS novel_chunks,
+       CAST(SUM(CASE WHEN known THEN bytes_all ELSE 0 END) AS BIGINT) AS dup_index_bytes,
+       CAST(SUM(CASE WHEN NOT known THEN bytes_all - length ELSE 0 END) AS BIGINT) AS dup_batch_bytes,
+       ROUND(SUM(CASE WHEN NOT known THEN length ELSE 0 END) * 1.0
+             / SUM(bytes_all), 6) AS novel_frac
+FROM marked
+"""
+
+
+@register("incremental_ingest_stats", _INGEST_ORACLE)
+def q_incremental_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.ingest import chunk_index, ingest_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, FIXED_SIZE)
+    index = chunk_index(
+        chunks.where(F.col("src_id") % _INGEST_MOD != 0), key_col="chunk_text"
+    )
+    batch = chunks.where(F.col("src_id") % _INGEST_MOD == 0)
+    return ingest_stats(index, batch, key_col="chunk_text")
+
+
+# ---------------------------------------------------------------------------
 # Extension query modules (imported for their @register side effects).
 # ---------------------------------------------------------------------------
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.operators.chunking import cdc_chunks
-from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.queries import _INGEST_ORACLE, register
 from cdc_algorithms_spark.queries_relational import _SESSIONS_ORACLE
 from cdc_algorithms_spark.sources.registry import load_table
 from cdc_algorithms_spark.streaming import (
@@ -486,3 +486,60 @@ def streaming_sketch_unique_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     glob = sketch_rollup(sink).withColumn("group", F.lit("*"))
     cols = ["group", "n_chunks", "total_bytes", "est_unique_chunks"]
     return per.select(*cols).unionByName(glob.select(*cols))
+
+
+@register("streaming_ingest_novelty", _INGEST_ORACLE)
+def streaming_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of incremental ingest (operators/ingest.py): the
+    'new batch' documents arrive as a 2-micro-batch stream, are chunked
+    in-stream, and marked against the STATIC chunk index of the
+    already-ingested corpus via a stream-static left join — the exact
+    shape of a continuous ingest front-end at 100 TB (index as a slowly
+    updated static table / Delta snapshot, arrivals as the stream). The
+    complete-mode sink holds per-chunk-key groups; the converged
+    accounting row must equal the batch ``incremental_ingest_stats``
+    (the same ``_INGEST_ORACLE`` value-checks both)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fixed
+    from cdc_algorithms_spark.operators.ingest import chunk_index
+
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    index = chunk_index(_fixed(old, _FIXED_SIZE), key_col="chunk_text").select(
+        F.col("hash").alias("chunk_text"), F.lit(True).alias("known")
+    )
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    stages = [
+        batch.where((F.col("doc_id") / 3).cast("long") % 2 == i) for i in range(2)
+    ]
+
+    def build(stream: DataFrame) -> DataFrame:
+        marked = _fixed(stream, _FIXED_SIZE).join(index, "chunk_text", "left")
+        return marked.withColumn("known", F.coalesce("known", F.lit(False))).groupBy(
+            "chunk_text", "known"
+        ).agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.sum("length").alias("bytes_all"),
+            F.max("length").alias("length"),
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="complete")
+    return sink.agg(
+        F.sum("bytes_all").cast("long").alias("batch_bytes"),
+        F.sum("occurrences").cast("long").alias("batch_chunks"),
+        F.sum(F.when(~F.col("known"), F.col("length")).otherwise(0))
+        .cast("long")
+        .alias("novel_bytes"),
+        F.sum(F.when(~F.col("known"), 1).otherwise(0))
+        .cast("long")
+        .alias("novel_chunks"),
+        F.sum(F.when(F.col("known"), F.col("bytes_all")).otherwise(0))
+        .cast("long")
+        .alias("dup_index_bytes"),
+        F.sum(
+            F.when(~F.col("known"), F.col("bytes_all") - F.col("length")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_batch_bytes"),
+    ).withColumn(
+        "novel_frac", F.round(F.col("novel_bytes") / F.col("batch_bytes"), 6)
+    )

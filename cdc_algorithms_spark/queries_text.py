@@ -1187,3 +1187,78 @@ def q_quality_band_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "quality_score")
     )
+
+
+# --- sequence packing --------------------------------------------------------
+# Concat-and-split packing of the token stream into fixed-length training
+# sequences (operators/packing.py): per-sequence doc/token/boundary
+# accounting. The running token offset is the bounded two-phase prefix
+# sum — no whole-corpus single-task window — and the oracle replays the
+# identical packing arithmetic.
+
+_SEQ_LEN = 512
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents WHERE length(text) > 0
+),
+run AS (
+  SELECT doc_id, toks, SUM(toks) OVER (ORDER BY doc_id) AS running FROM toks
+),
+spans AS (
+  SELECT doc_id, toks, running - toks AS tok_start,
+         CAST(FLOOR((running - toks) / {_SEQ_LEN}) AS BIGINT) AS first_seq,
+         CAST(FLOOR((running - 1) / {_SEQ_LEN}) AS BIGINT) AS last_seq
+  FROM run
+),
+per AS (
+  SELECT u.seq_id,
+         LEAST(s.tok_start + s.toks, (u.seq_id + 1) * {_SEQ_LEN})
+           - GREATEST(s.tok_start, u.seq_id * {_SEQ_LEN}) AS overlap,
+         CASE WHEN u.seq_id < s.last_seq THEN 1 ELSE 0 END AS straddles
+  FROM spans s, UNNEST(range(s.first_seq, s.last_seq + 1)) AS u(seq_id)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(overlap) AS BIGINT) AS n_tokens,
+       CAST(SUM(straddles) AS BIGINT) AS n_boundary_docs,
+       ROUND(SUM(overlap) * 1.0 / {_SEQ_LEN}, 6) AS fill_frac
+FROM per GROUP BY seq_id
+"""
+
+
+@register("sequence_packing_plan", _PACKING_ORACLE)
+def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    return sequence_packing(load_table(spark, "documents", sf_dir), _SEQ_LEN)
+
+
+# --- text cleaning -----------------------------------------------------------
+# The normalization pass ahead of scoring/dedup: strip control chars,
+# collapse whitespace runs, trim (operators/textstats.py::clean_text).
+# Map-only codegen regexes; character classes are enumerated identically
+# on both engines (Java vs RE2 shorthand classes differ).
+
+_CLEAN_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS raw_len,
+       CAST(length(cleaned) AS BIGINT) AS clean_len,
+       CAST(length(text) - length(cleaned) AS BIGINT) AS n_removed,
+       cleaned AS clean_text
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+                regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                '[ \t\n\r]+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+"""
+
+
+@register("text_cleaning", _CLEAN_ORACLE)
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.textstats import clean_text
+
+    return clean_text(load_table(spark, "documents", sf_dir))

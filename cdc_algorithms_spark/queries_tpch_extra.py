@@ -158,7 +158,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10_ORACLE = """
 SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       ROUND(CAST(c.c_acctbal AS DECIMAL(18,6)), 2) AS acctbal
+       CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -276,7 +276,7 @@ WITH revenue AS (
     GROUP BY l_suppkey
 )
 SELECT s.s_suppkey AS suppkey, s.s_name AS name,
-       ROUND(r.total_revenue, 2) AS total_revenue
+       CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -482,7 +482,8 @@ WITH rich AS (
 )
 SELECT r.c_mktsegment AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(SUM(CAST(r.c_acctbal AS DECIMAL(18,6))), 2) AS total_acctbal
+       CAST(ROUND(SUM(CAST(r.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_acctbal
 FROM rich r
 WHERE NOT EXISTS (
     SELECT 1 FROM orders o
@@ -606,9 +607,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_ORACLE = """
 SELECT ns.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                      - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))),
-             2) AS sum_profit
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.5 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18,6))),
+                  2) AS DOUBLE) AS sum_profit
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -665,7 +667,7 @@ WITH natline AS (
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     WHERE s.s_nationkey IN (0, 1)
 )
-SELECT l_partkey AS partkey, ROUND(SUM(val), 2) AS part_value
+SELECT l_partkey AS partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
 FROM natline
 GROUP BY partkey
 HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM natline)

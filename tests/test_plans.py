@@ -318,3 +318,36 @@ def test_decontamination_broadcasts_bench_side(spark):
     assert P.python_eval_count(df) == 0
     assert P.broadcast_join_count(df) >= 1
     assert P.sort_merge_join_count(df) <= 1  # totals⋈hits on doc_id only
+
+
+def test_sequence_packing_windows_are_bounded(spark):
+    """Packing's running token offset must be the bounded two-phase
+    prefix sum: every data-sized window partitions by the bucket column;
+    the only bucket-less window is the O(buckets) offsets frame (which
+    follows an aggregate). No Python, no text column anywhere past the
+    token-count projection."""
+    df = _q(spark, "sequence_packing_plan")
+    specs = P.window_partition_columns(df)
+    assert specs, "expected window operators in the plan"
+    assert any("__bkt" in cols for cols in specs), (
+        f"bounded in-bucket running-sum window missing: {specs}"
+    )
+    assert P.python_eval_count(df) == 0
+
+
+def test_ingest_stats_shuffles_only_hash_groups(spark):
+    """Incremental ingest must reduce the batch to per-hash groups
+    map-side and join the index on the hash key — no window operators,
+    no Python stage; chunk text never moves past the partial aggregate."""
+    df = _q(spark, "incremental_ingest_stats")
+    assert P.window_partition_columns(df) == []
+    assert P.python_eval_count(df) == 0
+
+
+def test_clean_text_is_map_only(spark):
+    """text_cleaning is a pure projection: no exchange, no window, no
+    Python in the plan."""
+    df = _q(spark, "text_cleaning")
+    assert P.python_eval_count(df) == 0
+    assert P.exchange_count(df) == 0
+    assert P.window_partition_columns(df) == []

@@ -367,3 +367,11 @@ def test_streaming_decontamination_matches_oracle(spark):
     compare_with_oracle(
         spark, "streaming_decontamination", "/root/testdata/sf0.001"
     )
+
+
+def test_streaming_ingest_matches_batch_oracle(spark):
+    """The stream-static ingest front-end must converge to the identical
+    accounting row as batch incremental_ingest_stats (shared oracle)."""
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "streaming_ingest_novelty", SF_DIR)

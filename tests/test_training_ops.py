@@ -511,3 +511,89 @@ def test_mixture_plan_caps_and_determinism(spark):
     assert (small["allocated_tokens"], small["tokens_selected"]) == (20, 20)
     ign = out["ignored"]  # weight 0: availability reported, nothing picked
     assert (ign["weight"], ign["available_tokens"], ign["n_docs_selected"]) == (0.0, 10, 0)
+
+
+def test_new_batch_ops_match_oracle(spark):
+    for name in ("sequence_packing_plan", "text_cleaning", "incremental_ingest_stats"):
+        compare_with_oracle(spark, name, "/root/testdata/sf0.001")
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Every sequence except the last is exactly full; token totals are
+    conserved; straddle counts bound the doc counts."""
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    docs = load_table(spark, "documents", sf_dir)
+    seq_len = 512
+    rows = sequence_packing(docs, seq_len).collect()
+    total_toks = docs.select(
+        F.sum(F.ceil(F.length("text") / 4.0)).cast("long")
+    ).collect()[0][0]
+    last = max(r.seq_id for r in rows)
+    assert sorted(r.seq_id for r in rows) == list(range(last + 1)), "no gaps"
+    for r in rows:
+        if r.seq_id < last:
+            assert r.n_tokens == seq_len, f"interior seq {r.seq_id} not full: {r}"
+        assert 0 <= r.n_boundary_docs <= r.n_docs
+        assert abs(r.fill_frac - r.n_tokens / seq_len) < 1e-6
+    assert sum(r.n_tokens for r in rows) == total_toks
+
+
+def test_ingest_accounting_composes(spark, sf_dir):
+    """Empty-index ingest reduces to one-shot dedup; re-ingesting the
+    same batch is 100% duplicate; the updated index equals the index of
+    the full corpus."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.operators.ingest import (
+        chunk_index,
+        ingest_stats,
+        updated_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    old = chunks.where(F.col("src_id") % 3 != 0)
+    batch = chunks.where(F.col("src_id") % 3 == 0)
+    idx = chunk_index(old)
+
+    empty_idx = idx.limit(0)
+    s0 = ingest_stats(empty_idx, batch).collect()[0]
+    assert s0.dup_index_bytes == 0
+    assert s0.novel_chunks == batch.select("hash").distinct().count()
+
+    s1 = ingest_stats(idx, batch).collect()[0]
+    assert s1.batch_bytes == s0.batch_bytes
+    assert s1.novel_bytes <= s0.novel_bytes
+    assert s1.novel_bytes + s1.dup_index_bytes + s1.dup_batch_bytes == s1.batch_bytes
+
+    new_idx = updated_index(idx, batch)
+    assert new_idx.count() == chunks.select("hash").distinct().count()
+
+    s2 = ingest_stats(new_idx, batch).collect()[0]
+    assert (s2.novel_bytes, s2.novel_chunks) == (0, 0)
+    assert s2.novel_frac == 0.0
+
+
+def test_clean_text_idempotent_and_targeted(spark):
+    from cdc_algorithms_spark.operators.textstats import clean_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  a\tb\r\nc\x00d  "),
+            (2, "plain text"),
+            (3, "x \x1f\x7f  y\n\n\nz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert out[1].clean_text == "a b cd"
+    assert out[2].clean_text == "plain text"
+    assert out[3].clean_text == "x y z"
+    assert all(r.raw_len - r.clean_len == r.n_removed for r in out.values())
+
+    again = clean_text(
+        spark.createDataFrame(
+            [(r.doc_id, r.clean_text) for r in out.values()], ["doc_id", "text"]
+        )
+    ).collect()
+    assert all(r.n_removed == 0 for r in again), "clean_text must be idempotent"
