@@ -110,3 +110,33 @@ def test_partitioned_sink_enables_dynamic_partition_pruning(spark, tmp_path):
     assert [r["event_type"] for r in rows] == ["purchase"]
     exact = ev.where(F.col("event_type") == "purchase").count()
     assert rows[0]["n"] == exact
+
+
+def test_bucketed_index_makes_ingest_join_index_side_shuffle_free(spark, tmp_path):
+    """The recurring 100 TB ingest join: a chunk index persisted
+    bucketed on hash joins each arriving batch with NO exchange on the
+    index side (only the batch shuffles into the index's bucketing),
+    and the accounting equals the unbucketed path."""
+    from cdc_algorithms_spark.operators.ingest import chunk_index, ingest_stats
+    from cdc_algorithms_spark.plans.inspect import exchange_count
+    from cdc_algorithms_spark.sources.sinks import write_bucketed
+
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = fixed_chunks(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    old = chunks.where(F.col("src_id") % 3 != 0)
+    batch = chunks.where(F.col("src_id") % 3 == 0)
+
+    write_bucketed(chunk_index(old), "t_ingest_idx", str(tmp_path / "idx"), 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table("t_ingest_idx")
+        stats = ingest_stats(idx, batch)
+        # plain path: batch agg shuffle + join exchanges on BOTH sides +
+        # the final single-row agg; bucketed index removes its side.
+        plain = ingest_stats(chunk_index(old), batch)
+        assert exchange_count(stats) < exchange_count(plain)
+        assert stats.collect() == plain.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
