@@ -28,6 +28,8 @@ Nothing document-sized shuffles; the only data-sized exchange is the
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,24 +42,31 @@ def doc_token_spans(
     id_col: str = "doc_id",
     toks: Column | None = None,
     bucket: int = 1024,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-document packing assignment: ``(doc_id, toks, tok_start,
-    first_seq, last_seq)`` where ``tok_start`` is the document's offset in
-    the concatenated token stream (documents ordered by ``id_col``) and
-    ``first_seq``/``last_seq`` the inclusive range of ``seq_len``-sized
-    sequences it overlaps.
+    """Per-document packing assignment: ``(*group_cols, doc_id, toks,
+    tok_start, first_seq, last_seq)`` where ``tok_start`` is the
+    document's offset in the concatenated token stream (documents
+    ordered by ``id_col``) and ``first_seq``/``last_seq`` the inclusive
+    range of ``seq_len``-sized sequences it overlaps.
+
+    ``group_cols`` splits the packing into independent streams (one
+    sequence space per language/source/domain — how a curriculum or
+    per-domain-mixture run packs); empty means one global stream.
 
     ``toks`` defaults to the engine's standard chars/4 estimate (the same
     accounting curation and mixture planning use); pass a real token-count
     column when one exists.
     """
+    group_cols = list(group_cols)
     if toks is None:
         toks = F.ceil(F.length("text") / 4.0).cast("long")
     base = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks")
+        *group_cols, F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks")
     ).where(F.col("toks") > 0)
-    running = bounded_running_sum(base, [], "doc_id", "toks", bucket=bucket)
+    running = bounded_running_sum(base, group_cols, "doc_id", "toks", bucket=bucket)
     return running.select(
+        *group_cols,
         "doc_id",
         "toks",
         (F.col("running") - F.col("toks")).alias("tok_start"),
@@ -72,25 +81,35 @@ def sequence_packing(
     id_col: str = "doc_id",
     toks: Column | None = None,
     bucket: int = 1024,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-sequence packing accounting: ``(seq_id, n_docs, n_tokens,
-    n_boundary_docs, fill_frac)``.
+    """Per-sequence packing accounting: ``(*group_cols, seq_id, n_docs,
+    n_tokens, n_boundary_docs, fill_frac)``.
 
     * ``n_docs`` — documents contributing ≥1 token to the sequence;
     * ``n_tokens`` — tokens landing in the sequence (== ``seq_len``
-      everywhere except the final partial sequence);
+      everywhere except each stream's final partial sequence);
     * ``n_boundary_docs`` — documents straddling INTO the next sequence
       (attention-mask / document-boundary bookkeeping downstream);
     * ``fill_frac`` — n_tokens / seq_len.
+
+    With ``group_cols`` each group is an independent packing stream
+    (its own seq_id space starting at 0).
     """
-    spans = doc_token_spans(docs, seq_len, id_col=id_col, toks=toks, bucket=bucket)
+    group_cols = list(group_cols)
+    spans = doc_token_spans(
+        docs, seq_len, id_col=id_col, toks=toks, bucket=bucket,
+        group_cols=group_cols,
+    )
     per_seq = spans.select(
+        *group_cols,
         "doc_id",
         "toks",
         "tok_start",
         "last_seq",
         F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
     ).select(
+        *group_cols,
         "seq_id",
         # token overlap of [tok_start, tok_start + toks) with
         # [seq_id * seq_len, (seq_id + 1) * seq_len)
@@ -101,7 +120,7 @@ def sequence_packing(
         (F.col("seq_id") < F.col("last_seq")).cast("int").alias("straddles"),
     )
     return (
-        per_seq.groupBy("seq_id")
+        per_seq.groupBy(*group_cols, "seq_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("overlap").cast("long").alias("n_tokens"),

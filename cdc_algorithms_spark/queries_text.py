@@ -1262,3 +1262,50 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import clean_text
 
     return clean_text(load_table(spark, "documents", sf_dir))
+
+
+# --- per-group sequence packing ---------------------------------------------
+# Independent packing streams per language (curriculum / per-domain
+# mixture runs pack each domain separately): same arithmetic, prefix sum
+# and seq_id space partitioned by lang.
+
+_PACKING_BY_LANG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents WHERE length(text) > 0
+),
+run AS (
+  SELECT doc_id, lang, toks,
+         SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS running
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, lang, toks, running - toks AS tok_start,
+         CAST(FLOOR((running - toks) / {_SEQ_LEN}) AS BIGINT) AS first_seq,
+         CAST(FLOOR((running - 1) / {_SEQ_LEN}) AS BIGINT) AS last_seq
+  FROM run
+),
+per AS (
+  SELECT s.lang, u.seq_id,
+         LEAST(s.tok_start + s.toks, (u.seq_id + 1) * {_SEQ_LEN})
+           - GREATEST(s.tok_start, u.seq_id * {_SEQ_LEN}) AS overlap,
+         CASE WHEN u.seq_id < s.last_seq THEN 1 ELSE 0 END AS straddles
+  FROM spans s, UNNEST(range(s.first_seq, s.last_seq + 1)) AS u(seq_id)
+)
+SELECT lang,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(overlap) AS BIGINT) AS n_tokens,
+       CAST(SUM(straddles) AS BIGINT) AS n_boundary_docs,
+       ROUND(SUM(overlap) * 1.0 / {_SEQ_LEN}, 6) AS fill_frac
+FROM per GROUP BY lang, seq_id
+"""
+
+
+@register("sequence_packing_by_lang", _PACKING_BY_LANG_ORACLE)
+def q_sequence_packing_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    return sequence_packing(
+        load_table(spark, "documents", sf_dir), _SEQ_LEN, group_cols=["lang"]
+    )

@@ -597,3 +597,22 @@ def test_clean_text_idempotent_and_targeted(spark):
         )
     ).collect()
     assert all(r.n_removed == 0 for r in again), "clean_text must be idempotent"
+
+
+def test_sequence_packing_by_group_streams_are_independent(spark, sf_dir):
+    """Per-group packing: each group's stream packs exactly as if the
+    rest of the corpus did not exist."""
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    docs = load_table(spark, "documents", sf_dir)
+    grouped = {
+        (r["lang"], r.seq_id): (r.n_docs, r.n_tokens)
+        for r in sequence_packing(docs, 512, group_cols=["lang"]).collect()
+    }
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lang in langs:
+        solo = sequence_packing(docs.where(F.col("lang") == lang), 512).collect()
+        for r in solo:
+            assert grouped[(lang, r.seq_id)] == (r.n_docs, r.n_tokens), (
+                lang, r.seq_id,
+            )
