@@ -50,6 +50,7 @@ __all__ = [
     "pack_sequences",
     "ingest",
     "clean",
+    "shuffle_order",
     "topk_similar",
     "clusters",
     "profile",
@@ -227,6 +228,15 @@ def ingest(index: DataFrame, batch_chunks: DataFrame, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.ingest import ingest_stats
 
     return ingest_stats(index, batch_chunks, **kw)
+
+
+def shuffle_order(docs: DataFrame, seed: int = 0, **kw) -> DataFrame:
+    """Reproducible global training order: deterministic LCG shuffle key
+    + bucketed two-phase global rank, no single-task total sort
+    (operators/shuffle.py::deterministic_shuffle)."""
+    from cdc_algorithms_spark.operators.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(docs, seed=seed, **kw)
 
 
 def clean(docs: DataFrame, **kw) -> DataFrame:

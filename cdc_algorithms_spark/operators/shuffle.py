@@ -1,0 +1,71 @@
+"""Deterministic corpus shuffle: a reproducible global training order.
+
+Training runs read the corpus in pseudorandom order, and the order must
+be reproducible (resume, ablate, audit) — so "shuffle" is a deterministic
+keyed SORT, not a random draw: every document gets a shuffle key from an
+LCG over its id, and its position is the global rank under that key.
+
+The scale problem is the rank: ``row_number() OVER (ORDER BY key)`` is a
+single-task total sort. Ranks here are assigned with the same bounded
+two-phase shape as `operators/prefix.py`: keys bucket by their high bits
+(the key space is uniform, so buckets are balanced by construction),
+per-bucket counts roll into cumulative bases over the tiny bucket frame,
+and a row_number runs only WITHIN each bounded bucket. No all-rows
+window partition exists anywhere in the plan.
+
+The LCG (glibc constants) is integer arithmetic both Spark and DuckDB
+evaluate exactly, so the full (key, rank) assignment is oracle-checkable
+— unlike xxhash64, which DuckDB cannot reproduce. For production use any
+keyed hash works; the rank machinery is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# glibc rand() LCG over a 2^31 ring; seed shifts the permutation.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1 << 31
+_N_BUCKETS_BITS = 10  # 1024 buckets → bucket = key >> 21
+
+
+def shuffle_key(id_col, seed: int = 0):
+    """Deterministic pseudorandom key for an integer id column."""
+    return (F.col(id_col).cast("long") * _LCG_A + _LCG_C + seed) % _LCG_M
+
+
+def deterministic_shuffle(
+    docs: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """``(doc_id, shuffle_key, shuffle_rank)``: the reproducible global
+    read order. ``shuffle_rank`` is 1-based, dense over the corpus,
+    ordered by (shuffle_key, doc_id) — the doc_id tiebreak keeps the
+    order total even under key collisions."""
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shuffle_key(id_col, seed).alias("shuffle_key"),
+    ).withColumn("__bkt", F.shiftright("shuffle_key", 31 - _N_BUCKETS_BITS))
+
+    prior = (
+        Window.partitionBy()
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__base"),
+        )
+    )
+    in_bucket = Window.partitionBy("__bkt").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(bases), "__bkt")
+        .withColumn(
+            "shuffle_rank", (F.col("__base") + F.row_number().over(in_bucket))
+        )
+        .drop("__bkt", "__base")
+    )

@@ -1309,3 +1309,35 @@ def q_sequence_packing_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(
         load_table(spark, "documents", sf_dir), _SEQ_LEN, group_cols=["lang"]
     )
+
+
+# --- deterministic corpus shuffle -------------------------------------------
+# Reproducible global training order (operators/shuffle.py): LCG key +
+# bucketed two-phase global rank — no single-task total sort. The LCG is
+# exact integer arithmetic in both engines, so key AND rank value-check.
+
+_SHUFFLE_SEED = 7
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (doc_id * 1103515245 + 12345 + {_SHUFFLE_SEED}) % 2147483648 AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM keyed
+"""
+
+
+@register("shuffled_corpus_order", _SHUFFLE_ORACLE)
+def q_shuffled_corpus_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(
+        load_table(spark, "documents", sf_dir), seed=_SHUFFLE_SEED
+    ).select(
+        "doc_id", "shuffle_key", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
+    )

@@ -351,3 +351,13 @@ def test_clean_text_is_map_only(spark):
     assert P.python_eval_count(df) == 0
     assert P.exchange_count(df) == 0
     assert P.window_partition_columns(df) == []
+
+
+def test_shuffle_rank_has_no_all_rows_window(spark):
+    """Global rank must come from the bucketed two-phase form: every
+    data-sized window partitions by the key bucket; the only global
+    window is the O(buckets) bases frame behind an aggregate."""
+    df = _q(spark, "shuffled_corpus_order")
+    specs = P.window_partition_columns(df)
+    assert any("__bkt" in cols for cols in specs), specs
+    assert P.python_eval_count(df) == 0

@@ -616,3 +616,21 @@ def test_sequence_packing_by_group_streams_are_independent(spark, sf_dir):
             assert grouped[(lang, r.seq_id)] == (r.n_docs, r.n_tokens), (
                 lang, r.seq_id,
             )
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark, sf_dir):
+    from cdc_algorithms_spark.operators.shuffle import deterministic_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    out = deterministic_shuffle(docs, seed=7).collect()
+    assert sorted(r.shuffle_rank for r in out) == list(range(1, n + 1))
+    again = {r.doc_id: r.shuffle_rank for r in
+             deterministic_shuffle(docs, seed=7).collect()}
+    assert all(again[r.doc_id] == r.shuffle_rank for r in out)
+    other = {r.doc_id: r.shuffle_rank for r in
+             deterministic_shuffle(docs, seed=8).collect()}
+    assert any(other[r.doc_id] != r.shuffle_rank for r in out)
+    # shuffled: the identity order would keep ranks monotone in doc_id
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    assert any(a.shuffle_rank > b.shuffle_rank for a, b in zip(by_id, by_id[1:]))
