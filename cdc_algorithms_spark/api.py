@@ -51,6 +51,7 @@ __all__ = [
     "ingest",
     "clean",
     "shuffle_order",
+    "diff_tables",
     "topk_similar",
     "clusters",
     "profile",
@@ -228,6 +229,15 @@ def ingest(index: DataFrame, batch_chunks: DataFrame, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.ingest import ingest_stats
 
     return ingest_stats(index, batch_chunks, **kw)
+
+
+def diff_tables(old: DataFrame, new: DataFrame, **kw) -> DataFrame:
+    """Row-level CDC between snapshots: (id, status ∈ added/removed/
+    changed/unchanged) via one null-safe full-outer join
+    (operators/diff.py::table_diff)."""
+    from cdc_algorithms_spark.operators.diff import table_diff
+
+    return table_diff(old, new, **kw)
 
 
 def shuffle_order(docs: DataFrame, seed: int = 0, **kw) -> DataFrame:

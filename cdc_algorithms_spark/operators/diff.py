@@ -13,6 +13,8 @@ same key, and Catalyst/AQE pick the join strategy.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,4 +192,60 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
         F.coalesce(
             F.sum(F.when(F.col("status") == "dedup_new", F.col("length"))), zero
         ).cast("long").alias("dedup_new_bytes"),
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cmp_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """Row-level change-data-capture between two table snapshots:
+    ``(id, status)`` with status ∈ added / removed / changed / unchanged.
+
+    The relational complement of the chunk-level ``snapshot_diff``:
+    where snapshot_diff localizes WHICH BYTES moved inside a changed
+    document, table_diff answers WHICH ROWS changed at all — the feed an
+    incremental pipeline keys on to re-process only touched documents.
+
+    Shape: one full-outer hash join on the id key (both sides shuffle
+    once on a well-distributed id; comparison columns travel exactly
+    once). Comparisons are null-safe (`eqNullSafe`), so NULL→value and
+    value→NULL edits count as changed.
+    """
+    cmp_cols = list(cmp_cols)
+    o = old.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__n_{c}") for c in cmp_cols]
+    ).withColumn("__in_new", F.lit(True))
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(
+            F.col("__id").cast("long").alias(id_col),
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(same, F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
+def table_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cmp_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """``(status, n_rows)`` rollup of :func:`table_diff`."""
+    return (
+        table_diff(old, new, id_col=id_col, cmp_cols=cmp_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )

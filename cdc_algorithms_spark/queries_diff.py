@@ -146,3 +146,48 @@ def snapshot_diff_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = cdc_chunks(docs, "ae", 320)
     new = cdc_chunks(perturb_documents(docs), "ae", 320)
     return snapshot_diff_summary(old, new)
+
+
+# --- doc-level table CDC -----------------------------------------------------
+# Row-level change capture between snapshots (operators/diff.py::
+# table_diff): the feed an incremental pipeline keys on to re-process
+# only touched documents. The "next snapshot" is the perturbed corpus
+# minus a deterministic slice of deletions plus a slice of cloned
+# additions, so all four statuses appear.
+
+_TDIFF_ORACLE = f"""
+WITH new_base AS ({PERTURB_SQL}),
+new_snap AS (
+  SELECT doc_id, text FROM new_base WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY status
+"""
+
+
+@register("doc_table_diff", _TDIFF_ORACLE)
+def q_doc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.diff import table_diff_summary
+
+    old = load_table(spark, "documents", sf_dir)
+    base = perturb_documents(old)
+    new = (
+        base.where(F.col("doc_id") % 17 != 3)
+        .select("doc_id", "text")
+        .unionByName(
+            base.where(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return table_diff_summary(old, new)

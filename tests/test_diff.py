@@ -60,3 +60,24 @@ def test_summary_statuses(spark, sf_dir):
     ).collect()
     statuses = {r["status"] for r in s}
     assert statuses == {"unchanged", "inserted", "deleted"}
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    from cdc_algorithms_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, "e")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "now-set"), (5, None), (6, "f")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in table_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # NULL -> value must count as changed
+        4: "removed",
+        5: "changed",   # value -> NULL must count as changed
+        6: "added",
+    }
