@@ -249,3 +249,61 @@ def table_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+def table_changes(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cmp_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """Change feed between snapshots: non-``unchanged`` rows only, with
+    the NEW-side payload (NULL payload for removed rows) — the minimal
+    frame a MERGE/upsert consumer needs to advance ``old`` to ``new``.
+    Same single full-outer join shape as :func:`table_diff`."""
+    cmp_cols = list(cmp_cols)
+    o = old.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__n_{c}") for c in cmp_cols]
+    ).withColumn("__in_new", F.lit(True))
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(
+            F.col("__id").cast("long").alias(id_col),
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(same, F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            *[F.col(f"__n_{c}").alias(c) for c in cmp_cols],
+        )
+        .where(F.col("status") != "unchanged")
+    )
+
+
+def apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """MERGE the :func:`table_changes` feed into ``old``, producing the
+    new snapshot: touched ids (any status) leave ``old`` via one
+    left-anti join on the id key; added/changed payloads come from the
+    feed. ``apply_changes(old, table_changes(old, new)) ≡ new`` — the
+    round-trip a sync consumer relies on (pinned in tests and by the
+    ``cdc_apply_check`` oracle query)."""
+    payload_cols = list(payload_cols)
+    touched = changes.select(F.col(id_col))
+    kept = old.select(F.col(id_col).cast("long").alias(id_col), *payload_cols).join(
+        touched, id_col, "left_anti"
+    )
+    upserts = changes.where(F.col("status") != "removed").select(
+        F.col(id_col).cast("long").alias(id_col), *payload_cols
+    )
+    return kept.unionByName(upserts)

@@ -191,3 +191,50 @@ def q_doc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff_summary(old, new)
+
+
+_APPLY_ORACLE = f"""
+WITH new_base AS ({PERTURB_SQL}),
+new_snap AS (
+  SELECT doc_id, text FROM new_base WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM new_snap
+"""
+
+
+@register("cdc_apply_check", _APPLY_ORACLE)
+def q_cdc_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the change feed: extracting changes between snapshots
+    and MERGE-applying them onto the old snapshot must reproduce the new
+    snapshot exactly (operators/diff.py::table_changes/apply_changes).
+    The oracle states the contract: n_docs rows, zero mismatches."""
+    from cdc_algorithms_spark.operators.diff import apply_changes, table_changes
+
+    old = load_table(spark, "documents", sf_dir)
+    base = perturb_documents(old)
+    new = (
+        base.where(F.col("doc_id") % 17 != 3)
+        .select("doc_id", "text")
+        .unionByName(
+            base.where(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    rebuilt = apply_changes(old, table_changes(old, new))
+    cmp = rebuilt.join(
+        new.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.col("text").alias("want")),
+        "doc_id",
+        "full_outer",
+    )
+    return cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(~F.col("text").eqNullSafe(F.col("want")), 1).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )

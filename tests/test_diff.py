@@ -81,3 +81,21 @@ def test_table_diff_statuses_and_null_safety(spark):
         5: "changed",   # value -> NULL must count as changed
         6: "added",
     }
+
+
+def test_apply_changes_roundtrips_arbitrary_edits(spark):
+    from cdc_algorithms_spark.operators.diff import apply_changes, table_changes
+
+    old = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(i, f"doc {i}" if i % 3 else f"edited {i}") for i in range(20) if i % 7 != 1]
+        + [(100, "brand new")],
+        ["doc_id", "text"],
+    )
+    changes = table_changes(old, new)
+    assert changes.where(F.col("status") == "unchanged").count() == 0
+    rebuilt = {r.doc_id: r.text for r in apply_changes(old, changes).collect()}
+    want = {r.doc_id: r.text for r in new.collect()}
+    assert rebuilt == want
