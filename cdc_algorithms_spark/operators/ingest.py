@@ -70,25 +70,40 @@ def ingest_stats(
       →0 as the corpus saturates).
     """
     marked = ingest_batch(index, batch_chunks, key_col=key_col)
+    # coalesce(0): an EMPTY batch must yield a zeros row (novel_frac
+    # NULL), not a row of NULL sums — degenerate-input contract shared
+    # with the other accounting operators.
     return marked.agg(
-        F.sum("bytes_all").cast("long").alias("batch_bytes"),
-        F.sum("occurrences").cast("long").alias("batch_chunks"),
-        F.sum(F.when(~F.col("known"), F.col("length")).otherwise(0))
+        F.coalesce(F.sum("bytes_all"), F.lit(0)).cast("long").alias("batch_bytes"),
+        F.coalesce(F.sum("occurrences"), F.lit(0)).cast("long").alias("batch_chunks"),
+        F.coalesce(
+            F.sum(F.when(~F.col("known"), F.col("length")).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("novel_bytes"),
-        F.sum(F.when(~F.col("known"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(~F.col("known"), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("novel_chunks"),
-        F.sum(F.when(F.col("known"), F.col("bytes_all")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("known"), F.col("bytes_all")).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("dup_index_bytes"),
-        F.sum(
-            F.when(~F.col("known"), F.col("bytes_all") - F.col("length")).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("known"), F.col("bytes_all") - F.col("length")
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("dup_batch_bytes"),
     ).withColumn(
-        "novel_frac", F.round(F.col("novel_bytes") / F.col("batch_bytes"), 6)
+        # try_divide: ANSI mode raises on the empty batch's 0/0; the
+        # contract is novel_frac = NULL there.
+        "novel_frac",
+        F.round(F.try_divide(F.col("novel_bytes"), F.col("batch_bytes")), 6),
     )
 
 

@@ -32,8 +32,16 @@ _N_BUCKETS_BITS = 10  # 1024 buckets → bucket = key >> 21
 
 
 def shuffle_key(id_col, seed: int = 0):
-    """Deterministic pseudorandom key for an integer id column."""
-    return (F.col(id_col).cast("long") * _LCG_A + _LCG_C + seed) % _LCG_M
+    """Deterministic pseudorandom key for an integer id column.
+
+    TWO LCG rounds with the seed inside the first: a single affine round
+    would make the seed a uniform additive shift of every key, changing
+    the sort order only at wraparound boundaries — i.e. different seeds
+    would give nearly the SAME permutation. The intermediate ``% M``
+    makes the seed's effect nonlinear, so each seed selects a genuinely
+    different order (pinned by the seed-sensitivity test)."""
+    k1 = (F.col(id_col).cast("long") * _LCG_A + _LCG_C + seed) % _LCG_M
+    return (k1 * _LCG_A + _LCG_C) % _LCG_M
 
 
 def deterministic_shuffle(

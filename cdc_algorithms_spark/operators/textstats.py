@@ -422,8 +422,11 @@ def clean_text(
     at 100 TB this fuses into the source scan stage. Dedup keyed on the
     CLEANED text catches trivially-reformatted copies that byte-exact
     dedup misses; run this ahead of ``exact_dedup``/``minhash_lsh``.
+
+    NULL text is treated as empty (lengths 0, empty clean_text) — the
+    same degenerate-input posture as the dedup paths.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     cleaned = F.trim(
         F.regexp_replace(F.regexp_replace(t, CLEAN_CONTROL, ""), CLEAN_WS_RUN, " ")
     )

@@ -541,5 +541,6 @@ def streaming_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_batch_bytes"),
     ).withColumn(
-        "novel_frac", F.round(F.col("novel_bytes") / F.col("batch_bytes"), 6)
+        "novel_frac",
+        F.round(F.try_divide(F.col("novel_bytes"), F.col("batch_bytes")), 6),
     )

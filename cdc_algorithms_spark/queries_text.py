@@ -1321,7 +1321,8 @@ _SHUFFLE_SEED = 7
 _SHUFFLE_ORACLE = f"""
 WITH keyed AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         (doc_id * 1103515245 + 12345 + {_SHUFFLE_SEED}) % 2147483648 AS shuffle_key
+         (((doc_id * 1103515245 + 12345 + {_SHUFFLE_SEED}) % 2147483648)
+          * 1103515245 + 12345) % 2147483648 AS shuffle_key
   FROM documents
 )
 SELECT doc_id,

@@ -216,3 +216,44 @@ def test_null_text_docs_handled(spark):
 
     fps = doc_fingerprints_fast(docs).collect()
     assert {r["doc_id"] for r in fps} == {2, 4}  # null docs emit nothing
+
+
+def test_ingest_stats_empty_batch_returns_zero_row(spark):
+    from cdc_algorithms_spark.operators.ingest import chunk_index, ingest_stats
+
+    chunks = spark.createDataFrame(
+        [(1, "a" * 10, 10)], ["src_id", "chunk_text", "length"]
+    ).withColumn("hash", F.xxhash64("chunk_text"))
+    idx = chunk_index(chunks)
+    empty = chunks.limit(0)
+    row = ingest_stats(idx, empty).collect()[0]
+    assert (row.batch_bytes, row.batch_chunks, row.novel_bytes,
+            row.novel_chunks, row.dup_index_bytes, row.dup_batch_bytes) == (
+        0, 0, 0, 0, 0, 0)
+    assert row.novel_frac is None  # 0/0 — documented
+
+
+def test_clean_text_null_text_is_empty(spark):
+    from cdc_algorithms_spark.operators.textstats import clean_text
+
+    docs = spark.createDataFrame([(1, None), (2, " x ")], "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert (out[1].raw_len, out[1].clean_len, out[1].clean_text) == (0, 0, "")
+    assert out[2].clean_text == "x"
+
+
+def test_sequence_packing_empty_corpus(spark):
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert sequence_packing(docs, 512).count() == 0
+
+
+def test_table_diff_empty_sides(spark):
+    from cdc_algorithms_spark.operators.diff import table_diff
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    assert table_diff(empty, empty).count() == 0
+    assert [r.status for r in table_diff(empty, docs).collect()] == ["added"]
+    assert [r.status for r in table_diff(docs, empty).collect()] == ["removed"]
