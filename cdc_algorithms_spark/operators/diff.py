@@ -195,6 +195,37 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
     )
 
 
+def _diff_joined(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cmp_cols: Sequence[str],
+) -> DataFrame:
+    """Shared core of table_diff/table_changes: one null-safe full-outer
+    join on the id key, classified ``(id_col, status, *new-side cmp
+    cols)``. Both sides shuffle once on the well-distributed id;
+    comparison columns travel exactly once."""
+    cmp_cols = list(cmp_cols)
+    o = old.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__n_{c}") for c in cmp_cols]
+    ).withColumn("__in_new", F.lit(True))
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    return o.join(n, "__id", "full_outer").select(
+        F.col("__id").cast("long").alias(id_col),
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        *[F.col(f"__n_{c}").alias(c) for c in cmp_cols],
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,
@@ -208,33 +239,10 @@ def table_diff(
     where snapshot_diff localizes WHICH BYTES moved inside a changed
     document, table_diff answers WHICH ROWS changed at all — the feed an
     incremental pipeline keys on to re-process only touched documents.
-
-    Shape: one full-outer hash join on the id key (both sides shuffle
-    once on a well-distributed id; comparison columns travel exactly
-    once). Comparisons are null-safe (`eqNullSafe`), so NULL→value and
+    Comparisons are null-safe (`eqNullSafe`), so NULL→value and
     value→NULL edits count as changed.
     """
-    cmp_cols = list(cmp_cols)
-    o = old.select(
-        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
-    ).withColumn("__in_old", F.lit(True))
-    n = new.select(
-        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__n_{c}") for c in cmp_cols]
-    ).withColumn("__in_new", F.lit(True))
-    same = F.lit(True)
-    for c in cmp_cols:
-        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-    return (
-        o.join(n, "__id", "full_outer")
-        .select(
-            F.col("__id").cast("long").alias(id_col),
-            F.when(F.col("__in_old").isNull(), F.lit("added"))
-            .when(F.col("__in_new").isNull(), F.lit("removed"))
-            .when(same, F.lit("unchanged"))
-            .otherwise(F.lit("changed"))
-            .alias("status"),
-        )
-    )
+    return _diff_joined(old, new, id_col, cmp_cols).select(id_col, "status")
 
 
 def table_diff_summary(
@@ -259,30 +267,9 @@ def table_changes(
 ) -> DataFrame:
     """Change feed between snapshots: non-``unchanged`` rows only, with
     the NEW-side payload (NULL payload for removed rows) — the minimal
-    frame a MERGE/upsert consumer needs to advance ``old`` to ``new``.
-    Same single full-outer join shape as :func:`table_diff`."""
-    cmp_cols = list(cmp_cols)
-    o = old.select(
-        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
-    ).withColumn("__in_old", F.lit(True))
-    n = new.select(
-        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__n_{c}") for c in cmp_cols]
-    ).withColumn("__in_new", F.lit(True))
-    same = F.lit(True)
-    for c in cmp_cols:
-        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-    return (
-        o.join(n, "__id", "full_outer")
-        .select(
-            F.col("__id").cast("long").alias(id_col),
-            F.when(F.col("__in_old").isNull(), F.lit("added"))
-            .when(F.col("__in_new").isNull(), F.lit("removed"))
-            .when(same, F.lit("unchanged"))
-            .otherwise(F.lit("changed"))
-            .alias("status"),
-            *[F.col(f"__n_{c}").alias(c) for c in cmp_cols],
-        )
-        .where(F.col("status") != "unchanged")
+    frame a MERGE/upsert consumer needs to advance ``old`` to ``new``."""
+    return _diff_joined(old, new, id_col, cmp_cols).where(
+        F.col("status") != "unchanged"
     )
 
 

@@ -43,7 +43,12 @@ def ingest_batch(
     ``(hash, occurrences, bytes_all, length)`` with ``known`` = whether
     the hash is already in the index. Building block for
     ``ingest_stats`` and the store append path (append exactly the
-    ``~known`` rows)."""
+    ``~known`` rows).
+
+    ``key_col`` names the key column of the BATCH side only; the index
+    side must already expose the canonical ``(hash, length)`` schema —
+    i.e. come from :func:`chunk_index` (which renames whatever key it
+    was given to ``hash``)."""
     per_key = batch_chunks.groupBy(F.col(key_col).alias("hash")).agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.sum("length").alias("bytes_all"),
@@ -54,25 +59,14 @@ def ingest_batch(
     ).withColumn("known", F.coalesce("known", F.lit(False)))
 
 
-def ingest_stats(
-    index: DataFrame, batch_chunks: DataFrame, key_col: str = "hash"
-) -> DataFrame:
-    """One accounting row for ingesting a batch against an index:
-
-    * ``batch_bytes`` / ``batch_chunks`` — raw arrival volume;
-    * ``novel_bytes`` / ``novel_chunks`` — distinct chunks absent from
-      the index: exactly what the store must persist (the incremental
-      ``unique_bytes`` of the reference's coefficient, ae.rs:91);
-    * ``dup_index_bytes`` — batch bytes whose chunk already existed
-      (transfer/storage saved by the index);
-    * ``dup_batch_bytes`` — bytes saved by repeats WITHIN the batch;
-    * ``novel_frac`` — novel_bytes / batch_bytes (1.0 = all-new data,
-      →0 as the corpus saturates).
-    """
-    marked = ingest_batch(index, batch_chunks, key_col=key_col)
-    # coalesce(0): an EMPTY batch must yield a zeros row (novel_frac
-    # NULL), not a row of NULL sums — degenerate-input contract shared
-    # with the other accounting operators.
+def ingest_accounting(marked: DataFrame) -> DataFrame:
+    """Fold a marked per-key frame — ``(known, occurrences, bytes_all,
+    length, ...)``, the shape :func:`ingest_batch` emits — into the one
+    accounting row. Shared by the batch path (:func:`ingest_stats`) and
+    the streaming front-end (``streaming_ingest_novelty``), so the six
+    sum definitions live in exactly one place. coalesce(0): an EMPTY
+    batch must yield a zeros row (novel_frac NULL via try_divide — ANSI
+    mode raises on 0/0), not a row of NULL sums."""
     return marked.agg(
         F.coalesce(F.sum("bytes_all"), F.lit(0)).cast("long").alias("batch_bytes"),
         F.coalesce(F.sum("occurrences"), F.lit(0)).cast("long").alias("batch_chunks"),
@@ -100,11 +94,27 @@ def ingest_stats(
         .cast("long")
         .alias("dup_batch_bytes"),
     ).withColumn(
-        # try_divide: ANSI mode raises on the empty batch's 0/0; the
-        # contract is novel_frac = NULL there.
         "novel_frac",
         F.round(F.try_divide(F.col("novel_bytes"), F.col("batch_bytes")), 6),
     )
+
+
+def ingest_stats(
+    index: DataFrame, batch_chunks: DataFrame, key_col: str = "hash"
+) -> DataFrame:
+    """One accounting row for ingesting a batch against an index:
+
+    * ``batch_bytes`` / ``batch_chunks`` — raw arrival volume;
+    * ``novel_bytes`` / ``novel_chunks`` — distinct chunks absent from
+      the index: exactly what the store must persist (the incremental
+      ``unique_bytes`` of the reference's coefficient, ae.rs:91);
+    * ``dup_index_bytes`` — batch bytes whose chunk already existed
+      (transfer/storage saved by the index);
+    * ``dup_batch_bytes`` — bytes saved by repeats WITHIN the batch;
+    * ``novel_frac`` — novel_bytes / batch_bytes (1.0 = all-new data,
+      →0 as the corpus saturates; NULL for an empty batch).
+    """
+    return ingest_accounting(ingest_batch(index, batch_chunks, key_col=key_col))
 
 
 def updated_index(

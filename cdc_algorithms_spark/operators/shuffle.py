@@ -39,8 +39,15 @@ def shuffle_key(id_col, seed: int = 0):
     the sort order only at wraparound boundaries — i.e. different seeds
     would give nearly the SAME permutation. The intermediate ``% M``
     makes the seed's effect nonlinear, so each seed selects a genuinely
-    different order (pinned by the seed-sensitivity test)."""
-    k1 = (F.col(id_col).cast("long") * _LCG_A + _LCG_C + seed) % _LCG_M
+    different order (pinned by the seed-sensitivity test).
+
+    The id is reduced mod M BEFORE the multiply: a raw 64-bit id (e.g.
+    ``monotonically_increasing_id`` = partition<<33 | row) times the
+    multiplier overflows long, which raises under ANSI mode. Reducing
+    first keeps every intermediate below 2^62."""
+    k1 = (
+        (F.col(id_col).cast("long") % _LCG_M) * _LCG_A + _LCG_C + seed
+    ) % _LCG_M
     return (k1 * _LCG_A + _LCG_C) % _LCG_M
 
 

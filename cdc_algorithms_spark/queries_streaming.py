@@ -523,24 +523,6 @@ def streaming_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sink = run_staged_stream(spark, stages, build, output_mode="complete")
-    return sink.agg(
-        F.sum("bytes_all").cast("long").alias("batch_bytes"),
-        F.sum("occurrences").cast("long").alias("batch_chunks"),
-        F.sum(F.when(~F.col("known"), F.col("length")).otherwise(0))
-        .cast("long")
-        .alias("novel_bytes"),
-        F.sum(F.when(~F.col("known"), 1).otherwise(0))
-        .cast("long")
-        .alias("novel_chunks"),
-        F.sum(F.when(F.col("known"), F.col("bytes_all")).otherwise(0))
-        .cast("long")
-        .alias("dup_index_bytes"),
-        F.sum(
-            F.when(~F.col("known"), F.col("bytes_all") - F.col("length")).otherwise(0)
-        )
-        .cast("long")
-        .alias("dup_batch_bytes"),
-    ).withColumn(
-        "novel_frac",
-        F.round(F.try_divide(F.col("novel_bytes"), F.col("batch_bytes")), 6),
-    )
+    from cdc_algorithms_spark.operators.ingest import ingest_accounting
+
+    return ingest_accounting(sink)

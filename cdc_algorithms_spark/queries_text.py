@@ -1248,9 +1248,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) - length(cleaned) AS BIGINT) AS n_removed,
        cleaned AS clean_text
 FROM (
-  SELECT doc_id, text,
+  -- COALESCE mirrors clean_text's NULL-text-as-empty contract
+  SELECT doc_id, COALESCE(text, '') AS text,
          trim(regexp_replace(
-                regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                regexp_replace(COALESCE(text, ''),
+                               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
                 '[ \t\n\r]+', ' ', 'g')) AS cleaned
   FROM documents
 )
@@ -1321,7 +1323,8 @@ _SHUFFLE_SEED = 7
 _SHUFFLE_ORACLE = f"""
 WITH keyed AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         (((doc_id * 1103515245 + 12345 + {_SHUFFLE_SEED}) % 2147483648)
+         ((((doc_id % 2147483648) * 1103515245 + 12345 + {_SHUFFLE_SEED})
+           % 2147483648)
           * 1103515245 + 12345) % 2147483648 AS shuffle_key
   FROM documents
 )

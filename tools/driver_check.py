@@ -99,22 +99,13 @@ def check_one(spark, con, name: str, sf_dir: str) -> dict:
         return out
 
     # list-typed cells → the driver's canonicalizer raises (r01 price_quantiles)
+    import numpy as np
+
     for c in spdf.columns:
-        if any(isinstance(v, (list, tuple)) or hasattr(v, "__array__") and not isinstance(v, (str, bytes))
-               for v in spdf[c].head(5)):
-            try:
-                hash(tuple(spdf[c].head(1)))
-            except TypeError:
-                pass
         sample = [v for v in spdf[c].head(5) if v is not None]
-        if sample and isinstance(sample[0], (list, dict, set)):
+        if sample and isinstance(sample[0], (list, dict, set, np.ndarray)):
             out["status"] = "UNHASHABLE"
             out["detail"] = f"column {c} holds {type(sample[0]).__name__} cells"
-            return out
-        import numpy as np
-        if sample and isinstance(sample[0], np.ndarray):
-            out["status"] = "UNHASHABLE"
-            out["detail"] = f"column {c} holds ndarray cells"
             return out
 
     try:
