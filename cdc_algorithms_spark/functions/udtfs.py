@@ -30,6 +30,38 @@ class FixedChunkUDTF:
             yield idx, off, len(piece), piece
 
 
+@udtf(
+    returnType="chunk_idx: bigint, offset: bigint, length: bigint, chunk_text: string"
+)
+class CdcChunkUDTF:
+    """Content-defined chunking as a lateral table function:
+    ``LATERAL chunk_cdc(text, algo, expected_size, seed)`` with algo ∈
+    ae / rabin / fastcdc — the reference's pull loop (chunker.rs:25-29)
+    surfaced to SQL. Cut positions come from the same vectorized kernels
+    the DataFrame operator uses (chunkers/fast.py), so the SQL surface
+    and the mapInPandas pipeline cannot drift."""
+
+    def eval(self, text: str, algo: str, expected_size: int, seed: int):  # noqa: D102
+        if text is None or len(text) == 0:
+            return
+        # local import: the UDTF class pickles to executors; resolving at
+        # call time keeps the pickle small and the worker import lazy
+        from cdc_algorithms_spark.chunkers import ae_cuts, fastcdc_cuts, rabin_cuts
+        from cdc_algorithms_spark.chunkers.params import make_params
+
+        cut_fn = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}[algo]
+        data = text.encode("utf-8")
+        params = make_params(algo, expected_size, seed=seed)
+        # cuts are INCLUSIVE last-byte indices — identical loop to the
+        # mapInPandas pipeline (operators/chunking.py::chunk_batches)
+        prev = -1
+        for idx, cut in enumerate(cut_fn(data, params)):
+            piece = data[prev + 1 : cut + 1]
+            yield idx, prev + 1, len(piece), piece.decode("utf-8", "replace")
+            prev = cut
+
+
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs in the session's SQL function registry."""
     spark.udtf.register("chunk_fixed", FixedChunkUDTF)
+    spark.udtf.register("chunk_cdc", CdcChunkUDTF)

@@ -1345,3 +1345,30 @@ def q_shuffled_corpus_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "shuffle_key", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
     )
+
+
+# --- UDTF surface for CDC chunkers ------------------------------------------
+# chunk_cdc(text, algo, expected, seed) as a SQL LATERAL front-end over
+# the same vectorized kernels the DataFrame pipeline uses. Cut positions
+# aren't SQL-expressible, but byte conservation is: per-doc chunk
+# lengths must sum to n_chars (the same oracle as ae_concat_check).
+
+_UDTF_CDC_CONCAT_ORACLE = """
+SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
+FROM documents
+"""
+
+
+@register("udtf_ae_concat_check", _UDTF_CDC_CONCAT_ORACLE)
+def q_udtf_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id AS src_id, CAST(SUM(c.length) AS BIGINT) AS total_len
+        FROM __udtf_docs d, LATERAL chunk_cdc(d.text, 'ae', 320, 0) c
+        GROUP BY d.doc_id
+        """
+    )

@@ -634,3 +634,26 @@ def test_deterministic_shuffle_is_reproducible_permutation(spark, sf_dir):
     # shuffled: the identity order would keep ranks monotone in doc_id
     by_id = sorted(out, key=lambda r: r.doc_id)
     assert any(a.shuffle_rank > b.shuffle_rank for a, b in zip(by_id, by_id[1:]))
+
+
+def test_udtf_cdc_chunks_match_dataframe_pipeline(spark, sf_dir):
+    """The SQL LATERAL chunk_cdc front-end must emit exactly the rows of
+    the mapInPandas pipeline — same kernels, same inclusive-cut loop."""
+    from cdc_algorithms_spark.functions.udtfs import register_udtfs
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+
+    register_udtfs(spark)
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    docs.createOrReplaceTempView("__udtf_parity_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id AS src_id, c.chunk_idx, c.offset, c.length, c.chunk_text
+        FROM __udtf_parity_docs d, LATERAL chunk_cdc(d.text, 'ae', 320, 0) c
+        """
+    )
+    via_df = cdc_chunks(docs, "ae", 320).select(
+        "src_id", "chunk_idx", "offset", "length", "chunk_text"
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_df.collect()))
+    assert a == b
