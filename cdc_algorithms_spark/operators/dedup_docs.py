@@ -24,6 +24,16 @@ Design stance per operator:
   bucket path lives in operators/similarity.py.
 
 Everything is Catalyst expressions — no Python UDFs anywhere.
+
+Caching note: several operators ``persist()`` a frame that feeds two or
+more branches of the RETURNED plan (shingle sets, banded minhashes,
+fingerprints). They cannot unpersist it themselves — the caller hasn't
+executed the plan yet — so the blocks live until session end or LRU
+eviction (storage is MEMORY_AND_DISK and evictable, so this is bounded
+pressure, not a leak). Long-lived sessions issuing many distinct dedup
+plans can reclaim storage explicitly with ``spark.catalog.clearCache()``
+between pipelines; ``connected_components`` unpersists its edges itself
+because it fully materializes results inside its loop.
 """
 
 from __future__ import annotations
@@ -453,8 +463,14 @@ def embedding_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
         lo, hi = int(key[0]), int(key[1])
         left = pdf[pdf["blk"] == lo]
+        if left.empty:  # a hash residue with no vectors (tiny/skewed id sets)
+            return empty
         X = np.stack(left["vec"].to_numpy()).astype(np.float64)
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         xid = left["vid"].to_numpy()
@@ -465,6 +481,8 @@ def embedding_near_dup_pairs(
             ia, ib, cs = xid[ii][keep], xid[jj][keep], C[ii, jj][keep]
         else:
             right = pdf[pdf["blk"] == hi]
+            if right.empty:
+                return empty
             Y = np.stack(right["vec"].to_numpy()).astype(np.float64)
             Y /= np.linalg.norm(Y, axis=1, keepdims=True)
             yid = right["vid"].to_numpy()

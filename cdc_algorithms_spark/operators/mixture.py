@@ -41,14 +41,21 @@ def mixture_plan(
     single-pass; callers wanting redistribution re-run with renormalized
     weights over the short sources' leftovers). Sources absent from
     ``weights`` get weight 0 and select nothing but still report
-    availability.
+    availability; sources named in ``weights`` but absent from ``docs``
+    report availability 0 (so an unfillable budget slice is visible).
+    Docs with NULL/empty text carry no tokens and are never selected.
     """
     spark = docs.sparkSession
+    # toks > 0 filter: a NULL/empty text carries no tokens — without it
+    # such a doc would inflate n_docs_selected while adding nothing to
+    # tokens_selected (same contract as packing.doc_token_spans)
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(source_col).alias("source"),
-        F.ceil(F.length(text_col) / 4.0).cast("long").alias("toks"),
-    )
+        F.coalesce(F.ceil(F.length(text_col) / 4.0).cast("long"), F.lit(0)).alias(
+            "toks"
+        ),
+    ).where(F.col("toks") > 0)
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
         "source string, weight double",
@@ -56,14 +63,19 @@ def mixture_plan(
     avail = toks.groupBy("source").agg(
         F.sum("toks").cast("long").alias("available_tokens")
     )
+    # full outer: a source that is WEIGHTED but absent from docs must
+    # still report (available 0, allocated 0) — dropping the row would
+    # hide an unfillable slice of the requested budget from the caller
     alloc = (
-        avail.join(F.broadcast(wdf), "source", "left")
+        avail.join(F.broadcast(wdf), "source", "full_outer")
         .select(
             "source",
             F.coalesce("weight", F.lit(0.0)).alias("weight"),
-            "available_tokens",
+            F.coalesce("available_tokens", F.lit(0)).cast("long").alias(
+                "available_tokens"
+            ),
             F.least(
-                F.col("available_tokens"),
+                F.coalesce("available_tokens", F.lit(0)),
                 F.floor(total_tokens * F.coalesce("weight", F.lit(0.0))).cast(
                     "long"
                 ),

@@ -99,7 +99,8 @@ def extract_features(
         for pdf in batches:
             feats = []
             for content in pdf["content"]:
-                arr = np.frombuffer(content, dtype=np.uint8)
+                # NULL payload → same zero-vector as empty payload
+                arr = np.frombuffer(content or b"", dtype=np.uint8)
                 if arr.size == 0:
                     feats.append([0.0] * dim)
                     continue
@@ -135,7 +136,8 @@ def sample_frames(
     contract.
     """
     n = F.length("content")
-    exploded = media.select(
+    # empty/NULL payloads carry no frames — and sequence(0, -1, k) raises
+    exploded = media.where(n > 0).select(
         F.col("media_id").cast("long").alias("media_id"),
         F.col("content"),
         F.posexplode(
@@ -186,7 +188,8 @@ def resize_media(
         for pdf in batches:
             payloads = []
             for content in pdf["content"]:
-                arr = np.frombuffer(content, dtype=np.uint8)
+                # NULL payload → same zero-filled output as empty payload
+                arr = np.frombuffer(content or b"", dtype=np.uint8)
                 if arr.size == 0:
                     payloads.append(b"\x00" * out_len)
                     continue

@@ -39,12 +39,17 @@ def bounded_running_sum(
     window partition ever exceeding ~``bucket`` order-units of rows.
 
     ``order_col`` must be unique within a group (ties would make the
-    running total order-dependent). The bases frame has
+    running total order-dependent); rows with a NULL ``order_col`` have
+    no defined position and are EXCLUDED from the output (explicitly —
+    not silently eaten by a join). NULL values in ``part_cols`` form
+    their own group, same as ``groupBy``. The bases frame has
     O(rows / bucket) entries per group — pick ``bucket`` ≈ sqrt(group
     size) to balance the two phases at extreme scale.
     """
     part_cols = list(part_cols)
-    bucketed = df.withColumn("__bkt", F.floor(F.col(order_col) / bucket))
+    bucketed = df.where(F.col(order_col).isNotNull()).withColumn(
+        "__bkt", F.floor(F.col(order_col) / bucket)
+    )
     prior = (
         Window.partitionBy(*part_cols)
         .orderBy("__bkt")
@@ -54,18 +59,23 @@ def bounded_running_sum(
         bucketed.groupBy(*part_cols, "__bkt")
         .agg(F.sum(value_col).alias("__n"))
         .select(
-            *part_cols,
-            "__bkt",
+            *[F.col(c).alias(f"__g_{c}") for c in part_cols],
+            F.col("__bkt").alias("__g_bkt"),
             F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__base"),
         )
     )
+    # eqNullSafe join keys: a NULL part-group must still find its bases
+    # row (a plain equi-join would silently drop the whole group)
+    cond = F.col("__bkt").eqNullSafe(F.col("__g_bkt"))
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     in_bucket = (
         Window.partitionBy(*part_cols, "__bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(F.broadcast(bases), [*part_cols, "__bkt"])
+        bucketed.join(F.broadcast(bases), cond)
         .withColumn(out_col, F.col("__base") + F.sum(value_col).over(in_bucket))
-        .drop("__bkt", "__base")
+        .drop("__bkt", "__base", "__g_bkt", *[f"__g_{c}" for c in part_cols])
     )

@@ -128,6 +128,9 @@ def kmeans_centroids(
     cents = [list(map(float, r["v"])) for r in init]
     if not cents:  # empty corpus: no centroids, callers return empty typed frames
         return []
+    # corpus smaller than k: every vector is its own centroid — clamp k
+    # so the empty-cell backfill below never indexes past the init list
+    k = min(k, len(cents))
     for _ in range(iters):
         assigned = corpus.select(
             _nearest_cell(F.col(vec_col), cents).alias("cell"),

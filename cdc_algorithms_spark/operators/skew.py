@@ -42,7 +42,17 @@ def salted_join(
 
     The salt is non-deterministic per fact row, which is safe: it only
     routes rows, the join result is salt-independent.
+
+    Only fact-preserving modes are legal: a right/full outer join would
+    emit every UNMATCHED dim row once per salt replica (``num_salts``
+    phantom rows), so those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving modes only, got how={how!r}: "
+            "the salt-replicated dim side would duplicate unmatched dim rows "
+            "num_salts times under right/full outer joins"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand() * num_salts).cast("int")
     )

@@ -109,9 +109,13 @@ def resample_locf(
     partition are bounded by the range/step ratio rather than the event
     count, so fill cost is independent of event volume.
     """
-    bounds = events.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
-        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    # Bucket via epoch-aligned tumbling windows so the SAME `step` drives
+    # bucketing, bounds, and the grid stride (a hard-coded date_trunc
+    # would silently mis-bucket for any step other than its unit; for
+    # "1 hour" window.start == date_trunc('hour') exactly).
+    bucketed = events.withColumn("__bucket", F.window(F.col(ts_col), step)["start"])
+    bounds = bucketed.agg(
+        F.min("__bucket").alias("h0"), F.max("__bucket").alias("h1")
     )
     keys = events.select(F.col(key_col).alias("key")).distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(
@@ -120,9 +124,9 @@ def resample_locf(
             F.sequence("h0", "h1", F.expr(f"INTERVAL {step}"))
         ).alias("bucket"),
     )
-    per_bucket = events.groupBy(
+    per_bucket = bucketed.groupBy(
         F.col(key_col).alias("key"),
-        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col("__bucket").alias("bucket"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.avg(value_col), 4).alias("avg_value"),

@@ -910,6 +910,7 @@ WITH toks AS (
   SELECT doc_id, source,
          CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
   FROM documents
+  WHERE length(text) > 0
 ),
 w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
 avail AS (
@@ -917,13 +918,14 @@ avail AS (
   FROM toks GROUP BY source
 ),
 alloc AS (
-  SELECT a.source,
+  -- full outer: weighted-but-absent sources report availability 0
+  SELECT COALESCE(a.source, w.source) AS source,
          CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight,
-         a.available_tokens,
-         LEAST(a.available_tokens,
+         CAST(COALESCE(a.available_tokens, 0) AS BIGINT) AS available_tokens,
+         LEAST(COALESCE(a.available_tokens, 0),
                CAST(FLOOR({_MIX_TOTAL} * COALESCE(w.weight, 0.0)) AS BIGINT))
            AS allocated_tokens
-  FROM avail a LEFT JOIN w USING (source)
+  FROM avail a FULL OUTER JOIN w ON a.source = w.source
 ),
 run AS (
   SELECT source, toks,

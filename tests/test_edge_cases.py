@@ -257,3 +257,105 @@ def test_table_diff_empty_sides(spark):
     assert table_diff(empty, empty).count() == 0
     assert [r.status for r in table_diff(empty, docs).collect()] == ["added"]
     assert [r.status for r in table_diff(docs, empty).collect()] == ["removed"]
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    from cdc_algorithms_spark.operators.similarity import embedding_clusters
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    out = embedding_clusters(tiny, k=8, dim=2)
+    assert 0 < out.count() <= 3
+
+
+def test_embedding_near_dup_tiny_corpus_empty_blocks(spark):
+    from cdc_algorithms_spark.operators.dedup_docs import embedding_near_dup_pairs
+
+    # 3 vectors over 8 hash blocks: most blocks are empty
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = embedding_near_dup_pairs(vecs, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+def test_resample_locf_honors_step(spark):
+    from cdc_algorithms_spark.operators.temporal import resample_locf
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0),
+         (1, "2024-01-01 00:40:00", 3.0),
+         (1, "2024-01-01 02:05:00", 5.0)],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {r["bucket"].strftime("%H:%M"): (r["n_events"], r["avg_value_filled"])
+           for r in resample_locf(ev, "k", "ts", "v", step="30 minutes").collect()}
+    assert got["00:00"] == (1, 1.0)
+    assert got["00:30"] == (1, 3.0)
+    assert got["01:00"] == (0, 3.0)   # LOCF carries 00:30's value
+    assert got["01:30"] == (0, 3.0)
+    assert got["02:00"] == (1, 5.0)
+    assert len(got) == 5
+
+
+def test_sample_frames_skips_empty_payload(spark):
+    from cdc_algorithms_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, b""), (2, b"abcdef"), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = sample_frames(media, frame_bytes=4).collect()
+    assert {r.media_id for r in rows} == {2}
+
+
+def test_media_features_null_payload_is_zero_vector(spark):
+    from cdc_algorithms_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "img", None), (2, "img", b"")],
+        "media_id long, kind string, content binary",
+    )
+    out = {r.media_id: list(r.features) for r in
+           extract_features(media, dim=4).collect()}
+    assert out[1] == [0.0] * 4 and out[2] == [0.0] * 4
+
+
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    import pytest
+
+    from cdc_algorithms_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "x")], ["k", "a"])
+    d = spark.createDataFrame([(1, "y")], ["k", "b"])
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(f, d, "k", how="full")
+
+
+def test_mixture_reports_weighted_but_absent_sources(spark):
+    from cdc_algorithms_spark.operators.mixture import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40, "web"), (2, None, "web")], ["doc_id", "text", "source"]
+    )
+    out = {r["source"]: r for r in
+           mixture_plan(docs, {"web": 0.5, "code": 0.5}, 100).collect()}
+    assert out["code"].available_tokens == 0
+    assert out["code"].allocated_tokens == 0
+    # the NULL-text doc carries no tokens and is not counted as selected
+    assert out["web"].n_docs_selected == 1
+
+
+def test_bounded_running_sum_null_group_and_null_order(spark):
+    from cdc_algorithms_spark.operators.prefix import bounded_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), (None, 2, 20), (None, 4, 5), ("a", None, 99)],
+        "k string, ord long, val long",
+    )
+    rows = bounded_running_sum(df, ["k"], "ord", "val", bucket=2).collect()
+    got = {(r.k, r.ord): r.running for r in rows}
+    # NULL-ord row excluded; NULL group forms its own running stream
+    assert got == {("a", 1): 10, (None, 2): 20, (None, 4): 25}
