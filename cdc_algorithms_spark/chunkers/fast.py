@@ -239,7 +239,12 @@ def _rabin_scan(data, p: RabinParams, final: bool) -> list[int]:
     cuts: list[int] = []
     s = 0
     while s < n:
-        lo = s + p.min_size
+        # a hash cut needs local >= min_size AND local >= window_size
+        # (core's cut check is nested inside the popped-window branch);
+        # min_size alone would also accept candidates whose fingerprint
+        # window spans bytes before the chunk start. Factory params have
+        # min = window + 1, so this only matters for hand-built params.
+        lo = s + max(p.min_size, p.window_size)
         hi_hash = min(s + p.max_size - 1, n - 1)  # last position a hash cut can win
         i = np.searchsorted(cand, lo)
         cut = -1

@@ -23,6 +23,10 @@ class FixedChunkUDTF:
     """Fixed-size chunking (fixed.rs:20-52) as a lateral table function."""
 
     def eval(self, text: str, size: int):  # noqa: D102
+        if size is None or size <= 0:
+            # same guard as the batch twin (operators/chunking.py):
+            # a silent empty result for size<=0 would read as data loss
+            raise ValueError(f"chunk_fixed: size must be positive, got {size}")
         if text is None:
             return
         for idx, off in enumerate(range(0, len(text), size)):
@@ -49,7 +53,12 @@ class CdcChunkUDTF:
         from cdc_algorithms_spark.chunkers import ae_cuts, fastcdc_cuts, rabin_cuts
         from cdc_algorithms_spark.chunkers.params import make_params
 
-        cut_fn = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}[algo]
+        cut_fns = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}
+        if algo not in cut_fns:
+            raise ValueError(
+                f"chunk_cdc: unknown algo {algo!r}; one of {sorted(cut_fns)}"
+            )
+        cut_fn = cut_fns[algo]
         data = text.encode("utf-8")
         params = make_params(algo, expected_size, seed=seed)
         # cuts are INCLUSIVE last-byte indices — identical loop to the

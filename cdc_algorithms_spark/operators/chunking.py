@@ -38,6 +38,7 @@ def fixed_chunks(
     chunk_size: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document's text into fixed-size chunks.
 
@@ -45,9 +46,15 @@ def fixed_chunks(
     ``chunk_size`` bytes, final chunk keeps the remainder. Expressed with
     built-ins only (``sequence``/``posexplode``/``substring``) so the whole
     operator stays inside whole-stage codegen and is DuckDB-oracle-checkable.
+
+    ``keep_cols`` pass extra source columns through to every chunk row
+    (e.g. an event-time column a streaming consumer needs for its
+    watermark — watermarks don't survive a projection that drops the
+    time column).
     """
     if chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    keep_cols = tuple(keep_cols)
     n = F.length(F.col(text_col))
     # empty text yields no chunks (FixedChunker returns Finished on an
     # exhausted input, fixed.rs:29-37); without the guard ANSI mode
@@ -56,12 +63,14 @@ def fixed_chunks(
         docs.where(n > 0).select(
             F.col(id_col).cast("long").alias("src_id"),
             F.col(text_col),
+            *keep_cols,
             F.posexplode(
                 F.sequence(F.lit(0), n - F.lit(1), F.lit(chunk_size))
             ).alias("chunk_idx", "offset"),
         )
         .select(
             "src_id",
+            *keep_cols,
             F.lit(f"fixed{chunk_size}").alias("algo"),
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.col("offset").cast("long").alias("offset"),

@@ -44,10 +44,19 @@ def synthetic_blob_segments(
     pool: int = 37,
 ) -> DataFrame:
     """One logical blob of ``total_len`` bytes as a segment table with
-    ``overlap`` warm-up bytes, generated in parallel on executors."""
+    ``overlap`` warm-up bytes, generated in parallel on executors.
+    ``total_len == 0`` returns an empty segment table (zero-row
+    contract); bad geometry raises up front."""
     import math
 
+    if segment_len <= 0 or overlap < 0 or total_len < 0:
+        raise ValueError(
+            f"bad geometry: total_len={total_len} segment_len={segment_len} "
+            f"overlap={overlap}"
+        )
     n_segs = math.ceil(total_len / segment_len)
+    if n_segs == 0:
+        return spark.createDataFrame([], _SCHEMA)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np

@@ -84,7 +84,7 @@ def chunk_change_feed(
             unchanged = cur & prev
             inserted = cur - prev
             deleted = prev - cur
-            new_bytes = sum(l for (_, l), c in cur.items() for _ in range(c)) or 1
+            new_bytes = sum(l * c for (_, l), c in cur.items()) or 1
             ins_bytes = sum(l * c for (_, l), c in inserted.items())
             out.append(
                 (

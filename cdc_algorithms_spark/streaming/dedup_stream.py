@@ -34,12 +34,26 @@ def incremental_unique_chunks(
     pipeline, same chunk schema plus ``hash``. Chunking is the same
     declarative operator as batch (`fixed_chunks` works unchanged on a
     streaming frame — this symmetry is the point of the DataFrame-first
-    design). Pass ``ts_col`` to bound dedup state with a watermark.
+    design).
+
+    Pass ``ts_col`` to bound dedup state with a watermark: the time
+    column rides through the chunk projection (``keep_cols`` — the
+    watermark doesn't survive a projection that drops it) and state is
+    evicted via ``dropDuplicatesWithinWatermark(["hash"])``, which
+    dedups BY HASH while aging out entries older than the delay —
+    ``dropDuplicates(["hash", ts])`` would instead re-emit a chunk for
+    every distinct timestamp.
     """
-    chunked = with_chunk_hash(fixed_chunks(docs_stream, chunk_size, id_col, text_col))
     if ts_col is not None:
-        chunked = chunked.withWatermark(ts_col, watermark_delay)
-        return chunked.dropDuplicates(["hash", ts_col])
+        chunked = with_chunk_hash(
+            fixed_chunks(
+                docs_stream, chunk_size, id_col, text_col, keep_cols=(ts_col,)
+            )
+        )
+        return chunked.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["hash"])
+    chunked = with_chunk_hash(fixed_chunks(docs_stream, chunk_size, id_col, text_col))
     return chunked.dropDuplicates(["hash"])
 
 

@@ -31,8 +31,12 @@ from cdc_algorithms_spark.operators.chunking import CHUNK_SCHEMA
 
 _CUT_FNS = {"ae": ae_cuts, "rabin": rabin_cuts, "fastcdc": fastcdc_cuts}
 
-# (unchunked tail, absolute offset of its first byte, next chunk index)
-_STATE_SCHEMA = "buf string, next_offset long, next_idx long"
+# (unchunked tail, absolute offset of its first byte, next chunk index).
+# The tail is BINARY, not string: a CDC cut can land mid-UTF-8-sequence,
+# and round-tripping the split tail through a replace-decode would swap
+# the dangling continuation bytes for U+FFFD — shifting every subsequent
+# cut position vs the batch chunker. Raw bytes round-trip exactly.
+_STATE_SCHEMA = "buf binary, next_offset long, next_idx long"
 
 
 def stateful_cdc_chunks(
@@ -75,10 +79,9 @@ def stateful_cdc_chunks(
         eof = bool(rows["eof"].any())
 
         buf, next_off, next_idx = (
-            state.get if state.exists else ("", 0, 0)
+            state.get if state.exists else (b"", 0, 0)
         )
-        buf += new_text
-        data = buf.encode("utf-8")
+        data = bytes(buf or b"") + new_text.encode("utf-8")
 
         cuts = list(cut_fn(data, params)) if data else []
         if not eof and cuts:
@@ -97,8 +100,7 @@ def stateful_cdc_chunks(
             state.remove()
         else:
             consumed = prev + 1
-            state.update((data[consumed:].decode("utf-8", "replace"),
-                          next_off + consumed, next_idx + len(cuts)))
+            state.update((data[consumed:], next_off + consumed, next_idx + len(cuts)))
 
         yield pd.DataFrame(
             {

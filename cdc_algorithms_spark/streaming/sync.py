@@ -84,8 +84,13 @@ def run_incremental_sync(
     metrics (1 row). Which occurrence of a duplicate set ships is
     arrival-order-dependent; the byte totals are not (identical text has
     identical length), so the converged totals are deterministic."""
+    if not new_chunk_stages:
+        raise ValueError("need at least one new-chunk stage")
     store_dir = os.path.join(workdir, "store")
     metrics_dir = os.path.join(workdir, "metrics")
+    # a reused workdir must not leak a prior run's metrics into this
+    # run's totals (sync_batch APPENDS per micro-batch)
+    shutil.rmtree(metrics_dir, ignore_errors=True)
     old_chunks.select(
         "chunk_text"
     ).distinct().withColumn("origin", F.lit("old")).write.mode("overwrite").parquet(

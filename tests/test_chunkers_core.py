@@ -223,3 +223,23 @@ def test_fastcdc_crosscheck_published_package():
     import statistics
 
     assert 0.3 < statistics.mean(ours) / statistics.mean(theirs) < 3.0
+
+
+def test_rabin_fast_matches_loop_when_min_below_window():
+    """Hand-built params with min_size < window_size: the fast path's
+    hash-cut lower bound must be max(min, window) like the faithful
+    loop's nested guard — min_size alone admits candidates whose
+    fingerprint window spans bytes before the chunk start."""
+    import random
+
+    from cdc_algorithms_spark.chunkers.fast import rabin_cuts
+    from cdc_algorithms_spark.chunkers.params import RabinParams
+
+    p = RabinParams(
+        expected_size=64, seed=0, window_size=32, min_size=4, max_size=256,
+        mask=63,
+    )
+    rng = random.Random(3)
+    for n in (0, 1, 33, 500, 4096):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert rabin_cuts(data, p) == rabin_cuts_py(data, p), f"n={n}"

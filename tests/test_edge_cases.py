@@ -359,3 +359,33 @@ def test_bounded_running_sum_null_group_and_null_order(spark):
     got = {(r.k, r.ord): r.running for r in rows}
     # NULL-ord row excluded; NULL group forms its own running stream
     assert got == {("a", 1): 10, (None, 2): 20, (None, 4): 25}
+
+
+def test_synthetic_blob_zero_and_bad_geometry(spark):
+    import pytest
+
+    from cdc_algorithms_spark.sources.synthetic import synthetic_blob_segments
+
+    assert synthetic_blob_segments(spark, 0, 1 << 20, 0).count() == 0
+    with pytest.raises(ValueError, match="bad geometry"):
+        synthetic_blob_segments(spark, 100, 0, 0)
+
+
+def test_udtf_guards_match_batch_twins(spark):
+    import pytest
+
+    from cdc_algorithms_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "hello")], ["doc_id", "text"]).createOrReplaceTempView(
+        "__udtf_guard_docs"
+    )
+    with pytest.raises(Exception, match="size must be positive"):
+        spark.sql(
+            "SELECT * FROM __udtf_guard_docs d, LATERAL chunk_fixed(d.text, -1) c"
+        ).collect()
+    with pytest.raises(Exception, match="unknown algo"):
+        spark.sql(
+            "SELECT * FROM __udtf_guard_docs d, "
+            "LATERAL chunk_cdc(d.text, 'nope', 64, 0) c"
+        ).collect()

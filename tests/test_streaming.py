@@ -375,3 +375,86 @@ def test_streaming_ingest_matches_batch_oracle(spark):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "streaming_ingest_novelty", SF_DIR)
+
+
+def test_stateful_chunker_survives_cut_mid_utf8_sequence(spark):
+    """Fragment boundaries and CDC cuts that split a multi-byte UTF-8
+    codepoint must not corrupt the carried tail: state holds raw bytes,
+    so streaming cut positions/offsets/lengths equal batch exactly even
+    on non-ASCII text."""
+    import random
+
+    rng = random.Random(5)
+    # dense multi-byte text: Greek/CJK mixed with ASCII
+    alphabet = "αβγδεζきょうはいい天気ですnowletters"
+    text = "".join(rng.choice(alphabet) for _ in range(2000))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # fragment at CHARACTER positions — the byte stream still splits
+    # codepoints at CDC cuts internally
+    cut1, cut2 = 700, 1400
+    frags = [
+        spark.createDataFrame(
+            [(1, 0, text[:cut1], False)], "src_id long, seq long, text string, eof boolean"
+        ),
+        spark.createDataFrame(
+            [(1, 1, text[cut1:cut2], False)], "src_id long, seq long, text string, eof boolean"
+        ),
+        spark.createDataFrame(
+            [(1, 2, text[cut2:], True)], "src_id long, seq long, text string, eof boolean"
+        ),
+    ]
+    for algo, size, seed in [("ae", 320, 0), ("fastcdc", 64, 1)]:
+        sink = run_staged_stream(
+            spark, frags, lambda s: stateful_cdc_chunks(s, algo, size, seed)
+        )
+        got = sorted(
+            (r.chunk_idx, r.offset, r.length) for r in sink.collect()
+        )
+        want = sorted(
+            (r.chunk_idx, r.offset, r.length)
+            for r in cdc_chunks(docs, algo, size, seed).collect()
+        )
+        assert got == want, f"{algo}: streaming diverged on non-ASCII"
+
+
+def test_watermarked_chunk_dedup_dedups_by_hash(spark):
+    """The ts_col path must (a) run at all — the watermark column has to
+    survive the chunk projection — and (b) dedup BY HASH: the same chunk
+    arriving again within the watermark window is not re-emitted."""
+    from cdc_algorithms_spark.streaming import incremental_unique_chunks
+
+    rows1 = [(1, "2024-01-01 10:00:00", "abcd" * 32)]
+    rows2 = [(2, "2024-01-01 10:05:00", "abcd" * 32),   # same content, later ts
+             (3, "2024-01-01 10:06:00", "zzzz" * 32)]
+    schema = "doc_id long, ts string, text string"
+    stages = [
+        spark.createDataFrame(rows, schema).select(
+            "doc_id", F.col("ts").cast("timestamp").alias("ts"), "text"
+        )
+        for rows in (rows1, rows2)
+    ]
+    sink = run_staged_stream(
+        spark,
+        stages,
+        lambda s: incremental_unique_chunks(s, 64, ts_col="ts"),
+    )
+    out = sink.collect()
+    hashes = [r.hash for r in out]
+    assert len(hashes) == len(set(hashes)), "same hash emitted twice"
+    assert {r.src_id for r in out} == {1, 3}, "doc 2's duplicate chunks must drop"
+
+
+def test_incremental_sync_workdir_reuse_does_not_double_count(spark, tmp_path):
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.streaming.sync import run_incremental_sync
+
+    docs = load_table(spark, "documents", SF_DIR).limit(30)
+    old = fixed_chunks(docs, 64)
+    new = fixed_chunks(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" tail"))), 64
+    )
+    stages = [new.where(F.col("src_id") % 2 == i) for i in range(2)]
+    wd = str(tmp_path / "sync")
+    first = run_incremental_sync(spark, old, stages, wd).collect()
+    second = run_incremental_sync(spark, old, stages, wd).collect()
+    assert first == second, "reused workdir must not accumulate prior metrics"
