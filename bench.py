@@ -138,7 +138,15 @@ BASELINE_SF01 = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # parse a trailing sfN.N path component; any other shape → sf = -1
+    # (a bare substring split would crash on paths like .../transfer/)
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
+    try:
+        sf = float(m.group(1)) if m else -1.0
+    except ValueError:
+        sf = -1.0
     spark = get_spark("cdc-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -154,6 +162,12 @@ def main() -> None:
 
     spark.range(256, numPartitions=64).select(_warm(F.col("id"))).count()
 
+    missing = [q for q in HEADLINE if q not in SPARK_QUERIES]
+    if missing:
+        # a renamed/typo'd headline entry must not silently shrink the
+        # benchmark — the total would read as a phantom improvement
+        print(f"WARNING: headline queries missing from registry: {missing}",
+              file=sys.stderr)
     queries = [q for q in HEADLINE if q in SPARK_QUERIES]
 
     def measure(name: str, runs: int = 2) -> float:

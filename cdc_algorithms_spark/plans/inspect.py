@@ -43,18 +43,45 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """The ``PushedFilters`` lists from every parquet scan in the plan."""
+    """The ``PushedFilters`` lists from every parquet scan in the plan.
+
+    Greedy to the line's LAST ``]``: a filter like ``In(id, [1,2])``
+    contains its own bracket, and a lazy ``[^\\]]*`` would truncate the
+    list at it (the line holds nothing after the filter list)."""
     plan = physical_plan(df, "formatted")
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return re.findall(r"PushedFilters: \[(.*)\]", plan)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside ``<>`` (struct/array/map types)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column names each parquet scan actually reads (``ReadSchema``) —
-    the column-pruning witness: a 2-column projection must not scan 16."""
+    the column-pruning witness: a 2-column projection must not scan 16.
+    Nested types (``array<...>``, ``map<...>``) carry their own ``<>``
+    and commas, so the struct body is taken greedily to the line's last
+    ``>`` and split only at top-level commas."""
     plan = physical_plan(df, "formatted")
     out = []
-    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
-        out.append([c.split(":")[0].strip() for c in m.split(",") if c.strip()])
+    for m in re.findall(r"ReadSchema: struct<(.*)>", plan):
+        out.append(
+            [c.split(":")[0].strip() for c in _split_top_level(m) if c.strip()]
+        )
     return out
 
 
@@ -84,15 +111,22 @@ def window_partition_columns(df: DataFrame) -> list[list[str]]:
         if "Window [" not in line:
             continue
         groups = re.findall(r"\[([^\[\]]*)\]", line)
-        if len(groups) < 2:  # Window [...], [partition], [order]
-            continue
-        part = groups[-2]
-        cols = [
-            re.sub(r"#\d+L?$", "", c.strip())
-            for c in part.split(",")
-            if c.strip()
-        ]
-        out.append(cols)
+        # Partitioned:  Window [exprs], [partition], [order] → 3 groups.
+        # Global:       Window [exprs], [order]              → 2 groups
+        # (Spark omits the empty partition list entirely — taking
+        # groups[-2] there would return the window EXPRESSIONS as
+        # phantom "partition columns"). A global window is reported as
+        # an explicit [] so skew assertions see the worst case.
+        if len(groups) >= 3:
+            part = groups[-2]
+            cols = [
+                re.sub(r"#\d+L?$", "", c.strip())
+                for c in part.split(",")
+                if c.strip()
+            ]
+            out.append(cols)
+        elif len(groups) == 2:
+            out.append([])
     return out
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.queries import register
-from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.sources.registry import epoch_day, load_table
 
 
 # --- TPC-H Q1 style: pricing summary ---------------------------------------
@@ -104,9 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("orderkey"),
             "revenue",
-            (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias(
-                "orderdate_day"
-            ),
+            epoch_day("o_orderdate").alias("orderdate_day"),
         )
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
@@ -712,6 +710,10 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice"),
         )
         .unpivot(["p_brand"], ["p_size", "p_retailprice"], "metric", "value")
+        # Spark's unpivot KEEPS NULL value rows; DuckDB's UNPIVOT drops
+        # them by default — filter for parity (no-op on the non-null
+        # TPC-H metrics, load-bearing the moment a metric is nullable)
+        .where(F.col("value").isNotNull())
         .groupBy(F.col("p_brand").alias("brand"), "metric")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -800,6 +802,11 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
             F.min("k").cast("long").alias("min_k"),
             F.max("k").cast("long").alias("max_k"),
-            F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_high_k"),
+            # when/otherwise(0), not a bare cast-sum: a group whose k is
+            # NULL on every row must report 0 like the oracle's CASE sum,
+            # not NULL
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_k"),
         )
     )

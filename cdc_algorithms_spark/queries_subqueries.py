@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_algorithms_spark.queries import register
-from cdc_algorithms_spark.sources.registry import load_table
+from cdc_algorithms_spark.sources.registry import epoch_day, load_table
 
 
 # --- EXISTS → conditioned left-semi join (TPC-H Q4 shape) ------------------
@@ -140,9 +140,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             F.col("o_orderkey").alias("orderkey"),
-            (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias(
-                "orderdate_day"
-            ),
+            epoch_day("o_orderdate").alias("orderdate_day"),
             F.round("o_totalprice", 2).alias("totalprice"),
             "sum_qty",
         )

@@ -82,3 +82,17 @@ def load_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+def epoch_day(col: str):
+    """Timestamp column → whole days since the epoch, as BIGINT.
+
+    The one shared day-number convention for Spark↔DuckDB oracle parity
+    (the DuckDB side writes ``epoch_ms(ts) / 86400000``): plain
+    truncating division of the epoch seconds. Exact only for
+    midnight-aligned timestamps — which the fixture dates are; keep both
+    sides on this helper/idiom so they can't drift independently.
+    """
+    from pyspark.sql import functions as F
+
+    return (F.unix_timestamp(col) / 86400).cast("long")
