@@ -52,6 +52,7 @@ __all__ = [
     "clean",
     "shuffle_order",
     "diff_tables",
+    "near_dup_vs_corpus",
     "topk_similar",
     "clusters",
     "profile",
@@ -229,6 +230,16 @@ def ingest(index: DataFrame, batch_chunks: DataFrame, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.ingest import ingest_stats
 
     return ingest_stats(index, batch_chunks, **kw)
+
+
+def near_dup_vs_corpus(corpus: DataFrame, batch: DataFrame, **kw) -> DataFrame:
+    """Incremental exact near-dup: Jaccard pairs touching the NEW batch
+    only (batch-vs-corpus + batch-vs-batch, never corpus-vs-corpus) —
+    work proportional to the batch, not the corpus
+    (operators/dedup_docs.py::incremental_jaccard_pairs)."""
+    from cdc_algorithms_spark.operators.dedup_docs import incremental_jaccard_pairs
+
+    return incremental_jaccard_pairs(corpus, batch, **kw)
 
 
 def diff_tables(old: DataFrame, new: DataFrame, **kw) -> DataFrame:

@@ -110,36 +110,18 @@ def doc_shingles(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_sets(
     docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.8,
-    max_df: int | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
-
-    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and
-    jaccard ≥ threshold, jaccard = |A∩B| / |A∪B| over distinct shingles.
-
-    ``max_df`` drops shingles appearing in more than that many documents
-    before the self-join — the skew guard that keeps the hottest key from
-    dominating the shuffle at corpus scale (stop-shingles contribute
-    little to Jaccard but quadratic join work).
-
-    Scale design — **prefix filtering** (the PPJoin family): for
-    Jaccard ≥ t, two docs must share a shingle within the first
-    ``|A| − ⌈t·|A|⌉ + 1`` shingles of a global rarest-first ordering
-    (if all common shingles sat in A's suffix of length ⌈t|A|⌉−1, the
-    overlap couldn't reach the required ⌈t·max(|A|,|B|)⌉; the first
-    common shingle in the global order is therefore inside both
-    prefixes). So only prefixes join — rare shingles by construction —
-    which cuts candidate pairs by orders of magnitude while remaining
-    EXACT: verification against full shingle sets decides membership.
-    The shingle table is persisted once and reused by the df ranking,
-    the prefix join, and the verification sets.
-    """
+    n: int,
+    threshold: float,
+    max_df: int | None,
+    id_col: str,
+    text_col: str,
+):
+    """Shared core of the exact-Jaccard family: the persisted per-doc
+    rarest-first shingle arrays (verification sets) and their prefix
+    explode (candidate-join probe). See ngram_jaccard_pairs for the
+    prefix-filter argument."""
     sh = doc_shingles(docs, n, id_col, text_col)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -173,15 +155,12 @@ def ngram_jaccard_pairs(
             F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
         ).alias("shingle"),
     )
+    return sets, prefix
 
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+
+def _verify_pairs(sets: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against the full shingle sets."""
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -194,6 +173,94 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and
+    jaccard ≥ threshold, jaccard = |A∩B| / |A∪B| over distinct shingles.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the self-join — the skew guard that keeps the hottest key from
+    dominating the shuffle at corpus scale (stop-shingles contribute
+    little to Jaccard but quadratic join work).
+
+    Scale design — **prefix filtering** (the PPJoin family): for
+    Jaccard ≥ t, two docs must share a shingle within the first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles of a global rarest-first ordering
+    (if all common shingles sat in A's suffix of length ⌈t|A|⌉−1, the
+    overlap couldn't reach the required ⌈t·max(|A|,|B|)⌉; the first
+    common shingle in the global order is therefore inside both
+    prefixes). So only prefixes join — rare shingles by construction —
+    which cuts candidate pairs by orders of magnitude while remaining
+    EXACT: verification against full shingle sets decides membership.
+    The shingle table is persisted once and reused by the df ranking,
+    the prefix join, and the verification sets.
+    """
+    sets, prefix = _shingle_sets(docs, n, threshold, max_df, id_col, text_col)
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(sets, candidates, threshold)
+
+
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact near-dup: Jaccard pairs touching the NEW batch
+    only — batch-vs-corpus and batch-vs-batch, never corpus-vs-corpus.
+
+    The document-level analog of operators/ingest.py: once the corpus is
+    deduplicated, each arriving batch only needs pairs involving its own
+    documents, so the candidate join probes the (small) batch prefix
+    against the full prefix index — at 100 TB that turns the quadratic
+    re-dedup of the whole corpus into work proportional to the batch.
+    Shingle document frequencies (the rarest-first prefix ordering) are
+    computed over corpus ∪ batch, so results equal the pairs-touching-
+    batch subset of ``ngram_jaccard_pairs`` over the union (the oracle
+    states exactly that).
+
+    ``id_col`` values must be disjoint between corpus and batch.
+    """
+    all_docs = corpus.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).unionByName(
+        batch.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    )
+    sets, prefix = _shingle_sets(all_docs, n, threshold, max_df, id_col, text_col)
+    new_ids = batch.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    new_prefix = prefix.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    a = new_prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(sets, candidates, threshold)
 
 
 def minhash_signatures(

@@ -1374,3 +1374,39 @@ def q_udtf_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+# --- incremental near-dup: batch vs corpus ----------------------------------
+# The document-level ingest analog (operators/dedup_docs.py::
+# incremental_jaccard_pairs): the batch (doc_id % 3 == 0) finds its
+# near-dups against the whole union without any corpus-vs-corpus work.
+# Oracle = the pairs-touching-batch subset of the full exact join.
+
+_INCR_JACCARD_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT * FROM (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+"""
+
+
+@register("incremental_jaccard_pairs", _INCR_JACCARD_ORACLE)
+def q_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.dedup_docs import incremental_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return incremental_jaccard_pairs(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )

@@ -657,3 +657,25 @@ def test_udtf_cdc_chunks_match_dataframe_pipeline(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_df.collect()))
     assert a == b
+
+
+def test_incremental_jaccard_equals_touching_subset(spark, sf_dir):
+    """incremental_jaccard_pairs(corpus, batch) must equal exactly the
+    pairs of the full-union join that touch the batch — and no
+    corpus-vs-corpus pair may appear."""
+    from cdc_algorithms_spark.operators.dedup_docs import incremental_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_jaccard_pairs(corpus, batch, n=3, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] % 3 == 0 or k[1] % 3 == 0}
+    assert got == want
+    assert all(a % 3 == 0 or b % 3 == 0 for a, b in got)
