@@ -110,6 +110,7 @@ CDC_CONFIGS: dict[str, dict] = {
 _CONCAT_ORACLE = """
 SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
 FROM documents
+WHERE n_chars > 0  -- the chunkers emit no row for an empty doc
 """
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_algorithms_spark.operators.chunking import cdc_chunks
 from cdc_algorithms_spark.queries import _INGEST_ORACLE, register
 from cdc_algorithms_spark.queries_relational import _SESSIONS_ORACLE
 from cdc_algorithms_spark.sources.registry import load_table
@@ -277,6 +276,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATEFUL_CONCAT_ORACLE = """
 SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
 FROM documents
+WHERE n_chars > 0  -- the stateful chunker emits no row for an empty doc
 """
 
 
@@ -432,15 +432,18 @@ def streaming_event_counts_update_mode(spark: SparkSession, sf_dir: str) -> Data
     stages = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
 
     def build(stream: DataFrame) -> DataFrame:
+        # counts only grow, so every arrival changes its key's aggregate
+        # and update mode emits it — max() per key reconstructs the
+        # converged count batch-side
         return stream.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
         )
 
     sink = run_staged_stream(spark, stages, build, output_mode="update")
-    # approx_users is per-batch HLL state (not exactly mergeable batch-
-    # side), so the exact distinct recomputes from the raw events for the
-    # oracle compare; n_events reconstructs from the update stream.
+    # distinct users are recomputed exactly from the raw events for the
+    # oracle compare (per-key distinct state in the stream would be the
+    # HLL-sketch tier, covered by streaming_sketch_unique_estimate);
+    # n_events reconstructs from the update stream.
     exact_users = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )

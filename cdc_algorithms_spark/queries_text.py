@@ -32,7 +32,6 @@ from cdc_algorithms_spark.operators.multimodal import (
 from cdc_algorithms_spark.operators.similarity import brute_force_topk, lsh_topk
 from cdc_algorithms_spark.operators.textstats import (
     LANG_MARKERS,
-    doc_fingerprints,
     language_id,
     quality_scores,
     token_counts,
@@ -386,6 +385,7 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(len(range(0, length(text), 256)) AS BIGINT) AS n_frames,
        CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
 FROM documents
+WHERE length(text) > 0  -- sample_frames emits no rows for empty payloads
 """
 
 
@@ -419,7 +419,14 @@ def _ann_recall(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(queries, emb, k=ANN_K).select("query_id", "vec_id")
+    # persist: the brute-force top-k (the expensive O(|Q|·|C|) subtree)
+    # feeds BOTH the semi-join and the n_exact aggregate — without it the
+    # two physical branches each run the full scoring pass
+    exact = (
+        brute_force_topk(queries, emb, k=ANN_K)
+        .select("query_id", "vec_id")
+        .persist()
+    )
     approx = approx_fn(queries, emb).select("query_id", "vec_id")
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
@@ -1358,6 +1365,7 @@ def q_shuffled_corpus_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UDTF_CDC_CONCAT_ORACLE = """
 SELECT doc_id AS src_id, CAST(n_chars AS BIGINT) AS total_len
 FROM documents
+WHERE n_chars > 0  -- the LATERAL join drops chunkless (empty) docs
 """
 
 

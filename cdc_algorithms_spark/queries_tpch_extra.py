@@ -157,7 +157,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -196,9 +197,19 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal"),
         )
         .agg(
+            # DECIMAL accumulation: this sum SELECTS the top-20 rows, so
+            # summation-order-dependent double rounding could flip
+            # membership at a .005 boundary (module float discipline)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "custkey",

@@ -32,12 +32,17 @@ _STATE_SCHEMA = "hashes array<long>, lengths array<long>"
 
 
 def _chunk_hashes(text: str, chunk_size: int) -> tuple[list[int], list[int]]:
-    data = text.encode("utf-8")
+    """Fixed chunks in CHARACTER units — the same grid as the batch
+    ``fixed_chunks`` (substring semantics) and the DuckDB oracle; a
+    byte-unit grid would only agree on pure-ASCII text. Hash identity is
+    over the chunk's UTF-8 bytes; lengths are char counts."""
     hashes, lengths = [], []
-    for off in range(0, len(data), chunk_size):
-        piece = data[off : off + chunk_size]
+    for off in range(0, len(text), chunk_size):
+        piece = text[off : off + chunk_size]
         h = int.from_bytes(
-            hashlib.blake2b(piece, digest_size=8).digest(), "big", signed=True
+            hashlib.blake2b(piece.encode("utf-8"), digest_size=8).digest(),
+            "big",
+            signed=True,
         )
         hashes.append(h)
         lengths.append(len(piece))
