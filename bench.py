@@ -94,6 +94,11 @@ HEADLINE = [
     "sequence_packing_plan",
     "text_cleaning",
     "incremental_ingest_stats",
+    "sequence_packing_by_lang",
+    "shuffled_corpus_order",
+    "doc_table_diff",
+    "cdc_apply_check",
+    "incremental_jaccard_pairs",
 ]
 
 
@@ -133,6 +138,11 @@ BASELINE_SF01 = {
     "sequence_packing_plan": 1.00,      # added r02
     "text_cleaning": 0.21,              # added r02
     "incremental_ingest_stats": 0.43,   # added r02
+    "sequence_packing_by_lang": 1.00,   # added r02
+    "shuffled_corpus_order": 0.40,      # added r02
+    "doc_table_diff": 0.58,             # added r02
+    "cdc_apply_check": 0.75,            # added r02
+    "incremental_jaccard_pairs": 2.60,  # added r02
 }
 
 
