@@ -53,6 +53,7 @@ __all__ = [
     "shuffle_order",
     "diff_tables",
     "near_dup_vs_corpus",
+    "sql",
     "topk_similar",
     "clusters",
     "profile",
@@ -230,6 +231,20 @@ def ingest(index: DataFrame, batch_chunks: DataFrame, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.ingest import ingest_stats
 
     return ingest_stats(index, batch_chunks, **kw)
+
+
+def sql(spark, query: str, sf_dir: str | None = None) -> DataFrame:
+    """SQL front-end: register the fixture tables as temp views (same
+    names the DuckDB oracle uses) plus the engine's UDTFs
+    (``chunk_fixed``/``chunk_cdc``), then run ``query`` through
+    ``spark.sql`` — the drop-in surface for users arriving with SQL
+    instead of the DataFrame verbs."""
+    from cdc_algorithms_spark.functions.udtfs import register_udtfs
+    from cdc_algorithms_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(query)
 
 
 def near_dup_vs_corpus(corpus: DataFrame, batch: DataFrame, **kw) -> DataFrame:

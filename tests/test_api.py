@@ -109,3 +109,23 @@ def test_verify_window_composition():
         assert n in ORACLE_SQL and n not in _DRIVER_GREEN or i < 50, (
             f"ordering violated at {i}: {n}"
         )
+
+
+def test_sql_frontend_runs_tables_and_udtfs(spark):
+    out = api.sql(
+        spark,
+        """
+        SELECT d.lang, CAST(SUM(c.length) AS BIGINT) AS n_bytes
+        FROM documents d, LATERAL chunk_cdc(d.text, 'ae', 320, 0) c
+        GROUP BY d.lang
+        """,
+        SF,
+    ).collect()
+    want = {
+        r.lang: r.total
+        for r in load_table(spark, "documents", SF)
+        .groupBy("lang")
+        .agg(F.sum(F.length("text")).cast("long").alias("total"))
+        .collect()
+    }
+    assert {r.lang: r.n_bytes for r in out} == want
