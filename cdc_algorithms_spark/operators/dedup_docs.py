@@ -291,6 +291,66 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded MinHash signatures: ``(doc_id, band, band_hash)`` rows.
+
+    Band hashes depend only on the document's own shingles (no
+    corpus-wide statistics), so this table is a PERSISTABLE INDEX: write
+    it once per corpus, and each arriving batch's bands join against it
+    without recomputing anything corpus-side
+    (:func:`incremental_minhash_pairs`).
+
+    Implementation note: the band expression is ONE nested
+    higher-order-function expression referencing the shingle array
+    exactly once. Unrolling ``sig[i]`` per band lets CollapseProject
+    inline the whole signature computation into every reference → a
+    generated method far past the JIT/Janino budget (observed ~10 s of
+    compile per plan at ANY data size). ``hash(array<int>)`` is a
+    supported Murmur3 input, so each band hashes its row-slice of
+    minhashes directly.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows = num_hashes // bands
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(
+            F.transform(
+                F.sequence(b * rows, b * rows + (rows - 1)),
+                lambda i: F.array_min(
+                    F.transform(F.col("__sh"), lambda s: F.hash(s, i))
+                ),
+            )
+        ),
+    )
+    return _shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+
+
+def _verify_exact_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (id_a, id_b) candidates —
+    precision is exact regardless of how candidates were generated."""
+    sh = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    ).persist()
+    return _verify_pairs(sh, candidates, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -307,32 +367,11 @@ def minhash_lsh_pairs(
     then candidates are verified with exact shingle Jaccard — so output
     precision is exact; only recall depends on the banding.
     """
-    if num_hashes % bands:
-        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    rows = num_hashes // bands
-    # Band hashes are ONE nested higher-order-function expression that
-    # references the shingle array exactly once. Unrolling `sig[i]` per
-    # band lets CollapseProject inline the whole signature computation
-    # into every reference → a generated method far past the JIT/Janino
-    # budget (observed ~10 s of compile per plan at ANY data size).
-    # hash(array<int>) is a supported Murmur3 input, so each band hashes
-    # its row-slice of minhashes directly.
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(
-            F.transform(
-                F.sequence(b * rows, b * rows + (rows - 1)),
-                lambda i: F.array_min(
-                    F.transform(F.col("__sh"), lambda s: F.hash(s, i))
-                ),
-            )
-        ),
-    )
     # persisted: the signature computation runs once, not once per
     # self-join side (Catalyst's ReusedExchange does not fire here — the
     # two sides' pruned projections differ, so the subplans aren't equal)
-    banded = _shingle_arrays(docs, n, id_col, text_col).select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    banded = minhash_band_index(
+        docs, n, num_hashes, bands, id_col, text_col
     ).persist()
     c1 = banded.alias("x")
     c2 = banded.alias("y")
@@ -348,20 +387,66 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
-    ).persist()
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    return _verify_exact_jaccard(docs, candidates, n, threshold, id_col, text_col)
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate incremental near-dup: LSH candidate pairs touching
+    the NEW batch only, Jaccard-verified — the approximate sibling of
+    :func:`incremental_jaccard_pairs` for when even the batch's exact
+    prefix join is too wide.
+
+    Because band hashes are per-document (no corpus statistics), the
+    batch's bands probe ``corpus_index`` — a PERSISTED
+    :func:`minhash_band_index` table at 100 TB, passed in so nothing
+    corpus-sized recomputes — plus the batch's own bands; candidate
+    generation never touches corpus-vs-corpus pairs, and results equal
+    the pairs-touching-batch subset of ``minhash_lsh_pairs`` over the
+    union (pinned by test). Verification shingle sets are built only
+    from the union (and only candidate ids' sets are ever joined).
+
+    ``id_col`` values must be disjoint between corpus and batch.
+    """
+    if corpus_index is None:
+        corpus_index = minhash_band_index(
+            corpus, n, num_hashes, bands, id_col, text_col
         )
-        .where(F.col("jaccard") >= threshold)
+    batch_bands = minhash_band_index(
+        batch, n, num_hashes, bands, id_col, text_col
+    ).persist()
+    all_bands = corpus_index.unionByName(batch_bands)
+    a = batch_bands.alias("x")
+    b = all_bands.alias("y")
+    candidates = (
+        a.join(
+            b,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("id_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    all_docs = corpus.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).unionByName(
+        batch.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    )
+    return _verify_exact_jaccard(
+        all_docs, candidates, n, threshold, id_col, text_col
     )
 
 

@@ -1418,3 +1418,23 @@ def q_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,
     )
+
+
+@register("incremental_minhash_pairs")
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate incremental near-dup (operators/dedup_docs.py::
+    incremental_minhash_pairs): the batch's bands probe the corpus band
+    index; rows-only driver check (Murmur3 banding isn't reproducible in
+    DuckDB); exact pairs-touching-batch equivalence vs the full LSH join
+    is pinned in tests/test_training_ops.py."""
+    from cdc_algorithms_spark.operators.dedup_docs import incremental_minhash_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return incremental_minhash_pairs(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        n=JACCARD_N,
+        num_hashes=32,
+        bands=8,
+        threshold=JACCARD_THRESHOLD,
+    )

@@ -679,3 +679,38 @@ def test_incremental_jaccard_equals_touching_subset(spark, sf_dir):
     want = {k: v for k, v in full.items() if k[0] % 3 == 0 or k[1] % 3 == 0}
     assert got == want
     assert all(a % 3 == 0 or b % 3 == 0 for a, b in got)
+
+
+def test_incremental_minhash_equals_touching_subset(spark, sf_dir):
+    """Band hashes carry no corpus statistics, so the incremental LSH
+    result must equal exactly the pairs-touching-batch subset of the
+    full-union LSH join — including when the corpus index is passed in
+    pre-built (the persisted-index path)."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] % 3 == 0 or k[1] % 3 == 0}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_pairs(
+            corpus, batch, n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    prebuilt = minhash_band_index(corpus, n=3)
+    got2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_pairs(
+            corpus, batch, n=3, threshold=0.5, corpus_index=prebuilt
+        ).collect()
+    }
+    assert got2 == want
