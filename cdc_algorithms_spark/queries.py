@@ -637,52 +637,145 @@ def q_duplicated_spans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # hash_match == true rows in CORRECTNESS_r01.json (driver DuckDB oracle, sf0.01)
 _DRIVER_GREEN: frozenset[str] = frozenset({
-    "fixed_chunks", "fixed_dedup_stats", "ae_concat_check",
-    "rabin_concat_check", "fastcdc_concat_check", "chunk_size_histogram_fixed",
-    "dedup_stats_by_lang", "parallel_ae_concat_check", "snapshot_diff_fixed",
-    "change_ratio_fixed", "sync_plan_fixed", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_nation_revenue", "brand_volume",
-    "top_order_per_customer", "events_json_stats", "user_sessions",
-    "purchase_and_error_users", "docs_rollup", "events_cube",
-    "docs_grouping_sets", "events_pivot_by_type", "sliding_event_value",
-    "chunk_len_median_udaf", "events_hourly_locf",
-    "sql_frontend_pricing_summary", "rolling_7d_user_value",
-    "customer_balance_quartiles", "events_props_map_stats", "profile_orders",
-    "events_variant_stats", "q6_forecast_revenue",
+    "ae_concat_check",
+    "ann_bruteforce_topk",
+    "asof_last_view_before_purchase",
+    "brand_volume",
+    "change_ratio_fixed",
+    "char_entropy_scores",
+    "chunk_len_median_udaf",
+    "chunk_size_histogram_fixed",
+    "curation_pipeline",
+    "customer_balance_quartiles",
+    "customers_no_1995_order",
+    "dedup_cluster_reps",
+    "dedup_stats_by_lang",
+    "docs_grouping_sets",
+    "docs_rollup",
+    "embedding_near_dup",
+    "events_cube",
+    "events_hourly_locf",
+    "events_json_stats",
+    "events_pivot_by_type",
+    "events_props_map_stats",
+    "events_variant_stats",
+    "exact_dedup_docs",
+    "fastcdc_concat_check",
+    "fixed_chunks",
+    "fixed_dedup_stats",
+    "lang_marker_hits",
+    "language_id",
+    "lm_bigram_scores",
+    "monthly_order_stats",
+    "ngram_jaccard_pairs",
+    "order_pairs_within_30d",
+    "orders_above_global_avg",
+    "parallel_ae_concat_check",
+    "parallel_rabin_concat_check",
+    "part_metrics_unpivot",
+    "parts_shipped_1998_semi",
+    "pii_scrub_docs",
+    "price_quantiles",
+    "profile_orders",
+    "purchase_and_error_users",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q2_cheapest_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_band_by_lang",
+    "quality_scores",
+    "rabin_concat_check",
+    "repetition_ratios",
+    "rolling_7d_user_value",
+    "salted_user_segment_join",
+    "sliding_event_value",
+    "snapshot_diff_fixed",
+    "sql_frontend_pricing_summary",
+    "streaming_change_feed",
+    "streaming_novel_chunks_by_lang",
+    "streaming_stateful_ae_concat_check",
+    "streaming_sync_totals",
+    "suppliers_above_nation_avg",
+    "sync_plan_fixed",
+    "token_counts",
+    "top_order_per_customer",
+    "user_sessions",
+    "value_band_range_join",
+    "viewers_never_purchased",
 })
 
 # Round-2 window: 50 oracle-backed queries with no green row yet —
 # r01 fixes first, then TPC-H extra, subqueries, join family,
 # LLM-pipeline, and the north-star streaming change-feed queries.
 _VERIFY_WINDOW: list[str] = [
-    # r01 failures, re-verifying their fixes
-    "price_quantiles", "part_metrics_unpivot",
-    # new this round: Rabin distributed byte-conservation (C6/P2)
+    "incremental_ingest_stats",
+    "doc_table_diff",
+    "cdc_apply_check",
+    "media_summary",
+    "media_frame_counts",
+    "udtf_fixed_chunks",
+    "dedup_components",
+    "stratified_sample_docs",
+    "tfidf_top_terms",
+    "media_resized_summary",
+    "chunk_overlap_pairs_fixed",
+    "benchmark_decontamination",
+    "mixture_plan_by_source",
+    "sequence_packing_plan",
+    "text_cleaning",
+    "sequence_packing_by_lang",
+    "shuffled_corpus_order",
+    "udtf_ae_concat_check",
+    "incremental_jaccard_pairs",
+    "streaming_unique_chunks_stats",
+    "streaming_event_type_counts",
+    "streaming_windowed_event_counts",
+    "streaming_user_sessions",
+    "streaming_purchases_by_nation",
+    "streaming_decontamination",
+    "streaming_view_purchase_conversions",
+    "streaming_distinct_users_within_watermark",
+    "streaming_event_counts_update_mode",
+    "streaming_ingest_novelty",
+    "reconstruct_docs_check",
+    "boilerplate_chunks",
+    "duplicated_spans_fixed",
+    "price_quantiles",
+    "part_metrics_unpivot",
     "parallel_rabin_concat_check",
-    # TPC-H extra (18)
-    "q2_cheapest_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_stock", "q12_late_priority", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    # subqueries (scalar / correlated)
-    "orders_above_global_avg", "suppliers_above_nation_avg",
-    # join family (as-of / range / interval / anti / semi / salted)
-    "asof_last_view_before_purchase", "value_band_range_join",
-    "order_pairs_within_30d", "customers_no_1995_order",
-    "parts_shipped_1998_semi", "viewers_never_purchased",
-    "monthly_order_stats", "salted_user_segment_join",
-    # LLM-pipeline (15)
-    "exact_dedup_docs", "ngram_jaccard_pairs", "embedding_near_dup",
-    "ann_bruteforce_topk", "lang_marker_hits", "language_id",
-    "quality_scores", "token_counts", "repetition_ratios",
-    "curation_pipeline", "lm_bigram_scores", "char_entropy_scores",
-    "dedup_cluster_reps", "pii_scrub_docs", "quality_band_by_lang",
-    # streaming change-detection north star (4)
-    "streaming_stateful_ae_concat_check", "streaming_change_feed",
-    "streaming_sync_totals", "streaming_novel_chunks_by_lang",
+    "q2_cheapest_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
 ]
 
 
