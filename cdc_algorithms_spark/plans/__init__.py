@@ -10,6 +10,7 @@ than surfacing as a 10× slowdown at scale.
 """
 
 from cdc_algorithms_spark.plans.inspect import (
+    broadcast_hint_count,
     broadcast_join_count,
     sort_merge_join_count,
     codegen_stage_count,
@@ -24,6 +25,7 @@ from cdc_algorithms_spark.plans.inspect import (
 __all__ = [
     "physical_plan",
     "exchange_count",
+    "broadcast_hint_count",
     "broadcast_join_count",
     "sort_merge_join_count",
     "pushed_filters",

@@ -19,6 +19,20 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """How many joins in the OPTIMIZED LOGICAL plan carry an explicit
+    broadcast hint (``F.broadcast``/``/*+ BROADCAST */``). Distinct
+    from :func:`broadcast_join_count`, which also counts size-based
+    choices the CBO makes on small test data — a forced hint is a
+    100 TB liability (driver OOM) even where the CBO pick is fine."""
+    plan = physical_plan(df, "extended")
+    # hints survive into the optimized plan as join annotations, e.g.
+    #   Join Inner, (term = term), rightHint=(strategy=broadcast)
+    m = re.search(r"== Optimized Logical Plan ==\n(.*?)\n== Physical", plan, re.S)
+    text = m.group(1) if m else plan
+    return len(re.findall(r"strategy=broadcast", text))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan — each is a full
     repartition of its input over the network at scale. Broadcast

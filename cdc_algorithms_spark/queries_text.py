@@ -558,17 +558,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: exactly ceil(frac·n) docs per
     language, chosen by doc_id rank — reproducible across runs and
     engines, unlike Bernoulli ``sample()`` (whose draw depends on
-    partitioning). One shuffle on the stratum key; at corpus scale
-    swap the rank key for ``xxhash64(doc_id)`` to decorrelate the pick
-    from ingestion order while staying deterministic."""
-    docs = load_table(spark, "documents", sf_dir)
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    partitioning). The per-language rank is the count-form
+    ``bounded_running_sum`` (operators/prefix.py), NOT a whole-language
+    ``row_number`` window — at corpus scale a single language is a
+    multi-GB single-task sort, while the two-phase form bounds every
+    window partition to ~``bucket`` doc-ids. Stratum counts join back
+    via broadcast (one row per language). At corpus scale swap the rank
+    key for ``xxhash64(doc_id)`` to decorrelate the pick from ingestion
+    order while staying deterministic."""
+    from cdc_algorithms_spark.operators.prefix import bounded_running_sum
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranked = bounded_running_sum(
+        docs.withColumn("__one", F.lit(1)),
+        ["lang"],
+        "doc_id",
+        "__one",
+        bucket=4096,
+        out_col="rn",
+    )
     return (
-        docs.select("doc_id", "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        ranked.join(F.broadcast(counts), "lang")
         .where(F.col("rn") <= F.ceil(_SAMPLE_FRAC * F.col("n")))
-        .select(F.col("doc_id").cast("long"), "lang")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
     )
 
 
@@ -604,29 +617,48 @@ FROM scored WHERE rank <= {_TFIDF_K}
 
 @register("tfidf_top_terms", _TFIDF_ORACLE)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top TF-IDF terms per language. One explode of the corpus feeds
-    both the per-(lang, term) TF aggregate and the per-term document
-    frequency (persisted token table, two aggregates, no re-scan); IDF
-    joins in via broadcast (the term-df table is small after the first
-    aggregate), and the global doc count rides a 1-row broadcast cross
-    join. Top-k per stratum is the standard window rank."""
+    """Top TF-IDF terms per language. One explode of the corpus is
+    pre-aggregated to a (doc_id, lang, term, tf) frame — per-document
+    distinct terms, far smaller than the raw token stream — and THAT is
+    what persists and feeds both the per-(lang, term) TF rollup and the
+    per-term document frequency (rows are unique on (doc_id, term), so
+    df is a plain count, no countDistinct). The tf↔df join on ``term``
+    carries NO broadcast hint: the vocabulary is corpus-sized at scale
+    (billions of distinct terms would OOM a forced driver broadcast),
+    so AQE picks shuffle-vs-broadcast from actual sizes. Only the 1-row
+    global doc count rides an explicit broadcast cross join. Top-k per
+    stratum is exact two-phase: a salted local top-k first (each
+    (lang, salt) slice ranks independently), then the global rank runs
+    over at most ``salts × k`` survivors per language — a whole
+    language's vocabulary never sorts in one task."""
     docs = load_table(spark, "documents", sf_dir)
-    tokens = (
+    doc_term = (
         docs.select("doc_id", "lang", F.explode(words("text")).alias("word"))
         .select("doc_id", "lang", F.lower("word").alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf_dt"))
         .persist()
     )
-    tf = tokens.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = doc_term.groupBy("lang", "term").agg(F.sum("tf_dt").alias("tf"))
+    # (doc_id, term) is unique in doc_term, so document frequency is a
+    # plain count — no countDistinct shuffle-dedup needed.
+    df = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    order = (F.desc("score"), F.asc("term"))
+    local_w = Window.partitionBy("lang", "__salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64("term"), F.lit(64)))
+        .withColumn("__r1", F.row_number().over(local_w))
+        .where(F.col("__r1") <= _TFIDF_K)
+    )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TFIDF_K)
         .select("lang", "rank", "term", F.round("score", 6).alias("tfidf"))
     )

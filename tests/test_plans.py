@@ -85,9 +85,29 @@ def test_q4_exists_is_semi_join(spark):
     assert P.python_eval_count(df) == 0
 
 
-def test_tfidf_broadcasts_df_and_doc_count(spark):
+def test_tfidf_no_forced_vocab_broadcast(spark):
+    """The tf↔df join key is the vocabulary — corpus-sized at scale, so
+    a forced broadcast hint would OOM the driver at 100 TB. Only the
+    1-row doc-count broadcast is allowed to appear pre-AQE; every
+    window must be salted or survivor-sized, never a bare whole-
+    language partition over the full vocab."""
     df = _q(spark, "tfidf_top_terms")
-    assert P.broadcast_join_count(df) >= 2, "df table and doc count must broadcast"
+    assert P.broadcast_hint_count(df) <= 1, "vocabulary join must not be hint-broadcast"
+    parts = P.window_partition_columns(df)
+    assert any(len(p) >= 2 for p in parts), "salted local top-k window missing"
+    assert P.python_eval_count(df) == 0
+
+
+def test_stratified_sample_no_whole_language_window(spark):
+    """Per-language rank must come from the bounded two-phase prefix
+    sum: the row-level rank window is keyed (lang, __bkt); the only
+    lang-alone window allowed is the O(buckets) post-aggregate bases
+    frame (same contract as the curation pipeline)."""
+    df = _q(spark, "stratified_sample_docs")
+    specs = P.window_partition_columns(df)
+    assert any(
+        "lang" in p and "__bkt" in p for p in specs
+    ), f"bounded (lang, __bkt) rank window missing: {specs}"
     assert P.python_eval_count(df) == 0
 
 
