@@ -344,8 +344,24 @@ def _verify_exact_jaccard(
     text_col: str,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of (id_a, id_b) candidates —
-    precision is exact regardless of how candidates were generated."""
-    sh = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+    precision is exact regardless of how candidates were generated.
+
+    ``docs`` is semi-joined to the candidate id set BEFORE shingling:
+    only documents that actually appear in a candidate pair are ever
+    re-shingled or materialized in the persisted set-aggregate. For the
+    incremental callers this is what keeps verification proportional to
+    the batch (the candidate-id filter could not push below the
+    persisted ``collect_set`` on its own, so without the semi-join the
+    whole corpus would re-shingle on every call)."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    pruned = docs.join(
+        cand_ids, F.col(id_col).cast("long") == F.col("__cid"), "left_semi"
+    )
+    sh = doc_shingles(pruned, n, id_col, text_col).groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh")
     ).persist()
     return _verify_pairs(sh, candidates, threshold)

@@ -204,7 +204,9 @@ def _diff_joined(
     """Shared core of table_diff/table_changes: one null-safe full-outer
     join on the id key, classified ``(id_col, status, *new-side cmp
     cols)``. Both sides shuffle once on the well-distributed id;
-    comparison columns travel exactly once."""
+    comparison columns travel exactly once. The id keeps its ORIGINAL
+    type — a cast here would silently NULL every id for (e.g.)
+    string-keyed tables even though the join itself is type-agnostic."""
     cmp_cols = list(cmp_cols)
     o = old.select(
         F.col(id_col).alias("__id"), *[F.col(c).alias(f"__o_{c}") for c in cmp_cols]
@@ -216,7 +218,7 @@ def _diff_joined(
     for c in cmp_cols:
         same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     return o.join(n, "__id", "full_outer").select(
-        F.col("__id").cast("long").alias(id_col),
+        F.col("__id").alias(id_col),
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(same, F.lit("unchanged"))
@@ -287,10 +289,8 @@ def apply_changes(
     ``cdc_apply_check`` oracle query)."""
     payload_cols = list(payload_cols)
     touched = changes.select(F.col(id_col))
-    kept = old.select(F.col(id_col).cast("long").alias(id_col), *payload_cols).join(
-        touched, id_col, "left_anti"
-    )
+    kept = old.select(id_col, *payload_cols).join(touched, id_col, "left_anti")
     upserts = changes.where(F.col("status") != "removed").select(
-        F.col(id_col).cast("long").alias(id_col), *payload_cols
+        id_col, *payload_cols
     )
     return kept.unionByName(upserts)

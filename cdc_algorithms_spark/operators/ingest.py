@@ -32,7 +32,11 @@ def chunk_index(chunks: DataFrame, key_col: str = "hash") -> DataFrame:
     """Distinct ``(hash, length)`` index of a chunk table — the metadata
     face of a content-addressed store (one row per stored chunk)."""
     return chunks.groupBy(F.col(key_col).alias("hash")).agg(
-        F.first("length").alias("length")
+        # MAX, not first(): first() is partition-order-dependent, so a
+        # hash that ever mapped to differing lengths (collision / dirty
+        # input) would make the index non-deterministic across runs and
+        # diverge from the MAX-based oracle.
+        F.max("length").alias("length")
     )
 
 
@@ -52,7 +56,7 @@ def ingest_batch(
     per_key = batch_chunks.groupBy(F.col(key_col).alias("hash")).agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.sum("length").alias("bytes_all"),
-        F.first("length").alias("length"),
+        F.max("length").alias("length"),
     )
     return per_key.join(
         index.select("hash", F.lit(True).alias("known")), "hash", "left"

@@ -57,12 +57,31 @@ def doc_token_spans(
     ``toks`` defaults to the engine's standard chars/4 estimate (the same
     accounting curation and mixture planning use); pass a real token-count
     column when one exists.
+
+    ``id_col`` must be NULL-free and castable to long: the id is the
+    packing order, so a row whose id casts to NULL has no position, and
+    letting the prefix-sum layer's NULL exclusion eat it would silently
+    shift every downstream token offset. Such rows raise at execution
+    time instead (JVM-side ``raise_error`` — no extra action/scan).
     """
     group_cols = list(group_cols)
     if toks is None:
         toks = F.ceil(F.length("text") / 4.0).cast("long")
+    casted = F.col(id_col).try_cast("long")
+    safe_id = F.when(
+        casted.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"doc_token_spans: {id_col!r} must be a non-NULL value "
+                    "castable to long (it defines the packing order); got "
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(casted)
     base = docs.select(
-        *group_cols, F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks")
+        *group_cols, safe_id.alias("doc_id"), toks.alias("toks")
     ).where(F.col("toks") > 0)
     running = bounded_running_sum(base, group_cols, "doc_id", "toks", bucket=bucket)
     return running.select(

@@ -153,14 +153,20 @@ def snapshot_diff_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table_diff): the feed an incremental pipeline keys on to re-process
 # only touched documents. The "next snapshot" is the perturbed corpus
 # minus a deterministic slice of deletions plus a slice of cloned
-# additions, so all four statuses appear.
+# additions, so all four statuses appear. The clone-id offset is 2^40 —
+# far above any doc_id the generator can emit at any scale factor (sf1
+# is ~5e6 docs), so clone ids can never collide with real ids and break
+# the full-outer-join's unique-key assumption (a +1e6 offset would
+# collide once doc_id reaches a million).
+
+_ADD_OFFSET = 1 << 40
 
 _TDIFF_ORACLE = f"""
 WITH new_base AS ({PERTURB_SQL}),
 new_snap AS (
   SELECT doc_id, text FROM new_base WHERE doc_id % 17 <> 3
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
+  SELECT doc_id + 1099511627776 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
 ),
 j AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -186,7 +192,7 @@ def q_doc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             base.where(F.col("doc_id") % 13 == 1).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                (F.col("doc_id") + F.lit(_ADD_OFFSET)).alias("doc_id"), "text"
             )
         )
     )
@@ -198,7 +204,7 @@ WITH new_base AS ({PERTURB_SQL}),
 new_snap AS (
   SELECT doc_id, text FROM new_base WHERE doc_id % 17 <> 3
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
+  SELECT doc_id + 1099511627776 AS doc_id, text FROM new_base WHERE doc_id % 13 = 1
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS n_mismatch
@@ -221,7 +227,7 @@ def q_cdc_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             base.where(F.col("doc_id") % 13 == 1).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                (F.col("doc_id") + F.lit(_ADD_OFFSET)).alias("doc_id"), "text"
             )
         )
     )

@@ -99,3 +99,24 @@ def test_apply_changes_roundtrips_arbitrary_edits(spark):
     rebuilt = {r.doc_id: r.text for r in apply_changes(old, changes).collect()}
     want = {r.doc_id: r.text for r in new.collect()}
     assert rebuilt == want
+
+
+def test_table_diff_preserves_string_keys(spark):
+    """A string-keyed table must diff on its own key type — the id
+    column keeps its original type instead of being cast to long
+    (which would NULL every id and collapse the join)."""
+    from cdc_algorithms_spark.operators.diff import apply_changes, table_changes, table_diff
+
+    old = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", "Y"), ("d", "w")], ["doc_id", "text"]
+    )
+    diff = table_diff(old, new)
+    assert dict(diff.dtypes)["doc_id"] == "string"
+    got = {r.doc_id: r.status for r in diff.collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "removed", "d": "added"}
+    rebuilt = {r.doc_id: r.text for r in
+               apply_changes(old, table_changes(old, new)).collect()}
+    assert rebuilt == {"a": "x", "b": "Y", "d": "w"}

@@ -714,3 +714,29 @@ def test_incremental_minhash_equals_touching_subset(spark, sf_dir):
         ).collect()
     }
     assert got2 == want
+
+
+def test_doc_token_spans_raises_on_uncastable_id(spark):
+    """A NULL or non-numeric packing id has no position in the stream —
+    it must raise at execution, not silently vanish from the plan and
+    shift every downstream token offset."""
+    from cdc_algorithms_spark.operators.packing import doc_token_spans
+
+    bad_null = spark.createDataFrame(
+        [(1, "aaaa bbbb"), (None, "cccc dddd")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="doc_token_spans"):
+        doc_token_spans(bad_null, seq_len=8).collect()
+
+    bad_str = spark.createDataFrame(
+        [("1", "aaaa bbbb"), ("not-a-number", "cccc dddd")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(Exception, match="doc_token_spans"):
+        doc_token_spans(bad_str, seq_len=8).collect()
+
+    ok = spark.createDataFrame(
+        [("1", "aaaa bbbb"), ("2", "cccc dddd")], "doc_id string, text string"
+    )
+    assert doc_token_spans(ok, seq_len=8).count() == 2
