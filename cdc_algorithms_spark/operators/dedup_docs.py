@@ -367,6 +367,29 @@ def _verify_exact_jaccard(
     return _verify_pairs(sh, candidates, threshold)
 
 
+def _cap_band_buckets(bands_df: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop every (band, band_hash) bucket larger than ``max_bucket``.
+
+    The LSH skew guard: a boilerplate-heavy cluster (thousands of docs
+    sharing 95% of their text) collapses onto the same band hashes, and
+    the band self-join then emits |bucket|² candidate pairs from ONE hot
+    key — the quadratic blowup LSH exists to avoid. Oversized buckets
+    carry almost no information (everything in them matches everything)
+    and their members are exactly what exact-dedup / clustering handles
+    better, so dropping them trades bounded recall on mega-clusters for
+    a hard cap on join fan-out. Implemented as aggregate + semi-join:
+    the groupBy's map-side partial combine keeps even the hot bucket
+    cheap, where a count-window would put the whole bucket in one task.
+    """
+    kept = (
+        bands_df.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    return bands_df.join(kept, ["band", "band_hash"], "left_semi")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -375,6 +398,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
@@ -382,6 +406,11 @@ def minhash_lsh_pairs(
     same-band-hash docs become candidates (one shuffle on band key),
     then candidates are verified with exact shingle Jaccard — so output
     precision is exact; only recall depends on the banding.
+
+    ``max_bucket`` (optional) drops band buckets larger than the cap
+    before the self-join — the skew guard for boilerplate mega-clusters
+    (see :func:`_cap_band_buckets`); capped-run results are always a
+    subset of the uncapped run's.
     """
     # persisted: the signature computation runs once, not once per
     # self-join side (Catalyst's ReusedExchange does not fire here — the
@@ -389,6 +418,8 @@ def minhash_lsh_pairs(
     banded = minhash_band_index(
         docs, n, num_hashes, bands, id_col, text_col
     ).persist()
+    if max_bucket is not None:
+        banded = _cap_band_buckets(banded, max_bucket)
     c1 = banded.alias("x")
     c2 = banded.alias("y")
     candidates = (
@@ -416,6 +447,7 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_index: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate incremental near-dup: LSH candidate pairs touching
     the NEW batch only, Jaccard-verified — the approximate sibling of
@@ -441,6 +473,18 @@ def incremental_minhash_pairs(
         batch, n, num_hashes, bands, id_col, text_col
     ).persist()
     all_bands = corpus_index.unionByName(batch_bands)
+    if max_bucket is not None:
+        # cap on COMBINED bucket size (corpus + batch): the hot-band
+        # blowup is |batch∩bucket| × |union∩bucket|, so both probe and
+        # build sides drop the oversized buckets consistently (the
+        # batch side only needs the semi-join — its buckets are subsets
+        # of the union's, so any surviving union bucket is under cap).
+        all_bands = _cap_band_buckets(all_bands, max_bucket)
+        batch_bands = batch_bands.join(
+            all_bands.select("band", "band_hash").distinct(),
+            ["band", "band_hash"],
+            "left_semi",
+        )
     a = batch_bands.alias("x")
     b = all_bands.alias("y")
     candidates = (

@@ -89,6 +89,19 @@ def _h64(data) -> int:
     computed it. (The reference's DefaultHasher role, ae.rs:75-78;
     xxhash64 isn't callable from Python, and hashing locally beats
     shuffling content to the JVM's hash by orders of magnitude.)
+
+    Deliberately NOT promoted to ``F.xxhash64`` on the Phase C side:
+    that would be JVM-side for the O(seam-chunks) reassembled pieces,
+    but the scan-local path (which holds content only inside
+    mapInPandas) cannot compute Spark's xxhash64 without either a
+    pure-Python xxh64 (~100× slower than C blake2b per chunk on the
+    O(chunks) hot path) or emitting every chunk's bytes over Arrow just
+    to hash them. Split families would give a seam chunk and a
+    scan-local chunk with IDENTICAL content different hashes and
+    silently corrupt dedup accounting — cross-path equality is pinned
+    by tests/test_distributed.py::test_parallel_matches_single_segment_hashes.
+    The Python loop in ``_h64_series`` runs only over seam pieces
+    (O(segments), not O(chunks)); it is not a hot path.
     """
     import hashlib
 

@@ -740,3 +740,70 @@ def test_doc_token_spans_raises_on_uncastable_id(spark):
         [("1", "aaaa bbbb"), ("2", "cccc dddd")], "doc_id string, text string"
     )
     assert doc_token_spans(ok, seq_len=8).count() == 2
+
+
+def test_minhash_band_bucket_cap_bounds_hot_band(spark):
+    """Boilerplate skew stress: a mega-cluster of near-identical docs
+    collapses onto the same band hashes, and the uncapped band join
+    emits |cluster|² candidates from one hot bucket. With max_bucket
+    set, (a) oversized buckets drop — capped results are a subset of
+    uncapped, (b) pairs among small organic clusters survive, and (c)
+    the incremental path applies the cap on COMBINED corpus+batch
+    bucket size."""
+    import random
+
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    rng = random.Random(42)
+    boiler = " ".join(f"term{rng.randrange(500)}" for _ in range(200))
+    rows = [
+        # 40-doc boilerplate mega-cluster: 95% shared text, tiny suffix
+        (i, f"{boiler} unique tail {i} {rng.randrange(10**9)}")
+        for i in range(40)
+    ] + [
+        # two organic near-dup pairs, disjoint vocabulary
+        (100, "zebra quagga okapi tapir gnu eland kudu oryx " * 8),
+        (101, "zebra quagga okapi tapir gnu eland kudu oryx " * 8 + "xx"),
+        (102, "fjord skald berserk longship mead rune saga edda " * 8),
+        (103, "fjord skald berserk longship mead rune saga edda " * 8 + "yy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, n=3, threshold=0.5, max_bucket=10
+        ).collect()
+    }
+    assert capped <= uncapped, "cap must never invent pairs"
+    assert (100, 101) in capped and (102, 103) in capped, "organic pairs lost"
+    # the mega-cluster dominates uncapped output; the cap must actually bite
+    mega_uncapped = {p for p in uncapped if p[0] < 40 and p[1] < 40}
+    mega_capped = {p for p in capped if p[0] < 40 and p[1] < 40}
+    assert len(mega_uncapped) > 100
+    assert len(mega_capped) < len(mega_uncapped)
+
+    # incremental: batch of boilerplate docs probing a boilerplate corpus
+    corpus = docs.where(F.col("doc_id") >= 20)
+    batch = docs.where(F.col("doc_id") < 20)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            corpus,
+            batch,
+            n=3,
+            threshold=0.5,
+            corpus_index=minhash_band_index(corpus, n=3),
+            max_bucket=10,
+        ).collect()
+    }
+    # every returned pair touches the batch; combined-bucket cap held
+    assert all(a < 20 or b < 20 for a, b in inc)
+    assert inc <= uncapped
