@@ -126,7 +126,11 @@ BASELINE_SF01 = {
     "embedding_near_dup": 0.44, "ann_bruteforce_topk": 0.56,
     "ann_lsh_topk": 1.12, "quality_scores": 0.20, "token_counts": 0.15,
     "doc_fingerprints": 0.54, "dedup_components": 2.01,
-    "tfidf_top_terms": 0.58, "stratified_sample_docs": 0.17,
+    # tfidf/stratified re-pinned r03 (median-of-3) after deliberate plan
+    # restructures for scale: tfidf dropped the forced vocabulary
+    # broadcast + persists the deduped doc-term frame; stratified moved
+    # to the bounded two-phase prefix-sum rank.
+    "tfidf_top_terms": 0.88, "stratified_sample_docs": 0.33,
     "chunk_overlap_pairs_fixed": 0.59, "chunk_overlap_pairs_ae": 0.90,
     "repetition_ratios": 0.76, "curation_pipeline": 0.90,
     "lm_bigram_scores": 0.71, "dedup_sketch_report_fixed": 0.30,

@@ -162,23 +162,33 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
 
     Identity here is ``chunk_text`` so the whole plan is oracle-checkable;
     the scale path swaps in ``xxhash64(chunk_text)`` before the shuffle so
-    the window + join move 8-byte keys, not payloads.
-    """
-    from pyspark.sql import Window
+    the aggregate + join move 8-byte keys, not payloads.
 
-    store = old_chunks.select("chunk_text").distinct().withColumn(
-        "in_store", F.lit(True)
+    The first-occurrence pick is ``min(struct(src_id, offset))`` per
+    identity — a hash aggregate with map-side partial combine — NOT a
+    ``row_number`` window partitioned by ``chunk_text``: a content-keyed
+    window lands EVERY copy of a hot duplicate (a zero block, a
+    boilerplate header) in one task, while the aggregate collapses them
+    map-side and AQE's skew handling covers the join-back.
+    """
+    first = new_chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("src_id", "offset")).alias("__first")
     )
-    w = Window.partitionBy("chunk_text").orderBy("src_id", "offset")
-    classified = (
-        new_chunks.withColumn("rn", F.row_number().over(w))
-        .join(store, "chunk_text", "left")
-        .withColumn(
-            "status",
-            F.when(F.col("in_store").isNotNull(), "reused_old")
-            .when(F.col("rn") == 1, "transfer")
-            .otherwise("dedup_new"),
+    # one per-identity table carries both facts back in a single join
+    identity_tbl = first.join(
+        old_chunks.select("chunk_text").distinct().withColumn(
+            "in_store", F.lit(True)
+        ),
+        "chunk_text",
+        "left",
+    )
+    classified = new_chunks.join(identity_tbl, "chunk_text").withColumn(
+        "status",
+        F.when(F.col("in_store").isNotNull(), "reused_old")
+        .when(
+            F.struct("src_id", "offset") == F.col("__first"), "transfer"
         )
+        .otherwise("dedup_new"),
     )
     zero = F.lit(0)
     return classified.groupBy("src_id").agg(

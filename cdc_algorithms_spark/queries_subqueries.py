@@ -198,14 +198,20 @@ GROUP BY 1
 @register("suppliers_above_nation_avg", _NATION_AVG_ORACLE)
 def suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers with above-average balance within their own nation —
-    the correlated comparison against the row's own group decorrelates to
-    a window average (single shuffle on s_nationkey), then the nation
-    name joins in by broadcast."""
+    the correlated comparison decorrelates to a per-nation aggregate
+    joined back by broadcast, NOT a window over ``s_nationkey``: nation
+    has 25 values, so a window would cap parallelism at 25 and put an
+    entire nation's suppliers in one task at scale, while the aggregate
+    partial-combines map-side to 25 rows and the supplier scan stays
+    fully parallel (the second column-pruned scan is cheaper than the
+    25-task window)."""
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
-    w = Window.partitionBy("s_nationkey")
+    nation_avg = s.groupBy("s_nationkey").agg(
+        F.avg("s_acctbal").alias("nation_avg")
+    )
     return (
-        s.withColumn("nation_avg", F.avg("s_acctbal").over(w))
+        s.join(F.broadcast(nation_avg), "s_nationkey")
         .where(F.col("s_acctbal") > F.col("nation_avg"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))

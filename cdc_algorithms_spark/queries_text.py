@@ -627,10 +627,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (billions of distinct terms would OOM a forced driver broadcast),
     so AQE picks shuffle-vs-broadcast from actual sizes. Only the 1-row
     global doc count rides an explicit broadcast cross join. Top-k per
-    stratum is exact two-phase: a salted local top-k first (each
-    (lang, salt) slice ranks independently), then the global rank runs
-    over at most ``salts × k`` survivors per language — a whole
-    language's vocabulary never sorts in one task."""
+    stratum is the rank window + ``rank <= k`` filter, which Catalyst
+    rewrites with partial ``WindowGroupLimit``: every input partition
+    keeps only its local top-k per language BEFORE the exchange, so the
+    final per-language sort sees ≤ k·partitions rows, never the whole
+    vocabulary (pinned in test_plans.py)."""
     docs = load_table(spark, "documents", sf_dir)
     doc_term = (
         docs.select("doc_id", "lang", F.explode(words("text")).alias("word"))
@@ -649,16 +650,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
     )
-    order = (F.desc("score"), F.asc("term"))
-    local_w = Window.partitionBy("lang", "__salt").orderBy(*order)
-    survivors = (
-        scored.withColumn("__salt", F.pmod(F.xxhash64("term"), F.lit(64)))
-        .withColumn("__r1", F.row_number().over(local_w))
-        .where(F.col("__r1") <= _TFIDF_K)
-    )
-    w = Window.partitionBy("lang").orderBy(*order)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
     return (
-        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TFIDF_K)
         .select("lang", "rank", "term", F.round("score", 6).alias("tfidf"))
     )

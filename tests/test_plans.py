@@ -88,13 +88,32 @@ def test_q4_exists_is_semi_join(spark):
 def test_tfidf_no_forced_vocab_broadcast(spark):
     """The tf↔df join key is the vocabulary — corpus-sized at scale, so
     a forced broadcast hint would OOM the driver at 100 TB. Only the
-    1-row doc-count broadcast is allowed to appear pre-AQE; every
-    window must be salted or survivor-sized, never a bare whole-
-    language partition over the full vocab."""
+    1-row doc-count broadcast is allowed to appear pre-AQE; and the
+    top-k rank must plan with partial WindowGroupLimit so no task ever
+    sorts a whole language's vocabulary."""
     df = _q(spark, "tfidf_top_terms")
     assert P.broadcast_hint_count(df) <= 1, "vocabulary join must not be hint-broadcast"
-    parts = P.window_partition_columns(df)
-    assert any(len(p) >= 2 for p in parts), "salted local top-k window missing"
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, "partial top-k pushdown missing"
+    assert P.python_eval_count(df) == 0
+
+
+def test_sync_plan_no_content_keyed_window(spark):
+    """First-occurrence per chunk identity must come from a min(struct)
+    aggregate (map-side combinable), never a row_number window keyed by
+    chunk_text — a hot duplicate chunk would put all its copies in one
+    task."""
+    df = _q(spark, "sync_plan_fixed")
+    for cols in P.window_partition_columns(df):
+        assert "chunk_text" not in cols, f"content-keyed window: {cols}"
+
+
+def test_nation_avg_is_aggregate_join_not_25_way_window(spark):
+    """Per-nation average must be aggregate + broadcast join back; a
+    window over s_nationkey caps parallelism at 25 nations."""
+    df = _q(spark, "suppliers_above_nation_avg")
+    assert P.window_partition_columns(df) == [], "expected no windows"
+    assert P.broadcast_join_count(df) >= 1
     assert P.python_eval_count(df) == 0
 
 
