@@ -20,7 +20,13 @@ Scale posture: the store holds identities (at 100 TB, 8-byte
 ``xxhash64`` keys, not payloads) partitioned by hash prefix; the
 per-batch anti-join shuffles only the micro-batch side because the
 store read is pruned to the batch's hash-prefix partitions. Metrics are
-1-row-per-batch appends — no driver-side accumulation.
+1-row-per-batch writes — no driver-side accumulation.
+
+Recovery semantics: foreachBatch is at-least-once — after a failure the
+last uncommitted batch REPLAYS with the same batch_id — so both sinks
+are epoch-keyed overwrites (``.../batch_<id>`` subdirectories) and the
+store read excludes the current batch_id. Replay rewrites the same
+files instead of appending duplicates; totals are exactly-once.
 """
 
 from __future__ import annotations
@@ -34,19 +40,33 @@ from pyspark.sql import functions as F
 
 
 def sync_batch(
-    spark: SparkSession, batch: DataFrame, store_dir: str, metrics_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    metrics_dir: str,
+    batch_id: int = 0,
 ) -> None:
-    """Settle one micro-batch of chunks against the store.
+    """Settle one micro-batch of chunks against the store — IDEMPOTENT
+    per ``batch_id``.
 
-    ``batch`` needs columns (chunk_text, length). Appends first-seen
-    identities to ``store_dir`` (origin='new') and one metrics row to
-    ``metrics_dir``.
+    ``batch`` needs columns (chunk_text, length). Writes first-seen
+    identities to ``store_dir/batch_<id>`` and one metrics row to
+    ``metrics_dir/batch_<id>``, both with ``mode("overwrite")``: after a
+    failure, Structured Streaming REPLAYS the last uncommitted batch
+    with the same batch_id, so an append sink would double-count its
+    metrics and duplicate its store rows. The epoch-keyed overwrite
+    makes the replay a no-op-equivalent rewrite, and the store read
+    EXCLUDES rows tagged with the current batch_id so a half-written
+    first attempt can't make its own identities look pre-existing
+    (which would flip transfer→reused and corrupt the totals).
     """
     per_key = batch.groupBy("chunk_text").agg(
         F.sum("length").alias("bytes_all"),
         F.max("length").alias("bytes_one"),
     )
-    store = spark.read.parquet(store_dir)
+    store = spark.read.parquet(os.path.join(store_dir, "*")).where(
+        F.col("batch_id") != batch_id
+    )
     classified = per_key.join(store, "chunk_text", "left").persist()
     unseen = F.col("origin").isNull()
     metrics = classified.agg(
@@ -66,10 +86,16 @@ def sync_batch(
             F.lit(0),
         ).cast("long").alias("dedup_new_bytes"),
     )
-    metrics.write.mode("append").parquet(metrics_dir)
+    metrics.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(metrics_dir, f"batch_{batch_id}"))
     classified.where(unseen).select(
-        "chunk_text", F.lit("new").alias("origin")
-    ).write.mode("append").parquet(store_dir)
+        "chunk_text",
+        F.lit("new").alias("origin"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_{batch_id}")
+    )
     classified.unpersist()
 
 
@@ -88,14 +114,16 @@ def run_incremental_sync(
         raise ValueError("need at least one new-chunk stage")
     store_dir = os.path.join(workdir, "store")
     metrics_dir = os.path.join(workdir, "metrics")
-    # a reused workdir must not leak a prior run's metrics into this
-    # run's totals (sync_batch APPENDS per micro-batch)
+    # a reused workdir must not leak a prior run's batch_* subdirs into
+    # this run's store or totals (both are per-batch-id subdirectories
+    # now, so overwriting the seed alone would not clear them)
     shutil.rmtree(metrics_dir, ignore_errors=True)
-    old_chunks.select(
-        "chunk_text"
-    ).distinct().withColumn("origin", F.lit("old")).write.mode("overwrite").parquet(
-        store_dir
-    )
+    shutil.rmtree(store_dir, ignore_errors=True)
+    old_chunks.select("chunk_text").distinct().select(
+        "chunk_text",
+        F.lit("old").alias("origin"),
+        F.lit(-1).cast("long").alias("batch_id"),
+    ).write.mode("overwrite").parquet(os.path.join(store_dir, "seed"))
 
     in_dir = tempfile.mkdtemp(prefix="cdc_sync_in_")
     try:
@@ -103,7 +131,7 @@ def run_incremental_sync(
         stream = spark.readStream.schema(new_chunk_stages[0].schema).parquet(in_dir)
         query = (
             stream.writeStream.foreachBatch(
-                lambda b, _id: sync_batch(spark, b, store_dir, metrics_dir)
+                lambda b, bid: sync_batch(spark, b, store_dir, metrics_dir, bid)
             )
             .outputMode("append")
             .start()
@@ -119,7 +147,7 @@ def run_incremental_sync(
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
 
-    return spark.read.parquet(metrics_dir).agg(
+    return spark.read.parquet(os.path.join(metrics_dir, "*")).agg(
         F.sum("total_bytes").cast("long").alias("total_bytes"),
         F.sum("reused_old_bytes").cast("long").alias("reused_old_bytes"),
         F.sum("transfer_bytes").cast("long").alias("transfer_bytes"),

@@ -458,3 +458,53 @@ def test_incremental_sync_workdir_reuse_does_not_double_count(spark, tmp_path):
     first = run_incremental_sync(spark, old, stages, wd).collect()
     second = run_incremental_sync(spark, old, stages, wd).collect()
     assert first == second, "reused workdir must not accumulate prior metrics"
+
+
+def test_sync_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a failure the last
+    uncommitted batch re-runs with the SAME batch_id. Replaying a batch
+    must neither double-count metrics nor duplicate store identities,
+    and a half-written first attempt must not make the batch's own
+    identities look pre-existing."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.streaming.sync import sync_batch
+
+    docs = load_table(spark, "documents", SF_DIR).limit(20)
+    old = fixed_chunks(docs, 64)
+    new = fixed_chunks(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" tail"))), 64
+    )
+    store_dir = str(tmp_path / "store")
+    metrics_dir = str(tmp_path / "metrics")
+    old.select("chunk_text").distinct().select(
+        "chunk_text",
+        F.lit("old").alias("origin"),
+        F.lit(-1).cast("long").alias("batch_id"),
+    ).write.parquet(store_dir + "/seed")
+
+    def totals():
+        return (
+            spark.read.parquet(metrics_dir + "/*")
+            .groupBy()
+            .sum("total_bytes", "reused_old_bytes", "transfer_bytes",
+                 "dedup_new_bytes")
+            .collect()
+        )
+
+    sync_batch(spark, new, store_dir, metrics_dir, batch_id=0)
+    first = totals()
+    n_store = spark.read.parquet(store_dir + "/*").count()
+    # replay batch 0 (simulates recovery after an uncommitted epoch)
+    sync_batch(spark, new, store_dir, metrics_dir, batch_id=0)
+    assert totals() == first, "replay double-counted metrics"
+    assert spark.read.parquet(store_dir + "/*").count() == n_store, (
+        "replay duplicated store identities"
+    )
+    # a genuinely new batch still settles against the extended store
+    sync_batch(spark, new, store_dir, metrics_dir, batch_id=1)
+    rows = spark.read.parquet(metrics_dir + "/*").where(
+        F.col("batch_id") == 1
+    ).collect()
+    assert len(rows) == 1 and rows[0]["transfer_bytes"] == 0, (
+        "batch 1 repeats batch 0's content — everything must dedup as known"
+    )
