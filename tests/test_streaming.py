@@ -508,3 +508,75 @@ def test_sync_batch_replay_is_idempotent(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["transfer_bytes"] == 0, (
         "batch 1 repeats batch 0's content — everything must dedup as known"
     )
+
+
+def test_checkpoint_restart_recovers_chunker_tail_state(spark, tmp_path):
+    """Kill the stateful CDC chunker between fragment batches and start
+    a NEW query from the same checkpoint: the binary tail buffer
+    (unchunked bytes + absolute offset + next chunk index) must come
+    back from the state store so post-restart chunks continue exactly
+    where the pre-restart scan stopped — byte-identical to the batch
+    chunker over the concatenated content."""
+    import os
+
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").limit(40)
+    frag_schema = "src_id long, seq long, text string, eof boolean"
+
+    def frag(i, lo, hi, eof):
+        return docs.select(
+            F.col("doc_id").cast("long").alias("src_id"),
+            F.lit(i).cast("long").alias("seq"),
+            F.expr(f"substring(text, {lo}, {hi})").alias("text"),
+            F.lit(eof).alias("eof"),
+        )
+
+    stage1 = frag(0, "1", "cast(length(text)*0.6 as int)", False)
+    stage2 = frag(
+        1,
+        "cast(length(text)*0.6 as int) + 1",
+        "length(text)",
+        True,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def start_query():
+        stream = spark.readStream.schema(frag_schema).parquet(in_dir)
+        return (
+            stateful_cdc_chunks(stream, "ae", 320, 0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    stage1.write.mode("append").parquet(in_dir)
+    q1 = start_query()
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    mid = spark.read.parquet(out_dir).count()
+
+    stage2.write.mode("append").parquet(in_dir)
+    q2 = start_query()  # new query object, same checkpoint + state store
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(
+        map(
+            tuple,
+            cdc_chunks(docs, "ae", 320, 0)
+            .withColumnRenamed("doc_id", "src_id")
+            .collect(),
+        )
+    )
+    assert got == want, "restart lost or corrupted chunker tail state"
+    assert 0 < mid < len(want), "restart case degenerate: no state crossed it"
