@@ -108,3 +108,58 @@ def mixture_plan(
             "n_docs_selected"
         ),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float,
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture weights: ``weight_i ∝ available_i^alpha``.
+
+    The standard up-sampling rule for imbalanced sources (multilingual /
+    multi-domain training): ``alpha=1`` reproduces natural proportions,
+    ``alpha=0`` is uniform, values in between flatten the distribution
+    so small sources are seen more often. Output per source:
+    ``(source, available_tokens, weight, allocated_tokens, epochs)``
+    where ``allocated = floor(total_tokens · weight)`` and ``epochs`` is
+    the implied pass count over the source (``allocated / available`` —
+    the >1 values are the up-sampled sources).
+
+    Scale shape: token counting is map-only; one partial-agg shuffle to
+    per-source totals (rows = #sources); the normalizing constant is a
+    1-row broadcast cross join. Nothing row-level survives the first
+    aggregate. Unlike :func:`mixture_plan` (which takes weights as
+    input), this DERIVES the weights from corpus statistics.
+    """
+    avail = (
+        docs.where(F.length(text_col) > 0)
+        .select(
+            F.col(source_col).alias("source"),
+            F.ceil(F.length(text_col) / 4.0).cast("long").alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").cast("long").alias("available_tokens"))
+    )
+    powed = avail.withColumn(
+        "__p", F.pow(F.col("available_tokens").cast("double"), F.lit(alpha))
+    )
+    norm = powed.agg(F.sum("__p").alias("__norm"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "available_tokens",
+            F.round(F.col("__p") / F.col("__norm"), 6).alias("weight"),
+            F.floor(total_tokens * F.col("__p") / F.col("__norm"))
+            .cast("long")
+            .alias("allocated_tokens"),
+            F.round(
+                F.floor(total_tokens * F.col("__p") / F.col("__norm"))
+                / F.col("available_tokens"),
+                6,
+            ).alias("epochs"),
+        )
+    )

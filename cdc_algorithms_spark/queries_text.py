@@ -988,6 +988,42 @@ def q_mixture_plan_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(docs, _MIX_WEIGHTS, _MIX_TOTAL)
 
 
+_TEMP_ALPHA = 0.5
+
+_TEMP_MIX_ORACLE = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+           AS available_tokens
+  FROM documents WHERE length(text) > 0 GROUP BY source
+),
+p AS (
+  SELECT source, available_tokens,
+         POWER(CAST(available_tokens AS DOUBLE), {_TEMP_ALPHA}) AS pw
+  FROM avail
+),
+n AS (SELECT SUM(pw) AS norm FROM p)
+SELECT p.source, p.available_tokens,
+       ROUND(p.pw / n.norm, 6) AS weight,
+       CAST(FLOOR({_MIX_TOTAL} * p.pw / n.norm) AS BIGINT) AS allocated_tokens,
+       ROUND(FLOOR({_MIX_TOTAL} * p.pw / n.norm) / p.available_tokens, 6)
+         AS epochs
+FROM p CROSS JOIN n
+"""
+
+
+@register("mixture_temperature_weights", _TEMP_MIX_ORACLE)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights (weight ∝ tokens^alpha) derived from
+    corpus statistics — the up-sampling rule for imbalanced sources;
+    epochs > 1 marks the sources an alpha-flattened mixture repeats
+    (operators/mixture.py::temperature_weights)."""
+    from cdc_algorithms_spark.operators.mixture import temperature_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_weights(docs, _TEMP_ALPHA, _MIX_TOTAL)
+
+
 # --- bigram language-model perplexity scoring -------------------------------
 # The statistical tier of quality scoring: a word-bigram MLE model trained
 # on the corpus itself, each document scored by its mean ln-probability.

