@@ -96,3 +96,37 @@ def read_chunk_store(spark, path: str) -> DataFrame:
     """Load a chunk store written by :func:`write_chunk_store`; the
     ``hash_prefix`` partition column comes back for pruned lookups."""
     return spark.read.parquet(path)
+
+
+def append_novel_chunks(
+    spark, chunks: DataFrame, path: str, hash_col: str = "hash"
+) -> None:
+    """Incrementally extend a :func:`write_chunk_store` store with ONLY
+    the chunks whose hashes it does not already hold.
+
+    The durable half of the incremental-ingest loop
+    (operators/ingest.py): a blind ``mode("append")`` of a new batch
+    would duplicate every already-stored identity (the store's one-row-
+    per-hash contract would silently break, and reconstruction joins
+    would fan out). Here the batch is deduplicated internally, then
+    anti-joined against the store's hash column — a column-pruned read
+    of 8-byte keys, never the payloads — and only the novel rows land,
+    hash-prefix partitioned like the seed write. First call (no store
+    yet) degrades to a plain store write.
+    """
+    try:
+        existing = spark.read.parquet(path).select(F.col(hash_col))
+    except Exception:  # no store yet — everything is novel
+        write_chunk_store(chunks, path, hash_col=hash_col)
+        return
+    novel = chunks.dropDuplicates([hash_col]).join(
+        existing, hash_col, "left_anti"
+    )
+    prefix = F.lpad(F.hex(F.col(hash_col)), 16, "0").substr(1, 2)
+    (
+        novel.withColumn("hash_prefix", F.lower(prefix))
+        .repartition(F.col("hash_prefix"))
+        .write.mode("append")
+        .partitionBy("hash_prefix")
+        .parquet(path)
+    )

@@ -140,3 +140,30 @@ def test_bucketed_index_makes_ingest_join_index_side_shuffle_free(spark, tmp_pat
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
+
+
+def test_append_novel_chunks_never_duplicates_identities(spark, tmp_path):
+    """Incremental store extension: overlapping batches must add only
+    never-seen hashes (one row per identity stays invariant), and the
+    first call on an empty path degrades to a plain store write."""
+    from cdc_algorithms_spark.sources.sinks import append_novel_chunks
+
+    docs = load_table(spark, "documents", SF_DIR)
+    c1 = fixed_chunks(docs.where(F.col("doc_id") % 2 == 0), 64).withColumn(
+        "hash", F.xxhash64("chunk_text")
+    )
+    c_all = fixed_chunks(docs, 64).withColumn("hash", F.xxhash64("chunk_text"))
+    path = str(tmp_path / "store")
+
+    append_novel_chunks(spark, c1, path)  # seed via first-call fallback
+    n1 = spark.read.parquet(path).count()
+    assert n1 == c1.select("hash").distinct().count()
+
+    append_novel_chunks(spark, c_all, path)  # overlaps c1 heavily
+    store = spark.read.parquet(path)
+    want = c_all.select("hash").distinct().count()
+    assert store.count() == want, "append duplicated or dropped identities"
+    assert store.select("hash").distinct().count() == want
+
+    append_novel_chunks(spark, c1, path)  # pure replay: a no-op
+    assert spark.read.parquet(path).count() == want
