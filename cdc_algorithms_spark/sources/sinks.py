@@ -114,9 +114,14 @@ def append_novel_chunks(
     hash-prefix partitioned like the seed write. First call (no store
     yet) degrades to a plain store write.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path).select(F.col(hash_col))
-    except Exception:  # no store yet — everything is novel
+    except AnalysisException:  # PATH_NOT_FOUND: no store yet
+        # only the missing-path case may seed; any other failure (a
+        # corrupt or unreadable store) must raise rather than silently
+        # OVERWRITE a store that exists
         write_chunk_store(chunks, path, hash_col=hash_col)
         return
     novel = chunks.dropDuplicates([hash_col]).join(
