@@ -474,17 +474,13 @@ def incremental_minhash_pairs(
     ).persist()
     all_bands = corpus_index.unionByName(batch_bands)
     if max_bucket is not None:
-        # cap on COMBINED bucket size (corpus + batch): the hot-band
-        # blowup is |batch∩bucket| × |union∩bucket|, so both probe and
-        # build sides drop the oversized buckets consistently (the
-        # batch side only needs the semi-join — its buckets are subsets
-        # of the union's, so any surviving union bucket is under cap).
+        # cap on COMBINED bucket size (corpus + batch). Capping the
+        # build side alone suffices: the candidate join is an INNER
+        # join on (band, band_hash), so a batch row whose bucket was
+        # dropped from all_bands already yields no candidates — a
+        # batch-side pre-filter would be a corpus-scale distinct +
+        # semi-join of pure dead work on the hot incremental path.
         all_bands = _cap_band_buckets(all_bands, max_bucket)
-        batch_bands = batch_bands.join(
-            all_bands.select("band", "band_hash").distinct(),
-            ["band", "band_hash"],
-            "left_semi",
-        )
     a = batch_bands.alias("x")
     b = all_bands.alias("y")
     candidates = (

@@ -170,6 +170,13 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
     window lands EVERY copy of a hot duplicate (a zero block, a
     boilerplate header) in one task, while the aggregate collapses them
     map-side and AQE's skew handling covers the join-back.
+
+    Precondition: ``new_chunks`` rows are unique on (src_id, offset) —
+    true for every chunker in this repo (one chunk per offset). If a
+    caller unions overlapping chunk tables, the tied copies of the
+    minimum (src_id, offset) would EACH classify as ``transfer``
+    (the struct-equality test matches all of them), over-reporting
+    bytes to ship; dedupe the input first.
     """
     first = new_chunks.groupBy("chunk_text").agg(
         F.min(F.struct("src_id", "offset")).alias("__first")

@@ -722,9 +722,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "viewers_never_purchased",
 })
 
-# Round-2 window: 50 oracle-backed queries with no green row yet —
-# r01 fixes first, then TPC-H extra, subqueries, join family,
-# LLM-pipeline, and the north-star streaming change-feed queries.
+# The driver-verification window: the 50 oracle-backed queries the
+# next driver run compares first. Regenerated each round by
+# `tools/update_rotation.py --write`: latest-round failures first,
+# then the never-green backlog in registry order, topped up with
+# already-green names when fewer than 50 need verification (as in this
+# r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
     "incremental_ingest_stats",
     "doc_table_diff",

@@ -118,20 +118,19 @@ def append_novel_chunks(
 
     try:
         existing = spark.read.parquet(path).select(F.col(hash_col))
-    except AnalysisException:  # PATH_NOT_FOUND: no store yet
-        # only the missing-path case may seed; any other failure (a
-        # corrupt or unreadable store) must raise rather than silently
-        # OVERWRITE a store that exists
+    except AnalysisException as e:
+        # ONLY the missing-path case may seed. Any other analysis error
+        # (wrong hash_col → UNRESOLVED_COLUMN, unreadable/empty dir →
+        # UNABLE_TO_INFER_SCHEMA, …) must raise: reaching the seed path
+        # there would mode("overwrite") a store that actually exists.
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" not in cond:
+            raise
         write_chunk_store(chunks, path, hash_col=hash_col)
         return
     novel = chunks.dropDuplicates([hash_col]).join(
         existing, hash_col, "left_anti"
     )
-    prefix = F.lpad(F.hex(F.col(hash_col)), 16, "0").substr(1, 2)
-    (
-        novel.withColumn("hash_prefix", F.lower(prefix))
-        .repartition(F.col("hash_prefix"))
-        .write.mode("append")
-        .partitionBy("hash_prefix")
-        .parquet(path)
-    )
+    # same layout as the seed write — one body to maintain (the store's
+    # dropDuplicates inside is a no-op on the already-deduped frame)
+    write_chunk_store(novel, path, hash_col=hash_col, mode="append")

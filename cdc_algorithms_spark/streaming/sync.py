@@ -56,7 +56,7 @@ def sync_batch(
     with the same batch_id, so an append sink would double-count its
     metrics and duplicate its store rows. The epoch-keyed overwrite
     makes the replay a no-op-equivalent rewrite, and the store read
-    EXCLUDES rows tagged with the current batch_id so a half-written
+    EXCLUDES the current batch_id's subdirectory so a half-written
     first attempt can't make its own identities look pre-existing
     (which would flip transfer→reused and corrupt the totals).
     """
@@ -64,9 +64,18 @@ def sync_batch(
         F.sum("length").alias("bytes_all"),
         F.max("length").alias("bytes_one"),
     )
-    store = spark.read.parquet(os.path.join(store_dir, "*")).where(
-        F.col("batch_id") != batch_id
-    )
+    # exclude the current batch's subdir at the PATH level, not with a
+    # data filter: the overwrite below deletes batch_<id>'s files, and
+    # if they were in this read's lineage a post-failure recompute (lost
+    # executor between the metrics and store writes) would re-read files
+    # the overwrite just removed — FileNotFound in exactly the recovery
+    # path this sink exists to survive.
+    prior = [
+        os.path.join(store_dir, d)
+        for d in sorted(os.listdir(store_dir))
+        if d != f"batch_{batch_id}"
+    ]
+    store = spark.read.parquet(*prior)
     classified = per_key.join(store, "chunk_text", "left").persist()
     unseen = F.col("origin").isNull()
     metrics = classified.agg(
