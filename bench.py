@@ -120,7 +120,10 @@ BASELINE_SF01 = {
     "q9_product_profit": 0.80, "q12_late_priority": 0.40,
     "q13_order_distribution": 0.50, "q21_waiting_supplier": 1.95,
     "events_hourly_locf": 0.25, "snapshot_diff_fixed": 0.54,
-    "change_ratio_fixed": 0.55, "sync_plan_fixed": 0.37,
+    "change_ratio_fixed": 0.55,
+    # sync_plan re-pinned r03: hashed-identity aggregate replaces the
+    # content-keyed window (hot-duplicate-proof at scale)
+    "sync_plan_fixed": 0.60,
     "exact_dedup_docs": 0.50, "ngram_jaccard_pairs": 1.14,
     "minhash_lsh_pairs": 0.44, "simhash_pairs": 0.40,
     "embedding_near_dup": 0.44, "ann_bruteforce_topk": 0.56,

@@ -160,9 +160,12 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
     * ``dedup_new`` — later occurrence of a new identity: 0 bytes,
       deduplicated within the transfer itself.
 
-    Identity here is ``chunk_text`` so the whole plan is oracle-checkable;
-    the scale path swaps in ``xxhash64(chunk_text)`` before the shuffle so
-    the aggregate + join move 8-byte keys, not payloads.
+    Identity is ``xxhash64(chunk_text)`` computed map-side BEFORE any
+    exchange, so both the first-occurrence aggregate and the join-back
+    move 8-byte keys + three longs — never chunk payloads (equal hash ⇒
+    equal bytes under the repo's 64-bit identity model, ae.rs:75-84
+    collision stance; the DuckDB oracle checks the text-keyed
+    formulation and results agree absent a 64-bit collision).
 
     The first-occurrence pick is ``min(struct(src_id, offset))`` per
     identity — a hash aggregate with map-side partial combine — NOT a
@@ -178,36 +181,65 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
     (the struct-equality test matches all of them), over-reporting
     bytes to ship; dedupe the input first.
     """
-    first = new_chunks.groupBy("chunk_text").agg(
-        F.min(F.struct("src_id", "offset")).alias("__first")
+    # ONE scan of new_chunks: collapse immediately to per-(identity,
+    # src) metadata (equal hash ⇒ equal length, so len_one is exact).
+    # Everything after this first map-side-combined aggregate moves
+    # 8-byte keys and longs — no payload ever shuffles, and the chunk
+    # generation pipeline feeding new_chunks is not re-executed for the
+    # first-occurrence side (it derives from per_sk, not a second scan).
+    per_sk = (
+        new_chunks.select(
+            F.xxhash64("chunk_text").alias("__k"), "src_id", "offset", "length"
+        )
+        .groupBy("__k", "src_id")
+        .agg(
+            F.sum("length").alias("bytes_all"),
+            F.max("length").alias("len_one"),
+            F.min("offset").alias("__moff"),
+        )
+        # both consumers below need __k-distribution (the first-occurrence
+        # rollup and the identity join-back); partitioning here lets
+        # Catalyst reuse ONE exchange for both instead of shuffling the
+        # per-(identity, src) frame twice
+        .repartition("__k")
     )
-    # one per-identity table carries both facts back in a single join
+    # global first occurrence per identity: lexicographic min over
+    # (src_id, offset) — the per-src min offset preserves it exactly
+    first = per_sk.groupBy("__k").agg(
+        F.min(F.struct("src_id", "__moff")).alias("__first")
+    )
     identity_tbl = first.join(
-        old_chunks.select("chunk_text").distinct().withColumn(
-            "in_store", F.lit(True)
-        ),
-        "chunk_text",
+        old_chunks.select(F.xxhash64("chunk_text").alias("__k"))
+        .distinct()
+        .withColumn("in_store", F.lit(True)),
+        "__k",
         "left",
     )
-    classified = new_chunks.join(identity_tbl, "chunk_text").withColumn(
-        "status",
-        F.when(F.col("in_store").isNotNull(), "reused_old")
-        .when(
-            F.struct("src_id", "offset") == F.col("__first"), "transfer"
-        )
-        .otherwise("dedup_new"),
+    joined = per_sk.join(identity_tbl, "__k").select(
+        "src_id",
+        "bytes_all",
+        "len_one",
+        F.col("in_store").isNotNull().alias("__reused"),
+        (F.col("src_id") == F.col("__first.src_id")).alias("__is_first_src"),
     )
     zero = F.lit(0)
-    return classified.groupBy("src_id").agg(
-        F.sum("length").cast("long").alias("total_bytes"),
+    new_side = ~F.col("__reused")
+    holds_first = new_side & F.col("__is_first_src")
+    return joined.groupBy("src_id").agg(
+        F.sum("bytes_all").cast("long").alias("total_bytes"),
         F.coalesce(
-            F.sum(F.when(F.col("status") == "reused_old", F.col("length"))), zero
+            F.sum(F.when(F.col("__reused"), F.col("bytes_all"))), zero
         ).cast("long").alias("reused_old_bytes"),
         F.coalesce(
-            F.sum(F.when(F.col("status") == "transfer", F.col("length"))), zero
+            F.sum(F.when(holds_first, F.col("len_one"))), zero
         ).cast("long").alias("transfer_bytes"),
         F.coalesce(
-            F.sum(F.when(F.col("status") == "dedup_new", F.col("length"))), zero
+            F.sum(
+                F.when(
+                    holds_first, F.col("bytes_all") - F.col("len_one")
+                ).when(new_side, F.col("bytes_all"))
+            ),
+            zero,
         ).cast("long").alias("dedup_new_bytes"),
     )
 
