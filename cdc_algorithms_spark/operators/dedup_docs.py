@@ -28,12 +28,14 @@ Everything is Catalyst expressions — no Python UDFs anywhere.
 Caching note: several operators ``persist()`` a frame that feeds two or
 more branches of the RETURNED plan (shingle sets, banded minhashes,
 fingerprints). They cannot unpersist it themselves — the caller hasn't
-executed the plan yet — so the blocks live until session end or LRU
-eviction (storage is MEMORY_AND_DISK and evictable, so this is bounded
-pressure, not a leak). Long-lived sessions issuing many distinct dedup
-plans can reclaim storage explicitly with ``spark.catalog.clearCache()``
-between pipelines; ``connected_components`` unpersists its edges itself
-because it fully materializes results inside its loop.
+executed the plan yet — so each persist is registered in a module cache
+registry and :func:`release_cached_frames` is the scoped reclaim handle:
+call it between pipelines (after the consuming action) in a long-lived
+session and storage drops to zero without ``clearCache()``'s collateral
+eviction of frames other modules own. Unreleased blocks are still
+bounded pressure, not a leak (MEMORY_AND_DISK, LRU-evictable).
+``connected_components`` unpersists its edges itself because it fully
+materializes results inside its loop.
 """
 
 from __future__ import annotations
@@ -42,6 +44,38 @@ import logging
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# --- scoped caching -----------------------------------------------------
+# Frames persisted for the RETURNED (still-lazy) plan are tracked here so
+# long-lived sessions can reclaim their storage between pipelines without
+# the clearCache() sledgehammer (which would also evict caches other
+# modules own).  ``release_cached_frames()`` is the scoped handle.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + register with the module cache registry."""
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_cached_frames() -> int:
+    """Unpersist every frame this module has persisted for a returned
+    plan and clear the registry; returns the number released.  Call
+    between pipelines in a long-lived session (after the consuming
+    action has run — unpersisting earlier just recomputes).  Safe to
+    call repeatedly; unpersist on an already-released frame is a no-op.
+    """
+    n = 0
+    for df in _CACHED_FRAMES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _CACHED_FRAMES.clear()
+    return n
 
 _log = logging.getLogger(__name__)
 
@@ -147,8 +181,8 @@ def _shingle_sets(
             F.col("ord.shingle").alias("sh"),
             F.size("ord").alias("sz"),
         )
-        .persist()
     )
+    sets = _persist(sets)
     prefix = sets.select(
         "doc_id",
         F.explode(
@@ -361,9 +395,11 @@ def _verify_exact_jaccard(
     pruned = docs.join(
         cand_ids, F.col(id_col).cast("long") == F.col("__cid"), "left_semi"
     )
-    sh = doc_shingles(pruned, n, id_col, text_col).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
-    ).persist()
+    sh = _persist(
+        doc_shingles(pruned, n, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
     return _verify_pairs(sh, candidates, threshold)
 
 
@@ -415,9 +451,9 @@ def minhash_lsh_pairs(
     # persisted: the signature computation runs once, not once per
     # self-join side (Catalyst's ReusedExchange does not fire here — the
     # two sides' pruned projections differ, so the subplans aren't equal)
-    banded = minhash_band_index(
-        docs, n, num_hashes, bands, id_col, text_col
-    ).persist()
+    banded = _persist(
+        minhash_band_index(docs, n, num_hashes, bands, id_col, text_col)
+    )
     if max_bucket is not None:
         banded = _cap_band_buckets(banded, max_bucket)
     c1 = banded.alias("x")
@@ -469,9 +505,9 @@ def incremental_minhash_pairs(
         corpus_index = minhash_band_index(
             corpus, n, num_hashes, bands, id_col, text_col
         )
-    batch_bands = minhash_band_index(
-        batch, n, num_hashes, bands, id_col, text_col
-    ).persist()
+    batch_bands = _persist(
+        minhash_band_index(batch, n, num_hashes, bands, id_col, text_col)
+    )
     all_bands = corpus_index.unionByName(batch_bands)
     if max_bucket is not None:
         # cap on COMBINED bucket size (corpus + batch). Capping the
@@ -592,7 +628,7 @@ def simhash_pairs(
     """
     # persisted: the 64-aggregate fingerprint pass runs once, not once
     # per self-join side (same ReusedExchange gap as minhash above)
-    fps = simhash_fingerprints(docs, id_col, text_col).persist()
+    fps = _persist(simhash_fingerprints(docs, id_col, text_col))
     banded = fps.select(
         "doc_id",
         "simhash",

@@ -147,18 +147,23 @@ def temperature_weights(
         "__p", F.pow(F.col("available_tokens").cast("double"), F.lit(alpha))
     )
     norm = powed.agg(F.sum("__p").alias("__norm"))
+    # The normalizer is a float sum whose accumulation order differs
+    # between engines; a raw floor(total·p/norm) can flip by 1 when the
+    # ratio lands within float-noise of an integer.  Rounding the ratio
+    # to 6 decimals BEFORE flooring (mirrored in the SQL oracle) makes
+    # the integer boundary engine-stable.
+    alloc = F.floor(
+        F.round(total_tokens * F.col("__p") / F.col("__norm"), 6)
+    ).cast("long")
     return (
         powed.crossJoin(F.broadcast(norm))
         .select(
             "source",
             "available_tokens",
             F.round(F.col("__p") / F.col("__norm"), 6).alias("weight"),
-            F.floor(total_tokens * F.col("__p") / F.col("__norm"))
-            .cast("long")
-            .alias("allocated_tokens"),
+            alloc.alias("allocated_tokens"),
             F.round(
-                F.floor(total_tokens * F.col("__p") / F.col("__norm"))
-                / F.col("available_tokens"),
+                alloc / F.col("available_tokens"),
                 6,
             ).alias("epochs"),
         )

@@ -109,6 +109,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH band buckets larger than this are dropped before the self-join
+# (dedup_docs._cap_band_buckets).  At 100 TB one boilerplate mega-cluster
+# collapsing onto a single band hash would otherwise emit |bucket|^2
+# candidates from one hot key; capped output is a proven subset of the
+# uncapped run (test_training_ops.py pins both the subset property and
+# this registered configuration).  At driver scale (sf<=0.1) every bucket
+# is far below the cap, so results are identical with or without it.
+LSH_MAX_BUCKET = 1000
+
+
 @register("minhash_lsh_pairs")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -117,6 +127,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         threshold=JACCARD_THRESHOLD,
+        max_bucket=LSH_MAX_BUCKET,
     )
 
 
@@ -1005,9 +1016,10 @@ p AS (
 n AS (SELECT SUM(pw) AS norm FROM p)
 SELECT p.source, p.available_tokens,
        ROUND(p.pw / n.norm, 6) AS weight,
-       CAST(FLOOR({_MIX_TOTAL} * p.pw / n.norm) AS BIGINT) AS allocated_tokens,
-       ROUND(FLOOR({_MIX_TOTAL} * p.pw / n.norm) / p.available_tokens, 6)
-         AS epochs
+       CAST(FLOOR(ROUND({_MIX_TOTAL} * p.pw / n.norm, 6)) AS BIGINT)
+         AS allocated_tokens,
+       ROUND(FLOOR(ROUND({_MIX_TOTAL} * p.pw / n.norm, 6))
+             / p.available_tokens, 6) AS epochs
 FROM p CROSS JOIN n
 """
 
@@ -1499,4 +1511,5 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         threshold=JACCARD_THRESHOLD,
+        max_bucket=LSH_MAX_BUCKET,
     )

@@ -39,6 +39,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _list_store_subdirs(
+    spark: SparkSession, store_dir: str, exclude: str
+) -> list[str]:
+    """Enumerate the store's epoch subdirectories via the Hadoop
+    FileSystem API, so the sink works against any Spark-supported store
+    path (``hdfs://``, ``s3a://``, local) — ``os.listdir`` would couple
+    it to a driver-local filesystem. Only the names this module writes
+    (``seed``, ``batch_<id>``) are returned: a stray ``_SUCCESS`` marker
+    or temp directory in ``store_dir`` must not end up in a
+    ``read.parquet`` call."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name == exclude or not (
+            name == "seed" or name.startswith("batch_")
+        ):
+            continue
+        out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def sync_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -70,11 +96,7 @@ def sync_batch(
     # executor between the metrics and store writes) would re-read files
     # the overwrite just removed — FileNotFound in exactly the recovery
     # path this sink exists to survive.
-    prior = [
-        os.path.join(store_dir, d)
-        for d in sorted(os.listdir(store_dir))
-        if d != f"batch_{batch_id}"
-    ]
+    prior = _list_store_subdirs(spark, store_dir, f"batch_{batch_id}")
     store = spark.read.parquet(*prior)
     classified = per_key.join(store, "chunk_text", "left").persist()
     unseen = F.col("origin").isNull()

@@ -834,3 +834,57 @@ def test_temperature_weights_alpha_extremes(spark):
     for r in rows.values():
         assert r.allocated_tokens == int(100_000 * r.weight) or True  # floor vs round
         assert abs(r.epochs - r.allocated_tokens / r.available_tokens) < 1e-6
+
+
+def test_registered_lsh_query_runs_capped(spark):
+    """The REGISTERED minhash queries must carry the skew cap (the
+    100 TB mega-cluster guard), and at test scale — where no bucket
+    comes near the cap — their output must equal the uncapped run's."""
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+    from cdc_algorithms_spark import queries_text as qt
+    from cdc_algorithms_spark.sources.registry import load_table
+
+    assert isinstance(qt.LSH_MAX_BUCKET, int) and qt.LSH_MAX_BUCKET > 0
+
+    sf = "/root/testdata/sf0.001"
+    registered = {
+        (r.id_a, r.id_b)
+        for r in SPARK_QUERIES["minhash_lsh_pairs"](spark, sf).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            load_table(spark, "documents", sf),
+            n=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.8,
+        ).collect()
+    }
+    assert registered == uncapped, "cap must not bite at sf0.001"
+
+
+def test_release_cached_frames_reclaims_and_recomputes(spark):
+    """The scoped cache handle: dedup plans register their persists;
+    release_cached_frames() unpersists them all and the released plan
+    still recomputes correctly afterwards (no poisoned lineage)."""
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    dd.release_cached_frames()  # start from a clean registry
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    pairs = dd.minhash_lsh_pairs(docs, n=3, threshold=0.5)
+    first = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in first
+    assert len(dd._CACHED_FRAMES) > 0
+    released = dd.release_cached_frames()
+    assert released > 0
+    assert dd._CACHED_FRAMES == []
+    # plan still evaluates identically after its cache blocks are gone
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == first
+    # idempotent
+    assert dd.release_cached_frames() == 0

@@ -144,9 +144,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_con(args.sf_dir)
 
+    from cdc_algorithms_spark.operators.dedup_docs import release_cached_frames
+
     n_bad = 0
     for name in names:
         r = check_one(spark, con, name, args.sf_dir)
+        # dedup operators persist plan-feeding frames; reclaim between
+        # queries so a 147-query sweep doesn't accumulate cache blocks
+        release_cached_frames()
         status = r.get("status", "ERR")
         line = f"{status:>10}  {name}"
         if "sec" in r:
