@@ -413,17 +413,22 @@ def _cap_band_buckets(bands_df: DataFrame, max_bucket: int) -> DataFrame:
     carry almost no information (everything in them matches everything)
     and their members are exactly what exact-dedup / clustering handles
     better, so dropping them trades bounded recall on mega-clusters for
-    a hard cap on join fan-out. Implemented as aggregate + semi-join:
-    the groupBy's map-side partial combine keeps even the hot bucket
-    cheap, where a count-window would put the whole bucket in one task.
+    a hard cap on join fan-out. Implemented as aggregate + BROADCAST
+    anti-join on the OVERSIZED buckets: the groupBy's map-side partial
+    combine keeps even the hot bucket cheap (a count-window would put
+    the whole bucket in one task), and by construction at most
+    |bands_df| / max_bucket buckets can be oversized — a tiny frame —
+    so the anti-join broadcasts and the bands frame itself never
+    reshuffles for the cap (semi-joining the KEPT buckets instead would
+    shuffle both sides, since almost every bucket is kept).
     """
-    kept = (
+    big = (
         bands_df.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("__bn"))
-        .where(F.col("__bn") <= max_bucket)
+        .where(F.col("__bn") > max_bucket)
         .select("band", "band_hash")
     )
-    return bands_df.join(kept, ["band", "band_hash"], "left_semi")
+    return bands_df.join(F.broadcast(big), ["band", "band_hash"], "left_anti")
 
 
 def minhash_lsh_pairs(

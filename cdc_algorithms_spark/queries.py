@@ -427,6 +427,86 @@ def q_incremental_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable-sketch dedup estimation (operators/sketches.py): per-language
+# HLL sketches of fixed-chunk identities, global row derived purely by
+# sketch union — the incremental any-subset dedup answer at 100 TB.
+# DataSketches register VALUES aren't reproducible in DuckDB, so the
+# driver row carries the exact distinct count (which DuckDB recomputes
+# independently) plus est_ok = |estimate − exact| / exact within the
+# tolerance; raw-estimate accuracy and repartition-stability stay pinned
+# in tests/test_sketches.py. The same oracle serves the streaming twin
+# (queries_streaming.py::streaming_sketch_unique_estimate).
+# ---------------------------------------------------------------------------
+
+# HLL lgK=14 standard error is ≈0.8%, so 2% is a loose-but-meaningful
+# band; a broken sketch pipeline (wrong keys, lost registers, bad union)
+# misses it by far.
+SKETCH_EST_TOLERANCE = 0.02
+
+_SKETCH_REPORT_ORACLE = f"""
+WITH chunks AS (
+  SELECT d.lang,
+         substring(d.text, CAST(u.off + 1 AS INT), {FIXED_SIZE}) AS chunk_text,
+         CAST(LEAST({FIXED_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM documents d, UNNEST(range(0, d.n_chars, {FIXED_SIZE})) AS u(off)
+),
+per AS (
+  SELECT lang AS grp, COUNT(*) AS n_chunks, SUM(length) AS total_bytes,
+         COUNT(DISTINCT chunk_text) AS n_unique_exact
+  FROM chunks GROUP BY lang
+),
+overall AS (
+  SELECT '*' AS grp, COUNT(*) AS n_chunks, SUM(length) AS total_bytes,
+         COUNT(DISTINCT chunk_text) AS n_unique_exact
+  FROM chunks
+)
+SELECT grp AS "group",
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(n_unique_exact AS BIGINT) AS n_unique_exact,
+       TRUE AS est_ok
+FROM (SELECT * FROM per UNION ALL SELECT * FROM overall)
+"""
+
+
+def _with_exact_unique(per_and_glob: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Join per-group + global ('*') sketch report rows (columns group,
+    n_chunks, total_bytes, est_unique_chunks) with exact per-group
+    distinct chunk counts and flag whether each estimate landed within
+    SKETCH_EST_TOLERANCE of the exact value."""
+    exact_per = chunks.groupBy(F.col("lang").cast("string").alias("group")).agg(
+        F.countDistinct("chunk_text").cast("long").alias("n_unique_exact")
+    )
+    exact_glob = chunks.agg(
+        F.countDistinct("chunk_text").cast("long").alias("n_unique_exact")
+    ).withColumn("group", F.lit("*"))
+    exact = exact_per.unionByName(exact_glob.select("group", "n_unique_exact"))
+    return per_and_glob.join(exact, "group").select(
+        "group",
+        "n_chunks",
+        "total_bytes",
+        "n_unique_exact",
+        (
+            F.abs(F.col("est_unique_chunks") - F.col("n_unique_exact"))
+            / F.col("n_unique_exact")
+            <= SKETCH_EST_TOLERANCE
+        ).alias("est_ok"),
+    )
+
+
+@register("dedup_sketch_report_fixed", _SKETCH_REPORT_ORACLE)
+def q_dedup_sketch_report_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_algorithms_spark.operators.sketches import sketch_dedup_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = fixed_chunks(docs, FIXED_SIZE).join(
+        docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
+    )
+    report = sketch_dedup_report(chunks, group_cols=("lang",))
+    return _with_exact_unique(report, chunks)
+
+
+# ---------------------------------------------------------------------------
 # Extension query modules (imported for their @register side effects).
 # ---------------------------------------------------------------------------
 
@@ -468,27 +548,6 @@ def q_synthetic_blob_ae_node_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup_stats(
         chunk_segments(segs, "ae", SYNTH_EXPECTED, ordinals="none"), key_col="hash"
     )
-
-
-# ---------------------------------------------------------------------------
-# Mergeable-sketch dedup estimation (operators/sketches.py): per-language
-# HLL sketches of fixed-chunk identities, global row derived purely by
-# sketch union — the incremental any-subset dedup answer at 100 TB.
-# DataSketches register values aren't reproducible in DuckDB → rows-only
-# driver check; repartition-stability and <2% accuracy vs exact are pinned
-# in tests/test_sketches.py.
-# ---------------------------------------------------------------------------
-
-
-@register("dedup_sketch_report_fixed")
-def q_dedup_sketch_report_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_algorithms_spark.operators.sketches import sketch_dedup_report
-
-    docs = load_table(spark, "documents", sf_dir)
-    chunks = fixed_chunks(docs, FIXED_SIZE).join(
-        docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
-    )
-    return sketch_dedup_report(chunks, group_cols=("lang",))
 
 
 # ---------------------------------------------------------------------------
@@ -640,18 +699,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "ae_concat_check",
     "ann_bruteforce_topk",
     "asof_last_view_before_purchase",
+    "benchmark_decontamination",
+    "boilerplate_chunks",
     "brand_volume",
+    "cdc_apply_check",
     "change_ratio_fixed",
     "char_entropy_scores",
     "chunk_len_median_udaf",
+    "chunk_overlap_pairs_fixed",
     "chunk_size_histogram_fixed",
     "curation_pipeline",
     "customer_balance_quartiles",
     "customers_no_1995_order",
     "dedup_cluster_reps",
+    "dedup_components",
     "dedup_stats_by_lang",
+    "doc_table_diff",
     "docs_grouping_sets",
     "docs_rollup",
+    "duplicated_spans_fixed",
     "embedding_near_dup",
     "events_cube",
     "events_hourly_locf",
@@ -663,9 +729,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "fastcdc_concat_check",
     "fixed_chunks",
     "fixed_dedup_stats",
+    "incremental_ingest_stats",
+    "incremental_jaccard_pairs",
     "lang_marker_hits",
     "language_id",
     "lm_bigram_scores",
+    "media_frame_counts",
+    "media_resized_summary",
+    "media_summary",
+    "mixture_plan_by_source",
     "monthly_order_stats",
     "ngram_jaccard_pairs",
     "order_pairs_within_30d",
@@ -703,20 +775,39 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "quality_band_by_lang",
     "quality_scores",
     "rabin_concat_check",
+    "reconstruct_docs_check",
     "repetition_ratios",
     "rolling_7d_user_value",
     "salted_user_segment_join",
+    "sequence_packing_by_lang",
+    "sequence_packing_plan",
+    "shuffled_corpus_order",
     "sliding_event_value",
     "snapshot_diff_fixed",
     "sql_frontend_pricing_summary",
+    "stratified_sample_docs",
     "streaming_change_feed",
+    "streaming_decontamination",
+    "streaming_distinct_users_within_watermark",
+    "streaming_event_counts_update_mode",
+    "streaming_event_type_counts",
+    "streaming_ingest_novelty",
     "streaming_novel_chunks_by_lang",
+    "streaming_purchases_by_nation",
     "streaming_stateful_ae_concat_check",
     "streaming_sync_totals",
+    "streaming_unique_chunks_stats",
+    "streaming_user_sessions",
+    "streaming_view_purchase_conversions",
+    "streaming_windowed_event_counts",
     "suppliers_above_nation_avg",
     "sync_plan_fixed",
+    "text_cleaning",
+    "tfidf_top_terms",
     "token_counts",
     "top_order_per_customer",
+    "udtf_ae_concat_check",
+    "udtf_fixed_chunks",
     "user_sessions",
     "value_band_range_join",
     "viewers_never_purchased",
@@ -729,6 +820,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "mixture_temperature_weights",
+    "dedup_sketch_report_fixed",
+    "snapshot_diff_ae_conservation",
+    "minhash_lsh_pairs",
+    "embedding_clusters",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "incremental_minhash_pairs",
+    "streaming_sketch_unique_estimate",
+    "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
     "cdc_apply_check",
@@ -769,16 +870,6 @@ _VERIFY_WINDOW: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
 ]
 
 

@@ -140,12 +140,50 @@ def sync_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("snapshot_diff_ae")
 def snapshot_diff_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC diff: prefix-shifted docs realign (rows-only driver check;
-    the CDC-vs-fixed contrast is asserted in tests/test_diff.py)."""
+    """CDC diff: prefix-shifted docs realign (rows-only driver check —
+    AE cut positions aren't SQL-expressible; byte conservation through
+    the same diff is oracle-checked by snapshot_diff_ae_conservation,
+    and the CDC-vs-fixed contrast is asserted in tests/test_diff.py)."""
     docs = load_table(spark, "documents", sf_dir)
     old = cdc_chunks(docs, "ae", 320)
     new = cdc_chunks(perturb_documents(docs), "ae", 320)
     return snapshot_diff_summary(old, new)
+
+
+# AE cut positions aren't SQL-expressible, but the diff must still
+# conserve every byte of both snapshots: occurrence-weighted chunk bytes
+# on the old side (deleted + unchanged identities × n_old) must equal the
+# old corpus size, and the new side (inserted + unchanged × n_new) the
+# perturbed corpus size — the concat-check idea pushed through the
+# full-outer diff join. A chunker dropping/duplicating a chunk, or the
+# diff misclassifying an identity, breaks one of the sums.
+
+_DIFF_AE_CONSERVATION_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL})
+SELECT (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS old_bytes,
+       (SELECT CAST(SUM(length(text)) AS BIGINT) FROM new_docs) AS new_bytes
+"""
+
+
+@register("snapshot_diff_ae_conservation", _DIFF_AE_CONSERVATION_ORACLE)
+def snapshot_diff_ae_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte conservation of the AE snapshot diff (operators/diff.py::
+    snapshot_diff over chunkers/fast.py AE cuts) against independently
+    computed corpus sizes."""
+    from cdc_algorithms_spark.operators.diff import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = cdc_chunks(docs, "ae", 320)
+    new = cdc_chunks(perturb_documents(docs), "ae", 320)
+    d = snapshot_diff(old, new)
+    return d.agg(
+        F.sum(F.col("n_old") * F.col("chunk_bytes"))
+        .cast("long")
+        .alias("old_bytes"),
+        F.sum(F.col("n_new") * F.col("chunk_bytes"))
+        .cast("long")
+        .alias("new_bytes"),
+    )
 
 
 # --- doc-level table CDC -----------------------------------------------------

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_algorithms_spark.queries import _INGEST_ORACLE, register
+from cdc_algorithms_spark.queries import (
+    _INGEST_ORACLE,
+    _SKETCH_REPORT_ORACLE,
+    _with_exact_unique,
+    register,
+)
 from cdc_algorithms_spark.queries_relational import _SESSIONS_ORACLE
 from cdc_algorithms_spark.sources.registry import load_table
 from cdc_algorithms_spark.streaming import (
@@ -454,7 +459,7 @@ def streaming_event_counts_update_mode(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-@register("streaming_sketch_unique_estimate")
+@register("streaming_sketch_unique_estimate", _SKETCH_REPORT_ORACLE)
 def streaming_sketch_unique_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup estimation end-to-end: documents stream in 3
     micro-batches, fixed chunks feed a complete-mode per-language
@@ -465,8 +470,9 @@ def streaming_sketch_unique_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     firehose without ever re-scanning the corpus). The converged sink is
     rolled up to per-language + global ('*') estimate rows batch-side
     via sketch union. DataSketches registers aren't reproducible in
-    DuckDB → rows-only driver check; accuracy vs exact distinct counts
-    is pinned in tests/test_streaming.py."""
+    DuckDB, so the driver row carries the exact distinct count (which
+    DuckDB recomputes) plus ``est_ok`` = estimate within 2% of it; raw
+    estimate accuracy is also pinned in tests/test_streaming.py."""
     from cdc_algorithms_spark.operators.chunking import fixed_chunks as _fixed
     from cdc_algorithms_spark.operators.sketches import sketch_rollup
 
@@ -488,7 +494,9 @@ def streaming_sketch_unique_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     ).withColumnRenamed("lang", "group")
     glob = sketch_rollup(sink).withColumn("group", F.lit("*"))
     cols = ["group", "n_chunks", "total_bytes", "est_unique_chunks"]
-    return per.select(*cols).unionByName(glob.select(*cols))
+    report = per.select(*cols).unionByName(glob.select(*cols))
+    chunks_batch = _fixed(docs, _FIXED_SIZE).join(lang_of, "src_id")
+    return _with_exact_unique(report, chunks_batch)
 
 
 @register("streaming_ingest_novelty", _INGEST_ORACLE)

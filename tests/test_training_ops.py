@@ -233,11 +233,44 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ann_recall_queries(spark, sf_dir):
+    """Raw recall@k floors for both ANN paths (computed here from the
+    operators — the registry queries now report recall_ok booleans for
+    the DuckDB oracle), plus the registry queries' own contract: n_exact
+    = k·n_queries and recall_ok true at their registered floors."""
     from cdc_algorithms_spark import queries as reg
+    from cdc_algorithms_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from cdc_algorithms_spark.queries_text import ANN_K, ANN_QUERIES
+    from cdc_algorithms_spark.sources.registry import load_table
 
-    for name, floor in [("ann_lsh_recall", 0.3), ("ann_ivf_recall", 0.3)]:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, emb, k=ANN_K)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    for approx_fn, floor in [
+        (lambda: lsh_topk(queries, emb, k=ANN_K, dim=64, bits=4), 0.3),
+        (lambda: ivf_topk(queries, emb, k=ANN_K, dim=64, nlist=16, nprobe=4), 0.3),
+    ]:
+        hits = {
+            (r.query_id, r.vec_id)
+            for r in approx_fn().select("query_id", "vec_id").collect()
+        }
+        recall = len(exact & hits) / len(exact)
+        assert recall >= floor, f"recall {recall} < {floor}"
+
+    for name in ["ann_lsh_recall", "ann_ivf_recall"]:
         row = reg.SPARK_QUERIES[name](spark, sf_dir).collect()[0]
-        assert row["recall"] >= floor, f"{name} recall {row['recall']}"
+        assert row["n_exact"] == ANN_K * ANN_QUERIES
+        assert row["recall_ok"], f"{name} below its floor {row['recall_floor']}"
 
 
 def test_udtf_fixed_chunks_matches_oracle(spark, sf_dir):
