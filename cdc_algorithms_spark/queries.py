@@ -360,15 +360,23 @@ def q_file_ranges_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_datasource_ae_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline and params as file_ranges_ae_dedup_stats but sourced
     through the custom Python DataSource (sources/datasource.py,
-    ``format("file_segments")``): the scheduler sees one InputPartition
-    per segment, so no repartition shuffle precedes the chunk scan.
-    Stats are asserted identical to the other two source routes in
-    tests/test_binary_source.py."""
+    ``format("file_segments")``): the source plans partitions natively,
+    so no repartition shuffle precedes the chunk scan, and the default
+    lazy contract means segment bytes are still born in the chunking
+    worker (no payload Arrow hops). Segments here are small (256 KiB)
+    relative to task overhead, so they are grouped into
+    defaultParallelism tasks — at production segment sizes (8 MiB+) the
+    per-segment default is right. Stats are asserted identical to the
+    other two source routes in tests/test_binary_source.py."""
     from cdc_algorithms_spark.operators.distributed import chunk_segments
     from cdc_algorithms_spark.sources.datasource import read_file_segments
 
     segs = read_file_segments(
-        spark, f"{sf_dir}/*.parquet", segment_len=262144, overlap=4096 - 256
+        spark,
+        f"{sf_dir}/*.parquet",
+        segment_len=262144,
+        overlap=4096 - 256,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     return dedup_stats(
         chunk_segments(segs, "ae", 4096, ordinals="none"), key_col="hash"

@@ -38,10 +38,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-_SCHEMA = (
+# Lazy (default): rows carry the path + offsets; the consumer's scan
+# task range-reads its own slice (same contract as
+# sources/segmented_files.py — bytes are born in the worker that chunks
+# them and never cross the JVM↔Python boundary as a column).
+_SCHEMA_LAZY = (
     "path string, seg_idx long, left long, right long, "
-    "blob_len long, scan_start long, payload binary"
+    "blob_len long, scan_start long"
 )
+# option("materialize", "true"): rows carry the payload bytes — the
+# integration surface for consumers that want spark.read to deliver
+# segment bytes directly (costs two extra Arrow hops on the payload:
+# Python source → JVM, then JVM → the consuming Python stage).
+_SCHEMA_PAYLOAD = _SCHEMA_LAZY + ", payload binary"
 
 
 class _SegmentPartition(InputPartition):
@@ -57,6 +66,17 @@ class _SegmentPartition(InputPartition):
         self.scan_start = scan_start
 
 
+class _SegmentGroupPartition(InputPartition):
+    """Several segments scheduled as one task (option "num_partitions"):
+    at production segment sizes (8 MiB+) one task per segment is the
+    right granularity, but for many tiny segments — local mode, small
+    fixtures — per-segment tasks are pure scheduler/worker overhead, so
+    the reader can round-robin them into a fixed number of groups."""
+
+    def __init__(self, segments: list[_SegmentPartition]) -> None:
+        self.segments = segments
+
+
 class _FileSegmentsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path_glob = options.get("path")
@@ -64,6 +84,9 @@ class _FileSegmentsReader(DataSourceReader):
             raise ValueError("file_segments source requires option 'path'")
         self.segment_len = int(options.get("segment_len", 8 << 20))
         self.overlap = int(options.get("overlap", 0))
+        self.materialize = str(options.get("materialize", "false")).lower() == "true"
+        n = options.get("num_partitions")
+        self.num_partitions = int(n) if n is not None else None
         if self.segment_len <= 0 or self.overlap < 0:
             raise ValueError(
                 f"bad segment_len={self.segment_len} overlap={self.overlap}"
@@ -91,29 +114,62 @@ class _FileSegmentsReader(DataSourceReader):
                         scan_start=max(left - self.overlap, 0),
                     )
                 )
+        if self.num_partitions is not None and self.num_partitions > 0:
+            groups = [
+                _SegmentGroupPartition(parts[i :: self.num_partitions])
+                for i in range(min(self.num_partitions, len(parts)))
+            ]
+            return groups or [_SegmentGroupPartition([])]
         return parts
 
-    def read(self, partition: _SegmentPartition) -> Iterator:
-        # executor-side: range-read exactly this partition's slice.
-        # Emitted as ONE Arrow RecordBatch — PySpark ships it to the JVM
-        # zero-copy instead of pickling the payload through the row codec
-        # (measurably faster for multi-MB binary values).
+    def read(self, partition: InputPartition) -> Iterator:
+        # executor-side. Emitted as Arrow RecordBatches — PySpark ships
+        # them to the JVM zero-copy instead of pickling through the row
+        # codec. Lazy mode emits metadata only (no file I/O here at all:
+        # the consuming scan task range-reads its own slice) and packs a
+        # whole segment group into ONE batch; materialize mode
+        # range-reads each slice into a payload column, one batch per
+        # segment so a group never holds more than one payload at once.
         import pyarrow as pa
 
-        with open(partition.path, "rb") as f:
-            f.seek(partition.scan_start)
-            payload = f.read(partition.right - partition.scan_start)
-        yield pa.record_batch(
-            {
-                "path": [partition.path],
-                "seg_idx": pa.array([partition.seg_idx], type=pa.int64()),
-                "left": pa.array([partition.left], type=pa.int64()),
-                "right": pa.array([partition.right], type=pa.int64()),
-                "blob_len": pa.array([partition.blob_len], type=pa.int64()),
-                "scan_start": pa.array([partition.scan_start], type=pa.int64()),
-                "payload": pa.array([payload], type=pa.binary()),
-            }
+        segs = (
+            partition.segments
+            if isinstance(partition, _SegmentGroupPartition)
+            else [partition]
         )
+        if not segs:
+            return
+        if not self.materialize:
+            yield pa.record_batch(
+                {
+                    "path": [p.path for p in segs],
+                    "seg_idx": pa.array([p.seg_idx for p in segs], type=pa.int64()),
+                    "left": pa.array([p.left for p in segs], type=pa.int64()),
+                    "right": pa.array([p.right for p in segs], type=pa.int64()),
+                    "blob_len": pa.array(
+                        [p.blob_len for p in segs], type=pa.int64()
+                    ),
+                    "scan_start": pa.array(
+                        [p.scan_start for p in segs], type=pa.int64()
+                    ),
+                }
+            )
+            return
+        for p in segs:
+            with open(p.path, "rb") as f:
+                f.seek(p.scan_start)
+                payload = f.read(p.right - p.scan_start)
+            yield pa.record_batch(
+                {
+                    "path": [p.path],
+                    "seg_idx": pa.array([p.seg_idx], type=pa.int64()),
+                    "left": pa.array([p.left], type=pa.int64()),
+                    "right": pa.array([p.right], type=pa.int64()),
+                    "blob_len": pa.array([p.blob_len], type=pa.int64()),
+                    "scan_start": pa.array([p.scan_start], type=pa.int64()),
+                    "payload": pa.array([payload], type=pa.binary()),
+                }
+            )
 
 
 class FileSegmentsDataSource(DataSource):
@@ -124,7 +180,10 @@ class FileSegmentsDataSource(DataSource):
         return "file_segments"
 
     def schema(self) -> str:
-        return _SCHEMA
+        materialize = (
+            str(self.options.get("materialize", "false")).lower() == "true"
+        )
+        return _SCHEMA_PAYLOAD if materialize else _SCHEMA_LAZY
 
     def reader(self, schema) -> DataSourceReader:
         return _FileSegmentsReader(self.options)
@@ -140,18 +199,36 @@ def read_file_segments(
     path_glob: str,
     segment_len: int,
     overlap: int,
+    materialize: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """format("file_segments") → the engine's standard segment table
     (adds the JVM-side ``src_id`` fingerprint; column order matches
-    sources/segmented_files.py::SEGMENT_SCHEMA)."""
+    sources/segmented_files.py::SEGMENT_SCHEMA).
+
+    Default is the LAZY contract: rows carry ``path`` and the consuming
+    scan task (operators/distributed.py::chunk_segments) range-reads its
+    own slice — the source contributes scheduler-native partition
+    granularity (one InputPartition per segment, no repartition shuffle)
+    while segment bytes are still born in the worker that chunks them.
+    ``materialize=True`` delivers a ``payload`` column instead, at the
+    cost of the payload crossing Python→JVM→Python.
+
+    ``num_partitions`` groups segments round-robin into that many
+    scheduler tasks (None = one task per segment, the right granularity
+    for production-sized segments; set it ≈ the cluster's parallelism
+    when segments are small relative to task overhead)."""
     register_file_segments(spark)
-    raw = (
+    reader = (
         spark.read.format("file_segments")
         .option("path", path_glob)
         .option("segment_len", str(segment_len))
         .option("overlap", str(overlap))
-        .load()
+        .option("materialize", "true" if materialize else "false")
     )
+    if num_partitions is not None:
+        reader = reader.option("num_partitions", str(num_partitions))
+    raw = reader.load()
     return raw.select(
         F.xxhash64("path").alias("src_id"),
         "seg_idx",
@@ -159,5 +236,5 @@ def read_file_segments(
         "right",
         "blob_len",
         "scan_start",
-        "payload",
+        "payload" if materialize else "path",
     )
