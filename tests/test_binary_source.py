@@ -132,3 +132,44 @@ def test_segment_sources_expand_directory_datasets(spark, tmp_path):
     via_dir = dedup_stats(stats(str(tmp_path / "*.parquet")), key_col="hash")
     via_file = dedup_stats(stats(str(inner)), key_col="hash")
     assert via_dir.collect() == via_file.collect()
+
+
+def test_python_datasource_lazy_equals_materialized(spark):
+    """Default (lazy) and materialize=True forms must chunk to identical
+    stats: the lazy rows carry path+offsets for the consumer's range
+    read, the materialized rows carry the payload bytes themselves."""
+    from cdc_algorithms_spark.operators.dedup import dedup_stats
+    from cdc_algorithms_spark.operators.distributed import chunk_segments
+    from cdc_algorithms_spark.sources.datasource import read_file_segments
+
+    kw = dict(segment_len=65536, overlap=4096 - 256)
+    lazy = read_file_segments(
+        spark, f"{SF_DIR}/orders.parquet", **kw
+    )
+    mat = read_file_segments(
+        spark, f"{SF_DIR}/orders.parquet", materialize=True, **kw
+    )
+    assert "path" in lazy.columns and "payload" not in lazy.columns
+    assert "payload" in mat.columns
+
+    a = dedup_stats(
+        chunk_segments(lazy, "ae", 4096, ordinals="none"), key_col="hash"
+    ).collect()
+    b = dedup_stats(
+        chunk_segments(mat, "ae", 4096, ordinals="none"), key_col="hash"
+    ).collect()
+    assert len(a) == len(b) == 1
+    assert a[0].asDict() == b[0].asDict()
+
+    # grouped scheduling must not change results either
+    import os
+
+    n_segs = -(-os.path.getsize(f"{SF_DIR}/orders.parquet") // kw["segment_len"])
+    grouped = read_file_segments(
+        spark, f"{SF_DIR}/orders.parquet", num_partitions=4, **kw
+    )
+    assert grouped.rdd.getNumPartitions() == min(4, n_segs)
+    c = dedup_stats(
+        chunk_segments(grouped, "ae", 4096, ordinals="none"), key_col="hash"
+    ).collect()
+    assert c[0].asDict() == a[0].asDict()

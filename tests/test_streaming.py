@@ -581,3 +581,43 @@ def test_checkpoint_restart_recovers_chunker_tail_state(spark, tmp_path):
     )
     assert got == want, "restart lost or corrupted chunker tail state"
     assert 0 < mid < len(want), "restart case degenerate: no state crossed it"
+
+
+def test_sync_store_listing_ignores_stray_entries(spark, tmp_path):
+    """The store read enumerates epoch subdirectories via the Hadoop
+    FileSystem API filtered to seed/batch_* names: a stray _SUCCESS
+    marker, temp directory, or unrelated file dropped into store_dir
+    must not reach spark.read.parquet (where a non-parquet entry would
+    abort every subsequent batch)."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.streaming.sync import (
+        _list_store_subdirs,
+        sync_batch,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).limit(10)
+    old = fixed_chunks(docs, 64)
+    new = fixed_chunks(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" x"))), 64
+    )
+    store_dir = str(tmp_path / "store")
+    metrics_dir = str(tmp_path / "metrics")
+    old.select("chunk_text").distinct().select(
+        "chunk_text",
+        F.lit("old").alias("origin"),
+        F.lit(-1).cast("long").alias("batch_id"),
+    ).write.parquet(store_dir + "/seed")
+    # stray entries a real job dir accumulates
+    (tmp_path / "store" / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "store" / ".spark-staging-123").mkdir()
+    (tmp_path / "store" / "junk.txt").write_bytes(b"not parquet")
+
+    listed = _list_store_subdirs(spark, store_dir, exclude="batch_0")
+    assert [p.rsplit("/", 1)[-1] for p in listed] == ["seed"]
+
+    sync_batch(spark, new, store_dir, metrics_dir, batch_id=0)
+    row = spark.read.parquet(metrics_dir + "/batch_0").collect()[0]
+    assert row["total_bytes"] > 0
+    # and the current batch's own subdir is excluded on replay paths
+    listed2 = _list_store_subdirs(spark, store_dir, exclude="batch_0")
+    assert all(not p.endswith("batch_0") for p in listed2)
