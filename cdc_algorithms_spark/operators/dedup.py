@@ -202,6 +202,78 @@ def reconstruct_docs(
     )
 
 
+def store_refcounts(
+    store: DataFrame,
+    recipes: DataFrame,
+    key_col: str = "hash",
+    length_col: str = "length",
+) -> DataFrame:
+    """Per-chunk reference accounting for a content-addressed store:
+    ``(key, bytes, refcount)`` with ``refcount = 0`` for orphans — store
+    entries no live recipe references (left behind after their last
+    referencing snapshot was dropped). The maintenance read every chunk
+    store needs before reclaiming space.
+
+    ``store``: one row per unique chunk identity with its byte size.
+    ``recipes``: live references, one row per (source, position, key).
+
+    Scale shape: refcounts are a key-grouped aggregate of the recipe
+    table (map-side combine absorbs hot chunks — a zero block referenced
+    by millions of recipes arrives at the shuffle as one partial row per
+    map task), then ONE left join keyed on the chunk identity; both
+    sides are unique-chunk-sized. No window, no Python.
+    """
+    refs = recipes.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("refcount")
+    )
+    return store.join(refs, key_col, "left").select(
+        key_col,
+        F.col(length_col).cast("long").alias("bytes"),
+        F.coalesce("refcount", F.lit(0)).cast("long").alias("refcount"),
+    )
+
+
+def store_gc_plan(
+    store: DataFrame,
+    recipes: DataFrame,
+    key_col: str = "hash",
+    length_col: str = "length",
+) -> DataFrame:
+    """One-row garbage-collection plan for a content-addressed chunk
+    store: how much of it is still referenced by live recipes and how
+    many bytes a GC pass reclaims.
+
+    Output: ``(n_store, store_bytes, n_live, live_bytes, n_orphan,
+    orphan_bytes, reclaim_ratio)`` where reclaim_ratio =
+    orphan_bytes / store_bytes (0 for an empty store).
+
+    Use ``key_col="chunk_text"`` for small/oracle-checkable runs and the
+    8-byte ``xxhash64`` identity at scale (same identity model as
+    sync_plan / the persistent sinks, ae.rs:75-84 collision stance).
+    """
+    rc = store_refcounts(store, recipes, key_col, length_col)
+    live = F.col("refcount") > 0
+    return rc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_store"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("store_bytes"),
+        F.coalesce(F.sum(live.cast("long")), F.lit(0)).cast("long").alias("n_live"),
+        F.coalesce(F.sum(F.when(live, F.col("bytes"))), F.lit(0))
+        .cast("long")
+        .alias("live_bytes"),
+        F.coalesce(F.sum((~live).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.coalesce(F.sum(F.when(~live, F.col("bytes"))), F.lit(0))
+        .cast("long")
+        .alias("orphan_bytes"),
+        F.round(
+            F.coalesce(F.sum(F.when(~live, F.col("bytes"))), F.lit(0))
+            / F.greatest(F.sum("bytes"), F.lit(1)),
+            6,
+        ).alias("reclaim_ratio"),
+    )
+
+
 def duplicated_spans(
     chunks: DataFrame,
     min_chunks: int = 2,

@@ -282,3 +282,63 @@ def q_cdc_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("text").eqNullSafe(F.col("want")), 1).otherwise(0)
         ).cast("long").alias("n_mismatch"),
     )
+
+
+# --- content-store garbage collection ---------------------------------------
+# After the new snapshot lands and the old one is dropped from retention,
+# chunks only the old snapshot referenced are orphans; the GC plan is the
+# maintenance read that says how many bytes a sweep reclaims. Store =
+# union of both snapshots' unique chunks (what append_novel_chunks built
+# up); live recipes = the new snapshot only.
+
+_STORE_GC_ORACLE = f"""
+WITH {_DIFF_CHUNKS_SQL},
+store AS (
+  SELECT chunk_text, MAX(length) AS length FROM (
+    SELECT chunk_text, length FROM old_chunks
+    UNION ALL
+    SELECT chunk_text, length FROM new_chunks
+  ) GROUP BY chunk_text
+),
+rc AS (
+  SELECT s.chunk_text, s.length,
+         (SELECT COUNT(*) FROM new_chunks n WHERE n.chunk_text = s.chunk_text)
+           AS refcount
+  FROM store s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_store,
+       CAST(SUM(length) AS BIGINT) AS store_bytes,
+       CAST(SUM(CASE WHEN refcount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(COALESCE(SUM(CASE WHEN refcount > 0 THEN length END), 0) AS BIGINT)
+         AS live_bytes,
+       CAST(SUM(CASE WHEN refcount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(COALESCE(SUM(CASE WHEN refcount = 0 THEN length END), 0) AS BIGINT)
+         AS orphan_bytes,
+       ROUND(COALESCE(SUM(CASE WHEN refcount = 0 THEN length END), 0)
+             * 1.0 / GREATEST(SUM(length), 1), 6) AS reclaim_ratio
+FROM rc
+"""
+
+
+@register("store_gc_plan_fixed", _STORE_GC_ORACLE)
+def store_gc_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC plan for the content-addressed store after dropping the old
+    snapshot from retention (operators/dedup.py::store_gc_plan): store
+    holds both snapshots' unique chunks, live recipes are the new
+    snapshot's — old-only chunks are the reclaimable orphans. Identity
+    is chunk_text here so DuckDB can replay it; at scale the operator
+    runs on the 8-byte xxhash64 identity."""
+    from cdc_algorithms_spark.operators.dedup import store_gc_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE)
+    store = (
+        old.select("chunk_text", "length")
+        .unionByName(new.select("chunk_text", "length"))
+        .groupBy("chunk_text")
+        .agg(F.max("length").alias("length"))
+    )
+    return store_gc_plan(
+        store, new.select("chunk_text"), key_col="chunk_text"
+    )

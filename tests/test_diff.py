@@ -120,3 +120,44 @@ def test_table_diff_preserves_string_keys(spark):
     rebuilt = {r.doc_id: r.text for r in
                apply_changes(old, table_changes(old, new)).collect()}
     assert rebuilt == {"a": "x", "b": "Y", "d": "w"}
+
+
+def test_store_gc_plan_counts_orphans(spark, sf_dir):
+    """GC accounting: store entries unreferenced by live recipes are
+    orphans; totals partition exactly; a hot chunk referenced many times
+    still counts once in the store and live tallies; an empty store
+    yields a typed zero row instead of raising."""
+    from cdc_algorithms_spark.operators.dedup import (
+        store_gc_plan,
+        store_refcounts,
+    )
+
+    store = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30), ("d", 40)],
+        "hash string, length long",
+    )
+    # 'a' referenced 3x (hot), 'b' once, 'c'/'d' orphaned
+    recipes = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], "hash string"
+    )
+    rc = {r["hash"]: (r.bytes, r.refcount)
+          for r in store_refcounts(store, recipes).collect()}
+    assert rc == {"a": (10, 3), "b": (20, 1), "c": (30, 0), "d": (40, 0)}
+
+    row = store_gc_plan(store, recipes).collect()[0]
+    assert (row.n_store, row.store_bytes) == (4, 100)
+    assert (row.n_live, row.live_bytes) == (2, 30)
+    assert (row.n_orphan, row.orphan_bytes) == (2, 70)
+    assert abs(row.reclaim_ratio - 0.7) < 1e-9
+    assert row.store_bytes == row.live_bytes + row.orphan_bytes
+
+    empty = store.limit(0)
+    z = store_gc_plan(empty, recipes.limit(0)).collect()[0]
+    assert (z.n_store, z.store_bytes, z.n_orphan, z.orphan_bytes) == (0, 0, 0, 0)
+    assert z.reclaim_ratio == 0.0
+
+
+def test_store_gc_query_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "store_gc_plan_fixed", sf_dir)

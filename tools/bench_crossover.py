@@ -47,16 +47,19 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def _time(df_fn, runs: int = 3) -> tuple[float, float]:
-    """(first-run, median) seconds. First run pays every exchange cold;
-    later runs may reuse shuffle outputs (Spark stage skipping), which
-    is the steady state of a repeatedly-issued plan. Both are reported —
-    the gap itself is informative (sort-bound work re-executes on every
-    run, exchange-bound work amortizes)."""
+def _time(df_fn, runs: int = 2) -> tuple[float, float]:
+    """(first-run, median) seconds, forcing FULL evaluation through the
+    noop sink. ``count()`` is NOT a valid forcing action here: Catalyst
+    prunes columns the count doesn't need, which deletes e.g. the old
+    sync_plan's entire window (its rank only feeds aggregate VALUES) —
+    an early version of this harness reported the old plan 17x faster
+    than its real cold time because of exactly that. First run pays
+    every exchange cold; later runs may reuse shuffle outputs (stage
+    skipping), the steady state of a repeatedly-issued plan."""
     out = []
     for _ in range(runs):
         t = time.time()
-        df_fn().count()
+        df_fn().write.format("noop").mode("overwrite").save()
         out.append(time.time() - t)
     return out[0], statistics.median(out)
 
@@ -275,6 +278,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=32_000_000,
                     help="sync_plan row count; stratified uses 2x, tfidf rows/4")
+    ap.add_argument("--only", choices=["sync_plan", "stratified_sample",
+                                       "tfidf_top_terms"], default=None,
+                    help="run a single benchmark (fits CI time slots)")
     args = ap.parse_args()
 
     from cdc_algorithms_spark.session import get_spark
@@ -291,6 +297,8 @@ def main() -> None:
         ("tfidf_top_terms", "new", tfidf_new, args.rows // 4),
     ]
     results: dict[str, dict] = {}
+    if args.only:
+        plan = [p for p in plan if p[0] == args.only]
     for bname, vname, fn, rows in plan:
         spark = get_spark("crossover-bench")
         spark.sparkContext.setLogLevel("ERROR")
