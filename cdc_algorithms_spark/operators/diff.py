@@ -343,3 +343,64 @@ def apply_changes(
         id_col, *payload_cols
     )
     return kept.unionByName(upserts)
+
+
+def chunk_version_index(
+    chunk_tables: Sequence[DataFrame],
+    key_col: str = "chunk_text",
+    length_col: str = "length",
+) -> DataFrame:
+    """Per-identity lifecycle across an ORDERED snapshot chain —
+    ``(key, first_version, last_version, n_versions, bytes)`` — the
+    retention-planning read of a deduplicated backup chain: an identity
+    whose ``last_version`` precedes the retention floor is reclaimable,
+    one whose ``first_version`` is the newest snapshot is that
+    snapshot's true incremental cost, and ``n_versions <
+    last_version − first_version + 1`` marks content that disappeared
+    and came back (an edit that was later reverted).
+
+    Scale shape: each snapshot's chunk table collapses to per-(identity,
+    version) rows FIRST (map-side combined — hot duplicate chunks never
+    reach the shuffle at multiplicity), then one aggregate keyed on the
+    identity rolls the chain up. The union is V scans but the shuffled
+    volume is unique-chunks × versions metadata rows, never payload
+    bytes when ``key_col`` is the 8-byte hash.
+    """
+    if not chunk_tables:
+        raise ValueError("need at least one snapshot's chunk table")
+    tagged = None
+    for v, t in enumerate(chunk_tables):
+        x = t.select(
+            F.col(key_col),
+            F.col(length_col).alias("__len"),
+            F.lit(v).cast("long").alias("__v"),
+        )
+        tagged = x if tagged is None else tagged.unionByName(x)
+    per_ver = tagged.groupBy(key_col, "__v").agg(
+        F.max("__len").alias("__len_one")
+    )
+    return per_ver.groupBy(key_col).agg(
+        F.min("__v").cast("long").alias("first_version"),
+        F.max("__v").cast("long").alias("last_version"),
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max("__len_one").cast("long").alias("bytes"),
+    )
+
+
+def chunk_version_matrix(
+    chunk_tables: Sequence[DataFrame],
+    key_col: str = "chunk_text",
+    length_col: str = "length",
+) -> DataFrame:
+    """Rollup of :func:`chunk_version_index` to the (first_version,
+    last_version) lifecycle matrix: how many unique chunks (and bytes)
+    entered at version i and were last seen at version j. The compact
+    answer to every retention question at once — dropping snapshots
+    < r reclaims exactly the cells with ``last_version < r``; the
+    diagonal cells are single-snapshot transients. At most V² rows
+    regardless of corpus size."""
+    idx = chunk_version_index(chunk_tables, key_col, length_col)
+    return idx.groupBy("first_version", "last_version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("bytes").cast("long").alias("bytes"),
+    )

@@ -342,3 +342,74 @@ def store_gc_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store_gc_plan(
         store, new.select("chunk_text"), key_col="chunk_text"
     )
+
+
+# --- snapshot-chain version index -------------------------------------------
+# Retention accounting across an ordered chain of three snapshots
+# (v0 = documents, v1 = perturbed, v2 = perturbed twice): the
+# (first_version, last_version) lifecycle matrix of chunk identities —
+# which bytes dropping old snapshots reclaims, what each snapshot truly
+# added. Fully SQL-expressible with fixed chunks.
+
+
+def _perturb_from(rel: str) -> str:
+    """The PERTURB_SQL transformation over an arbitrary relation (only
+    doc_id/text are needed downstream)."""
+    return f"""
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 10 = 0 THEN 'PREFIX-SHIFT ' || text
+         WHEN doc_id % 10 = 5 THEN 'EDITED ' || substring(text, 8)
+         ELSE text
+       END AS text
+FROM {rel}
+"""
+
+
+def _version_chunks(rel: str) -> str:
+    return f"""
+SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+       CAST(LEAST({_SIZE}, length(d.text) - u.off) AS BIGINT) AS length
+FROM {rel} d, UNNEST(range(0, length(d.text), {_SIZE})) AS u(off)
+"""
+
+
+_VERSION_MATRIX_ORACLE = f"""
+WITH v1 AS ({_perturb_from('documents')}),
+v2 AS ({_perturb_from('v1')}),
+c0 AS ({_version_chunks('documents')}),
+c1 AS ({_version_chunks('v1')}),
+c2 AS ({_version_chunks('v2')}),
+tagged AS (
+  SELECT chunk_text, MAX(length) AS len, 0 AS v FROM c0 GROUP BY chunk_text
+  UNION ALL
+  SELECT chunk_text, MAX(length) AS len, 1 AS v FROM c1 GROUP BY chunk_text
+  UNION ALL
+  SELECT chunk_text, MAX(length) AS len, 2 AS v FROM c2 GROUP BY chunk_text
+),
+idx AS (
+  SELECT chunk_text, MIN(v) AS first_version, MAX(v) AS last_version,
+         MAX(len) AS bytes
+  FROM tagged GROUP BY chunk_text
+)
+SELECT CAST(first_version AS BIGINT) AS first_version,
+       CAST(last_version AS BIGINT) AS last_version,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(bytes) AS BIGINT) AS bytes
+FROM idx GROUP BY first_version, last_version
+"""
+
+
+@register("chunk_version_matrix_fixed", _VERSION_MATRIX_ORACLE)
+def chunk_version_matrix_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle matrix of chunk identities across the 3-snapshot chain
+    (operators/diff.py::chunk_version_matrix): cells with last_version <
+    r are exactly what a retention drop of snapshots < r reclaims."""
+    from cdc_algorithms_spark.operators.diff import chunk_version_matrix
+
+    v0 = load_table(spark, "documents", sf_dir)
+    v1 = perturb_documents(v0)
+    v2 = perturb_documents(v1)
+    return chunk_version_matrix(
+        [fixed_chunks(v, _SIZE) for v in (v0, v1, v2)]
+    )

@@ -161,3 +161,52 @@ def test_store_gc_query_matches_oracle(spark, sf_dir):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "store_gc_plan_fixed", sf_dir)
+
+
+def test_chunk_version_index_lifecycle(spark):
+    """Version index semantics: first/last/n_versions per identity, a
+    reverted-then-restored identity shows the n_versions gap, bytes
+    count each identity once, and the matrix rollup partitions the
+    index exactly."""
+    from cdc_algorithms_spark.operators.diff import (
+        chunk_version_index,
+        chunk_version_matrix,
+    )
+
+    def chunks(rows):
+        return spark.createDataFrame(rows, "chunk_text string, length long")
+
+    v0 = chunks([("a", 3), ("b", 4), ("c", 5), ("c", 5)])   # c duplicated
+    v1 = chunks([("b", 4), ("d", 6)])                        # a,c gone; d new
+    v2 = chunks([("a", 3), ("b", 4)])                        # a resurfaces
+
+    idx = {
+        r.chunk_text: (r.first_version, r.last_version, r.n_versions, r.bytes)
+        for r in chunk_version_index([v0, v1, v2]).collect()
+    }
+    assert idx == {
+        "a": (0, 2, 2, 3),   # gap: present v0 and v2, absent v1
+        "b": (0, 2, 3, 4),
+        "c": (0, 0, 1, 5),   # duplicate occurrences count once
+        "d": (1, 1, 1, 6),
+    }
+
+    mat = {
+        (r.first_version, r.last_version): (r.n_chunks, r.bytes)
+        for r in chunk_version_matrix([v0, v1, v2]).collect()
+    }
+    assert mat == {(0, 2): (2, 7), (0, 0): (1, 5), (1, 1): (1, 6)}
+    # matrix partitions the index: totals agree
+    assert sum(n for n, _ in mat.values()) == len(idx)
+    assert sum(b for _, b in mat.values()) == sum(v[3] for v in idx.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_version_index([])
+
+
+def test_chunk_version_matrix_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "chunk_version_matrix_fixed", sf_dir)
