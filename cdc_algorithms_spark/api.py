@@ -54,6 +54,9 @@ __all__ = [
     "diff_tables",
     "near_dup_vs_corpus",
     "sql",
+    "sync_plan",
+    "store_gc",
+    "version_matrix",
     "topk_similar",
     "clusters",
     "profile",
@@ -370,3 +373,30 @@ def stream_dedup_unique_chunks(docs_stream: DataFrame, **kw) -> DataFrame:
     )
 
     return incremental_unique_chunks(docs_stream, **kw)
+
+
+# --- store maintenance & retention (r04) ------------------------------------
+
+def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
+    """Per-source delta-sync transfer plan against an existing store
+    (operators/diff.py::sync_plan — hashed-identity aggregate shape)."""
+    from cdc_algorithms_spark.operators.diff import sync_plan as _sp
+
+    return _sp(old_chunks, new_chunks)
+
+
+def store_gc(store: DataFrame, recipes: DataFrame, **kw) -> DataFrame:
+    """One-row GC plan for a content-addressed chunk store: live vs
+    orphan counts/bytes, reclaim ratio (operators/dedup.py)."""
+    from cdc_algorithms_spark.operators.dedup import store_gc_plan
+
+    return store_gc_plan(store, recipes, **kw)
+
+
+def version_matrix(chunk_tables, **kw) -> DataFrame:
+    """(first_version, last_version) lifecycle matrix of chunk
+    identities across an ordered snapshot chain — the retention answer
+    for a deduplicated backup chain (operators/diff.py)."""
+    from cdc_algorithms_spark.operators.diff import chunk_version_matrix
+
+    return chunk_version_matrix(chunk_tables, **kw)

@@ -838,6 +838,7 @@ _VERIFY_WINDOW: list[str] = [
     "incremental_minhash_pairs",
     "streaming_sketch_unique_estimate",
     "store_gc_plan_fixed",
+    "chunk_version_matrix_fixed",
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
@@ -877,7 +878,6 @@ _VERIFY_WINDOW: list[str] = [
     "q2_cheapest_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 
