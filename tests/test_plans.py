@@ -400,3 +400,41 @@ def test_shuffle_rank_has_no_all_rows_window(spark):
     specs = P.window_partition_columns(df)
     assert any("__bkt" in cols for cols in specs), specs
     assert P.python_eval_count(df) == 0
+
+
+def test_store_gc_plan_is_windowless_two_aggregate(spark):
+    """GC accounting must stay aggregate+join: no window anywhere (a
+    refcount window keyed on the chunk identity would pin a hot chunk's
+    millions of references on one task), no Python, bounded exchanges
+    (refcount agg, join, final rollup)."""
+    df = _q(spark, "store_gc_plan_fixed")
+    assert P.window_partition_columns(df) == []
+    assert P.python_eval_count(df) == 0
+    assert P.exchange_count(df) <= 4
+
+
+def test_version_matrix_dedupes_before_identity_rollup(spark):
+    """The snapshot-chain rollup must collapse per-(identity, version)
+    FIRST (map-side combined) and never window: the shuffled volume is
+    unique-chunk metadata, not chunk multiplicity."""
+    df = _q(spark, "chunk_version_matrix_fixed")
+    assert P.window_partition_columns(df) == []
+    assert P.python_eval_count(df) == 0
+    plan = P.physical_plan(df)
+    assert "HashAggregate" in plan
+
+
+def test_capped_lsh_broadcasts_the_oversized_buckets(spark):
+    """The registered LSH query runs with max_bucket: the cap must be a
+    BROADCAST anti-join on the (rare) oversized buckets — semi-joining
+    the kept set would reshuffle the whole bands frame — and the
+    content-keyed window ban holds."""
+    df = _q(spark, "minhash_lsh_pairs")
+    plan = P.physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "oversized-bucket cap is not a broadcast anti-join"
+    )
+    assert not any(
+        "chunk_text" in cols or "text" in cols
+        for cols in P.window_partition_columns(df)
+    )
