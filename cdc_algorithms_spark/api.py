@@ -55,6 +55,7 @@ __all__ = [
     "near_dup_vs_corpus",
     "sql",
     "sync_plan",
+    "sync_plan_budgeted",
     "store_gc",
     "version_matrix",
     "topk_similar",
@@ -383,6 +384,18 @@ def sync_plan(old_chunks: DataFrame, new_chunks: DataFrame) -> DataFrame:
     from cdc_algorithms_spark.operators.diff import sync_plan as _sp
 
     return _sp(old_chunks, new_chunks)
+
+
+def sync_plan_budgeted(
+    old_chunks: DataFrame, new_chunks: DataFrame, budget_bytes: int
+) -> DataFrame:
+    """Budget-capped delta sync: greedy highest-coverage-per-shipped-byte
+    class selection (operators/diff.py::sync_plan_budgeted)."""
+    from cdc_algorithms_spark.operators.diff import (
+        sync_plan_budgeted as _spb,
+    )
+
+    return _spb(old_chunks, new_chunks, budget_bytes)
 
 
 def store_gc(store: DataFrame, recipes: DataFrame, **kw) -> DataFrame:

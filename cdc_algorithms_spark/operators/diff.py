@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -403,4 +403,103 @@ def chunk_version_matrix(
     return idx.groupBy("first_version", "last_version").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("bytes").cast("long").alias("bytes"),
+    )
+
+
+def sync_plan_budgeted(
+    old_chunks: DataFrame,
+    new_chunks: DataFrame,
+    budget_bytes: int,
+) -> DataFrame:
+    """Delta-sync under a transfer budget: which novel bytes ship FIRST
+    when the link can't carry the whole delta this cycle — highest
+    dedup value per shipped byte (bytes covered / bytes shipped) wins.
+
+    One summary row: ``(budget_bytes, n_novel, novel_transfer_bytes,
+    novel_covered_bytes, n_shipped, shipped_transfer_bytes,
+    shipped_covered_bytes, covered_ratio)`` where a novel identity
+    "covers" all its occurrences' bytes once shipped and covered_ratio
+    = shipped_covered / novel_covered (1.0 when the budget suffices).
+
+    Scale + determinism design: identities collapse to VALUE CLASSES
+    keyed by (bytes_all, len_one) — every member of a class has
+    identical cost and benefit, so the greedy boundary can take "any k
+    of the class" without the result depending on a tie-break, and the
+    whole plan needs NO per-identity ranking: per-class aggregation
+    (map-side combined), a cumulative sum over the tiny class frame
+    (O(distinct (multiplicity, length) pairs) rows — the only global
+    window, deliberately aggregate-sized), then closed-form boundary
+    arithmetic ``take = floor(remaining_budget / len_one)``. Equal-hash
+    ⇒ equal-bytes as everywhere (ae.rs:75-84 identity model).
+    """
+    per_id = (
+        new_chunks.select(
+            F.xxhash64("chunk_text").alias("__k"), "length"
+        )
+        .groupBy("__k")
+        .agg(
+            F.sum("length").alias("bytes_all"),
+            F.max("length").alias("len_one"),
+        )
+    )
+    store = (
+        old_chunks.select(F.xxhash64("chunk_text").alias("__k"))
+        .distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    novel = per_id.join(store, "__k", "left").where(F.col("__in").isNull())
+    classes = novel.groupBy("bytes_all", "len_one").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) * F.first("len_one")).alias("transfer"),
+        (F.count(F.lit(1)) * F.first("bytes_all")).alias("covered"),
+    )
+    density = F.col("bytes_all") / F.col("len_one")
+    w = (
+        Window.orderBy(
+            density.desc(), F.col("bytes_all").desc(), F.col("len_one")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = classes.withColumn(
+        "__cum_before", F.coalesce(F.sum("transfer").over(w), F.lit(0))
+    )
+    take_n = F.when(
+        F.col("__cum_before") + F.col("transfer") <= budget_bytes, F.col("n")
+    ).otherwise(
+        F.greatest(
+            F.floor(
+                (budget_bytes - F.col("__cum_before")) / F.col("len_one")
+            ),
+            F.lit(0),
+        )
+    )
+    picked = ranked.select(
+        "n",
+        "transfer",
+        "covered",
+        take_n.cast("long").alias("__take"),
+        (take_n * F.col("len_one")).cast("long").alias("__take_transfer"),
+        (take_n * F.col("bytes_all")).cast("long").alias("__take_covered"),
+    )
+    zero = F.lit(0)
+    return picked.agg(
+        F.lit(int(budget_bytes)).cast("long").alias("budget_bytes"),
+        F.coalesce(F.sum("n"), zero).cast("long").alias("n_novel"),
+        F.coalesce(F.sum("transfer"), zero)
+        .cast("long")
+        .alias("novel_transfer_bytes"),
+        F.coalesce(F.sum("covered"), zero)
+        .cast("long")
+        .alias("novel_covered_bytes"),
+        F.coalesce(F.sum("__take"), zero).cast("long").alias("n_shipped"),
+        F.coalesce(F.sum("__take_transfer"), zero)
+        .cast("long")
+        .alias("shipped_transfer_bytes"),
+        F.coalesce(F.sum("__take_covered"), zero)
+        .cast("long")
+        .alias("shipped_covered_bytes"),
+        F.round(
+            F.coalesce(F.sum("__take_covered"), zero)
+            / F.greatest(F.sum("covered"), F.lit(1)),
+            6,
+        ).alias("covered_ratio"),
     )

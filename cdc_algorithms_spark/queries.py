@@ -839,6 +839,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_sketch_unique_estimate",
     "store_gc_plan_fixed",
     "chunk_version_matrix_fixed",
+    "sync_plan_budgeted_fixed",
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
@@ -877,7 +878,6 @@ _VERIFY_WINDOW: list[str] = [
     "parallel_rabin_concat_check",
     "q2_cheapest_supplier",
     "q4_order_priority",
-    "q7_volume_shipping",
 ]
 
 

@@ -413,3 +413,83 @@ def chunk_version_matrix_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_version_matrix(
         [fixed_chunks(v, _SIZE) for v in (v0, v1, v2)]
     )
+
+
+# --- budget-capped delta sync ------------------------------------------------
+# When the link can't carry the whole delta this cycle, highest dedup
+# value per shipped byte goes first. Tie-free by construction: identities
+# collapse to (bytes_all, len_one) value classes whose members are
+# interchangeable, so the greedy boundary takes a COUNT from the class,
+# never a specific member — the summary is independent of any tie-break
+# and DuckDB replays it exactly.
+
+_SYNC_BUDGET = 10_000
+
+_SYNC_BUDGETED_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL}),
+old_chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text
+  FROM documents d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+new_chunks AS (
+  SELECT substring(d.text, CAST(u.off + 1 AS INT), {_SIZE}) AS chunk_text,
+         CAST(LEAST({_SIZE}, d.n_chars - u.off) AS BIGINT) AS length
+  FROM new_docs d, UNNEST(range(0, d.n_chars, {_SIZE})) AS u(off)
+),
+per_id AS (
+  SELECT chunk_text, SUM(length) AS bytes_all, MAX(length) AS len_one
+  FROM new_chunks GROUP BY chunk_text
+),
+store AS (SELECT DISTINCT chunk_text FROM old_chunks),
+novel AS (
+  SELECT p.bytes_all, p.len_one
+  FROM per_id p LEFT JOIN store s USING (chunk_text)
+  WHERE s.chunk_text IS NULL
+),
+classes AS (
+  SELECT bytes_all, len_one, COUNT(*) AS n,
+         COUNT(*) * len_one AS transfer,
+         COUNT(*) * bytes_all AS covered
+  FROM novel GROUP BY bytes_all, len_one
+),
+ranked AS (
+  SELECT *, COALESCE(SUM(transfer) OVER (
+      ORDER BY bytes_all * 1.0 / len_one DESC, bytes_all DESC, len_one
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM classes
+),
+picked AS (
+  SELECT n, transfer, covered,
+         CASE WHEN cum_before + transfer <= {_SYNC_BUDGET} THEN n
+              ELSE GREATEST(CAST(FLOOR(
+                ({_SYNC_BUDGET} - cum_before) / len_one) AS BIGINT), 0)
+         END AS take_n,
+         len_one, bytes_all
+  FROM ranked
+)
+SELECT CAST({_SYNC_BUDGET} AS BIGINT) AS budget_bytes,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(SUM(transfer), 0) AS BIGINT) AS novel_transfer_bytes,
+       CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS novel_covered_bytes,
+       CAST(COALESCE(SUM(take_n), 0) AS BIGINT) AS n_shipped,
+       CAST(COALESCE(SUM(take_n * len_one), 0) AS BIGINT)
+         AS shipped_transfer_bytes,
+       CAST(COALESCE(SUM(take_n * bytes_all), 0) AS BIGINT)
+         AS shipped_covered_bytes,
+       ROUND(COALESCE(SUM(take_n * bytes_all), 0) * 1.0
+             / GREATEST(COALESCE(SUM(covered), 0), 1), 6) AS covered_ratio
+FROM picked
+"""
+
+
+@register("sync_plan_budgeted_fixed", _SYNC_BUDGETED_ORACLE)
+def sync_plan_budgeted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped delta sync (operators/diff.py::sync_plan_budgeted):
+    greedy highest-coverage-per-shipped-byte selection over value
+    classes, boundary class taken by closed-form count."""
+    from cdc_algorithms_spark.operators.diff import sync_plan_budgeted
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = fixed_chunks(docs, _SIZE)
+    new = fixed_chunks(perturb_documents(docs), _SIZE)
+    return sync_plan_budgeted(old, new, _SYNC_BUDGET)

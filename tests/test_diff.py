@@ -210,3 +210,52 @@ def test_chunk_version_matrix_matches_oracle(spark, sf_dir):
     from tests.oracle import compare_with_oracle
 
     compare_with_oracle(spark, "chunk_version_matrix_fixed", sf_dir)
+
+
+def test_sync_plan_budgeted_boundary_arithmetic(spark):
+    """Greedy-by-density class selection: high-coverage classes ship
+    first, the boundary class ships floor(remaining/len) members, zero
+    budget ships nothing, a sufficient budget ships everything with
+    covered_ratio 1.0."""
+    from cdc_algorithms_spark.operators.diff import sync_plan_budgeted
+
+    def chunks(rows):
+        return spark.createDataFrame(
+            rows, "src_id long, offset long, chunk_text string, length long"
+        )
+
+    # store holds only 'OLD'; novel classes:
+    #   hot:  text 'H'x10 appearing 5x  -> bytes_all 50, len 10, density 5
+    #   cold: 4 distinct 10-byte texts  -> bytes_all 10, len 10, density 1
+    old = chunks([(0, 0, "OLD", 3)])
+    new_rows = [(1, i * 10, "H" * 10, 10) for i in range(5)] + [
+        (2, i * 10, f"c{i:08d}x", 10) for i in range(4)
+    ] + [(3, 0, "OLD", 3)]
+    new = chunks(new_rows)
+
+    def plan(budget):
+        return sync_plan_budgeted(old, new, budget).collect()[0]
+
+    r = plan(0)
+    assert (r.n_shipped, r.shipped_transfer_bytes, r.covered_ratio) == (0, 0, 0.0)
+    assert (r.n_novel, r.novel_transfer_bytes, r.novel_covered_bytes) == (
+        5, 50, 90,
+    )
+
+    # 25 bytes: hot class (10) ships fully first, then floor(15/10)=1 cold
+    r = plan(25)
+    assert r.n_shipped == 2
+    assert r.shipped_transfer_bytes == 20
+    assert r.shipped_covered_bytes == 60  # 50 (hot) + 10 (one cold)
+    assert abs(r.covered_ratio - 60 / 90) < 1e-6
+
+    r = plan(1_000_000)
+    assert r.n_shipped == r.n_novel == 5
+    assert r.shipped_transfer_bytes == r.novel_transfer_bytes == 50
+    assert r.covered_ratio == 1.0
+
+
+def test_sync_plan_budgeted_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare_with_oracle
+
+    compare_with_oracle(spark, "sync_plan_budgeted_fixed", sf_dir)
