@@ -130,7 +130,9 @@ def check_one(spark, con, name: str, sf_dir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=50)
+    # default covers the WHOLE registry: a sweep artifact produced by a
+    # bare invocation must never silently truncate to a window's worth
+    ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
