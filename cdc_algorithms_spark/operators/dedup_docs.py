@@ -66,6 +66,16 @@ def release_cached_frames() -> int:
     between pipelines in a long-lived session (after the consuming
     action has run — unpersisting earlier just recomputes).  Safe to
     call repeatedly; unpersist on an already-released frame is a no-op.
+
+    GLOBAL across this module's pipelines by design: if plan A is built
+    but not yet executed when pipeline B finishes and releases, A's
+    persisted subtrees are dropped too — A still computes CORRECT
+    results, it just re-derives its signature frame once per consuming
+    branch (the cost the persist existed to avoid).  Interleave
+    build/execute phases or skip the release in that pattern.  Without
+    any release call the registry grows by one small DataFrame reference
+    per persist — the cached BLOCKS themselves stay bounded pressure
+    (MEMORY_AND_DISK, LRU-evictable), the references are negligible.
     """
     n = 0
     for df in _CACHED_FRAMES:
@@ -413,14 +423,17 @@ def _cap_band_buckets(bands_df: DataFrame, max_bucket: int) -> DataFrame:
     carry almost no information (everything in them matches everything)
     and their members are exactly what exact-dedup / clustering handles
     better, so dropping them trades bounded recall on mega-clusters for
-    a hard cap on join fan-out. Implemented as aggregate + BROADCAST
-    anti-join on the OVERSIZED buckets: the groupBy's map-side partial
-    combine keeps even the hot bucket cheap (a count-window would put
-    the whole bucket in one task), and by construction at most
-    |bands_df| / max_bucket buckets can be oversized — a tiny frame —
-    so the anti-join broadcasts and the bands frame itself never
-    reshuffles for the cap (semi-joining the KEPT buckets instead would
-    shuffle both sides, since almost every bucket is kept).
+    a hard cap on join fan-out. Implemented as aggregate + anti-join on
+    the OVERSIZED buckets: the groupBy's map-side partial combine keeps
+    even the hot bucket cheap (a count-window would put the whole bucket
+    in one task), and at most |bands_df| / max_bucket buckets can be
+    oversized, so the anti-join's build side is usually tiny and AQE's
+    runtime re-plan broadcasts it (semi-joining the KEPT buckets instead
+    would always shuffle both sides, since almost every bucket is kept).
+    No broadcast HINT on purpose: |bands|/max_bucket is "usually tiny",
+    not bounded — a pathological corpus where millions of buckets sit
+    just over the cap must degrade to a shuffle join, not blow up the
+    driver collecting an unbounded broadcast.
     """
     big = (
         bands_df.groupBy("band", "band_hash")
@@ -428,7 +441,7 @@ def _cap_band_buckets(bands_df: DataFrame, max_bucket: int) -> DataFrame:
         .where(F.col("__bn") > max_bucket)
         .select("band", "band_hash")
     )
-    return bands_df.join(F.broadcast(big), ["band", "band_hash"], "left_anti")
+    return bands_df.join(big, ["band", "band_hash"], "left_anti")
 
 
 def minhash_lsh_pairs(

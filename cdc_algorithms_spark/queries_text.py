@@ -220,7 +220,7 @@ _KMEANS_K = 8
 _EMB_CLUSTERS_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
        TRUE AS n_clusters_ok,
-       TRUE AS sizes_ok
+       TRUE AS cells_in_range
 FROM embeddings
 """
 
@@ -231,7 +231,11 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations aren't SQL-expressible, so the driver row checks the
     conservation invariants the clustering must satisfy: every corpus
     vector assigned to exactly one cell (``n_points`` recomputed
-    independently by DuckDB), 1..k non-empty cells, every cell size ≥ 1.
+    independently by DuckDB), 1..k non-empty cells, and every emitted
+    cell id within [1, k] (ids are 1-based, matching the IVF probe
+    indexing) — a falsifiable bound on the assignment
+    expression (a min(n_members) >= 1 check would be vacuous: empty
+    cells emit no histogram row at all).
     The full (cluster, n_members, avg_sq_dist) histogram remains the
     operator's output (operators/similarity.py::embedding_clusters) and
     its inertia/membership behavior is pinned in
@@ -245,7 +249,9 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.count(F.lit(1)) >= 1) & (F.count(F.lit(1)) <= _KMEANS_K)).alias(
             "n_clusters_ok"
         ),
-        (F.min("n_members") >= 1).alias("sizes_ok"),
+        ((F.min("cluster") >= 1) & (F.max("cluster") <= _KMEANS_K)).alias(
+            "cells_in_range"
+        ),
     )
 
 
@@ -1560,13 +1566,7 @@ def q_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INC_JACCARD_ORACLE = f"""
-SELECT * FROM ({_JACCARD_ORACLE})
-WHERE id_a % 3 = 0 OR id_b % 3 = 0
-"""
-
-
-@register("incremental_minhash_pairs", _INC_JACCARD_ORACLE)
+@register("incremental_minhash_pairs", _INCR_JACCARD_ORACLE)
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate incremental near-dup (operators/dedup_docs.py::
     incremental_minhash_pairs): the batch's bands probe the corpus band

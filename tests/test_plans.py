@@ -425,16 +425,25 @@ def test_version_matrix_dedupes_before_identity_rollup(spark):
 
 
 def test_capped_lsh_broadcasts_the_oversized_buckets(spark):
-    """The registered LSH query runs with max_bucket: the cap must be a
-    BROADCAST anti-join on the (rare) oversized buckets — semi-joining
-    the kept set would reshuffle the whole bands frame — and the
-    content-keyed window ban holds."""
+    """The registered LSH query runs with max_bucket: the cap is an
+    anti-join on the (rare) oversized buckets with NO broadcast hint —
+    AQE's runtime re-plan must broadcast the build side when it is
+    actually small (the normal case), while a pathological mega-bucket
+    corpus degrades to a shuffle join instead of an unbounded driver
+    collect. Assert on the EXECUTED adaptive plan, where AQE's decision
+    is visible; the content-keyed window ban holds either way."""
     df = _q(spark, "minhash_lsh_pairs")
-    plan = P.physical_plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
-        "oversized-bucket cap is not a broadcast anti-join"
+    assert "LeftAnti" in P.physical_plan(df), "bucket cap anti-join missing"
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    assert P.broadcast_hint_count(df) == 0, "cap must stay hint-free"
+    df.collect()  # run so AQE finalizes the join strategies
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed and "LeftAnti" in executed, (
+        "AQE did not broadcast the oversized-bucket anti-join build side"
     )
     assert not any(
         "chunk_text" in cols or "text" in cols
         for cols in P.window_partition_columns(df)
     )
+    dd.release_cached_frames()

@@ -32,17 +32,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(sf_dir: str) -> dict:
+    """One full bench.py run; results read from BENCH_LOCAL.json.
+
+    NOT from stdout: the stdout contract line is deliberately truncated
+    to fit the driver's 2000-byte artifact window (bench.py shrinks to
+    1-decimal values past 1950 bytes and DROPS the per-query map past
+    1990) — parsing it would silently degrade or wipe the pins as the
+    headline set grows. BENCH_LOCAL.json is the full-precision copy
+    bench.py writes for exactly this kind of consumer."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
         check=True,
         cwd=ROOT,
-    ).stdout
-    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    )
+    with open(os.path.join(ROOT, "BENCH_LOCAL.json")) as f:
+        payload = json.load(f)
+    if not payload.get("queries"):
+        sys.exit("BENCH_LOCAL.json has no per-query timings — aborting")
+    return payload
 
 
 def main() -> None:
