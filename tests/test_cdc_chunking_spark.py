@@ -89,3 +89,38 @@ def test_all_algos_comparison_consistent(spark):
     for r in rows:
         assert 0 < r["dedup_coeff"] <= 1.0
         assert r["n_unique"] <= r["n_chunks"]
+
+
+def test_tiling_check_catches_cancelling_defects(spark):
+    """The coverage-derivative tiling invariant must fail on defects
+    whose byte totals AND overall span cancel — invisible to both the
+    concat byte-sum check and a naive span==sum test — and pass on a
+    perfect partition. (A span==sum formulation was tried first and
+    this very test's cancelling case defeated it.)"""
+    from cdc_algorithms_spark.queries import _tiling_check
+
+    def check(rows):
+        df = spark.createDataFrame(rows, "offset long, length long")
+        r = _tiling_check(df, per_src=False).collect()[0]
+        return (
+            r.n_source_pos == 1
+            and r.n_sink_pos == 1
+            and r.n_bad_pos == 0
+            and r.start_pos == 0
+        ), r
+
+    ok, r = check([(0, 10), (10, 5), (15, 10)])
+    assert ok and r.end_pos == 25
+
+    # 5-byte overlap + 5-byte gap: byte sum 25 == doc bytes (concat
+    # passes), span 25 == sum (span test passes) — tiling fails
+    ok, r = check([(0, 10), (5, 10), (20, 5)])
+    assert not ok
+
+    # duplicate chunk whose twin's absence cancels the byte sum
+    ok, r = check([(0, 10), (0, 10), (20, 5)])
+    assert not ok
+
+    # simple gap and simple overlap also fail
+    assert not check([(0, 10), (15, 10)])[0]
+    assert not check([(0, 10), (5, 15)])[0]
