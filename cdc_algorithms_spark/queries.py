@@ -114,6 +114,62 @@ WHERE n_chars > 0  -- the chunkers emit no row for an empty doc
 """
 
 
+# Contiguity oracles — strictly stronger than the byte-sum concat
+# checks, via the coverage-derivative argument: treat each chunk as +1
+# at its start offset and −1 at its end; summing the deltas PER
+# POSITION, a perfect tiling of [0, L) with multiplicity one has net +1
+# at exactly one position (0), −1 at exactly one position (L), and 0
+# everywhere else — any overlap, gap, shift, or duplicate leaves a
+# nonzero interior delta, even when byte totals and the overall span
+# cancel (e.g. a 5-byte overlap plus a 5-byte gap passes concat AND a
+# naive span==sum test, but fails here). Two aggregates keyed on
+# (src, position) — no per-source window, hot positions combine
+# map-side.
+
+
+def _tiling_check(chunks: DataFrame, per_src: bool) -> DataFrame:
+    keys = ["src_id"] if per_src else []
+    deltas = chunks.select(
+        *keys, F.col("offset").alias("pos"), F.lit(1).alias("d")
+    ).unionByName(
+        chunks.select(
+            *keys,
+            (F.col("offset") + F.col("length")).alias("pos"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = deltas.groupBy(*keys, "pos").agg(F.sum("d").alias("net"))
+    zero = F.lit(0)
+    return net.groupBy(*keys).agg(
+        F.coalesce(F.sum(F.when(F.col("net") == 1, 1)), zero)
+        .cast("long")
+        .alias("n_source_pos"),
+        F.coalesce(F.sum(F.when(F.col("net") == -1, 1)), zero)
+        .cast("long")
+        .alias("n_sink_pos"),
+        F.coalesce(F.sum(F.when(~F.col("net").isin(1, -1, 0), 1)), zero)
+        .cast("long")
+        .alias("n_bad_pos"),
+        F.coalesce(F.min(F.when(F.col("net") == 1, F.col("pos"))), F.lit(-1))
+        .cast("long")
+        .alias("start_pos"),
+        F.coalesce(F.max(F.when(F.col("net") == -1, F.col("pos"))), F.lit(-1))
+        .cast("long")
+        .alias("end_pos"),
+    )
+
+
+_TILING_ORACLE = """
+SELECT doc_id AS src_id,
+       CAST(1 AS BIGINT) AS n_source_pos,
+       CAST(1 AS BIGINT) AS n_sink_pos,
+       CAST(0 AS BIGINT) AS n_bad_pos,
+       CAST(0 AS BIGINT) AS start_pos,
+       CAST(n_chars AS BIGINT) AS end_pos
+FROM documents WHERE n_chars > 0
+"""
+
+
 def _register_cdc(name: str, conf: dict) -> None:
     def q_chunks(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
         return cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
@@ -128,10 +184,16 @@ def _register_cdc(name: str, conf: dict) -> None:
         chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
         return dedup_stats(chunks)
 
+    def q_tiling(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
+        return _tiling_check(chunks, per_src=True)
+
     SPARK_QUERIES[f"{name}_chunks"] = q_chunks
     SPARK_QUERIES[f"{name}_concat_check"] = q_concat
     ORACLE_SQL[f"{name}_concat_check"] = _CONCAT_ORACLE
     SPARK_QUERIES[f"{name}_dedup_stats"] = q_stats
+    SPARK_QUERIES[f"{name}_tiling_check"] = q_tiling
+    ORACLE_SQL[f"{name}_tiling_check"] = _TILING_ORACLE
 
 
 for _name, _conf in CDC_CONFIGS.items():
@@ -291,71 +353,6 @@ def q_parallel_ae_concat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
     )
     return chunks.agg(F.sum("length").cast("long").alias("total_len"))
-
-
-# Contiguity oracles — strictly stronger than the byte-sum concat
-# checks, via the coverage-derivative argument: treat each chunk as +1
-# at its start offset and −1 at its end; summing the deltas PER
-# POSITION, a perfect tiling of [0, L) with multiplicity one has net +1
-# at exactly one position (0), −1 at exactly one position (L), and 0
-# everywhere else — any overlap, gap, shift, or duplicate leaves a
-# nonzero interior delta, even when byte totals and the overall span
-# cancel (e.g. a 5-byte overlap plus a 5-byte gap passes concat AND a
-# naive span==sum test, but fails here). Two aggregates keyed on
-# (src, position) — no per-source window, hot positions combine
-# map-side.
-
-
-def _tiling_check(chunks: DataFrame, per_src: bool) -> DataFrame:
-    keys = ["src_id"] if per_src else []
-    deltas = chunks.select(
-        *keys, F.col("offset").alias("pos"), F.lit(1).alias("d")
-    ).unionByName(
-        chunks.select(
-            *keys,
-            (F.col("offset") + F.col("length")).alias("pos"),
-            F.lit(-1).alias("d"),
-        )
-    )
-    net = deltas.groupBy(*keys, "pos").agg(F.sum("d").alias("net"))
-    zero = F.lit(0)
-    return net.groupBy(*keys).agg(
-        F.coalesce(F.sum(F.when(F.col("net") == 1, 1)), zero)
-        .cast("long")
-        .alias("n_source_pos"),
-        F.coalesce(F.sum(F.when(F.col("net") == -1, 1)), zero)
-        .cast("long")
-        .alias("n_sink_pos"),
-        F.coalesce(F.sum(F.when(~F.col("net").isin(1, -1, 0), 1)), zero)
-        .cast("long")
-        .alias("n_bad_pos"),
-        F.coalesce(F.min(F.when(F.col("net") == 1, F.col("pos"))), F.lit(-1))
-        .cast("long")
-        .alias("start_pos"),
-        F.coalesce(F.max(F.when(F.col("net") == -1, F.col("pos"))), F.lit(-1))
-        .cast("long")
-        .alias("end_pos"),
-    )
-
-
-_TILING_ORACLE = """
-SELECT doc_id AS src_id,
-       CAST(1 AS BIGINT) AS n_source_pos,
-       CAST(1 AS BIGINT) AS n_sink_pos,
-       CAST(0 AS BIGINT) AS n_bad_pos,
-       CAST(0 AS BIGINT) AS start_pos,
-       CAST(n_chars AS BIGINT) AS end_pos
-FROM documents WHERE n_chars > 0
-"""
-
-
-@register("ae_tiling_check", _TILING_ORACLE)
-def q_ae_tiling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AE cut-table perfect-tiling invariant (chunkers/fast.py AE over
-    operators/chunking.py::cdc_chunks): exactly one +1 net delta at
-    offset 0, one −1 at n_chars, none elsewhere."""
-    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS["ae"])
-    return _tiling_check(chunks, per_src=True)
 
 
 @register(
@@ -926,6 +923,8 @@ _VERIFY_WINDOW: list[str] = [
     "sync_plan_budgeted_fixed",
     "ae_tiling_check",
     "parallel_ae_tiling_check",
+    "rabin_tiling_check",
+    "fastcdc_tiling_check",
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
@@ -960,8 +959,6 @@ _VERIFY_WINDOW: list[str] = [
     "boilerplate_chunks",
     "duplicated_spans_fixed",
     "price_quantiles",
-    "part_metrics_unpivot",
-    "parallel_rabin_concat_check",
 ]
 
 
