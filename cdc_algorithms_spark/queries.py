@@ -374,6 +374,24 @@ def q_parallel_ae_tiling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tiling_check(chunks, per_src=False)
 
 
+@register(
+    "parallel_rabin_tiling_check",
+    "SELECT CAST(1 AS BIGINT) AS n_source_pos, CAST(1 AS BIGINT) AS n_sink_pos, "
+    "CAST(0 AS BIGINT) AS n_bad_pos, CAST(0 AS BIGINT) AS start_pos, "
+    "CAST(SUM(n_chars) AS BIGINT) AS end_pos FROM documents",
+)
+def q_parallel_rabin_tiling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-tiling invariant for the distributed RABIN pipeline —
+    the path where the reference's own segment-bound bug lives
+    (rabin.rs:101, deliberately not replicated): the seam merge must
+    reassemble an exact partition of the whole blob."""
+    chunks = parallel_chunk_blob(
+        documents_blob(spark, sf_dir), "rabin", 256, seed=7,
+        segment_len=PARALLEL_SEGMENT_LEN, ordinals="none",
+    )
+    return _tiling_check(chunks, per_src=False)
+
+
 @register("parallel_rabin_dedup_stats")
 def q_parallel_rabin_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = parallel_chunk_blob(
@@ -925,6 +943,8 @@ _VERIFY_WINDOW: list[str] = [
     "parallel_ae_tiling_check",
     "rabin_tiling_check",
     "fastcdc_tiling_check",
+    "parallel_rabin_tiling_check",
+    "streaming_stateful_ae_tiling_check",
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
@@ -957,8 +977,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_ingest_novelty",
     "reconstruct_docs_check",
     "boilerplate_chunks",
-    "duplicated_spans_fixed",
-    "price_quantiles",
 ]
 
 

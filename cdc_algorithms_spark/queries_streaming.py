@@ -296,6 +296,30 @@ def streaming_stateful_ae_concat_check(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+_STATEFUL_TILING_ORACLE = """
+SELECT doc_id AS src_id,
+       CAST(1 AS BIGINT) AS n_source_pos,
+       CAST(1 AS BIGINT) AS n_sink_pos,
+       CAST(0 AS BIGINT) AS n_bad_pos,
+       CAST(0 AS BIGINT) AS start_pos,
+       CAST(n_chars AS BIGINT) AS end_pos
+FROM documents WHERE n_chars > 0
+"""
+
+
+@register("streaming_stateful_ae_tiling_check", _STATEFUL_TILING_ORACLE)
+def streaming_stateful_ae_tiling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-tiling invariant over the STATEFUL streaming chunker's
+    output (streaming/stateful.py): chunks emitted across micro-batch
+    boundaries — including the checkpoint-carried tail buffer's
+    continuation cuts — must tile every document exactly, with absolute
+    offsets anchored at 0 and n_chars. Same coverage-derivative oracle
+    as the batch ae_tiling_check (queries.py::_tiling_check)."""
+    from cdc_algorithms_spark.queries import _tiling_check
+
+    return _tiling_check(_stateful_ae_sink(spark, sf_dir), per_src=True)
+
+
 @register("streaming_stateful_ae_chunks")
 def streaming_stateful_ae_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full chunk rows from the stateful streaming chunker (rows-only
