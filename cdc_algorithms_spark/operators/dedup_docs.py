@@ -996,6 +996,52 @@ def decontaminate(
     )
 
 
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicate-n-gram coverage — the span-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), restated at n-gram granularity:
+    ``(doc_id, n_ngrams, n_dup_ngrams, dup_rate)`` where an n-gram is
+    *duplicate* if it occurs in ≥2 distinct documents.  Rank docs by
+    ``dup_rate`` to find boilerplate/templated content that exact and
+    near dedup both miss (a doc can be 40% duplicated spans yet far
+    from any single other doc).
+
+    Scale shape: per-doc DISTINCT shingles are hashed to 8 bytes
+    *inside the scan stage* so the document-frequency aggregate and the
+    join back both shuffle ``(doc_id, hash)`` pairs — never shingle
+    text.  Both sides of the join-back hash-partition on the same key,
+    so the exchange feeding the aggregate is reused for the probe side.
+    Stop-shingle skew lands on the AGGREGATE (map-side combinable), not
+    on a window — same argument as ``_shingle_sets``.
+    """
+    hashed = _persist(
+        doc_shingles(docs, n, id_col, text_col).select(
+            "doc_id", F.xxhash64("shingle").alias("__h")
+        )
+    )
+    # shingles are distinct per doc, so count(*) per hash IS the doc freq
+    freq = hashed.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        hashed.join(freq, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum((F.col("__df") >= 2).cast("long")).cast("long").alias("n_dup_ngrams"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            "n_ngrams",
+            "n_dup_ngrams",
+            F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6).alias("dup_rate"),
+        )
+    )
+
+
 def chunk_overlap_pairs(
     chunks: DataFrame,
     threshold: float = 0.5,

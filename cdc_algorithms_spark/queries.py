@@ -945,6 +945,12 @@ _VERIFY_WINDOW: list[str] = [
     "fastcdc_tiling_check",
     "parallel_rabin_tiling_check",
     "streaming_stateful_ae_tiling_check",
+    "dup_ngram_coverage",
+    "frequent_terms",
+    "bloom_decontamination_check",
+    "near_dup_clusters_lsh",
+    "fingerprint_near_dup_check",
+    "semantic_dedup_check",
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
@@ -971,12 +977,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_user_sessions",
     "streaming_purchases_by_nation",
     "streaming_decontamination",
-    "streaming_view_purchase_conversions",
-    "streaming_distinct_users_within_watermark",
-    "streaming_event_counts_update_mode",
-    "streaming_ingest_novelty",
-    "reconstruct_docs_check",
-    "boilerplate_chunks",
 ]
 
 

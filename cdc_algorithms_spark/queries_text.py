@@ -1588,3 +1588,273 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         max_bucket=LSH_MAX_BUCKET,
     )
+
+
+# --- duplicate-n-gram coverage (span-level dedup signal) ---------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499) at n-gram granularity: per doc, the fraction of its
+# distinct word n-grams that occur in >= 2 documents.
+
+DUP_NGRAM_N = 5
+
+_DUP_NGRAM_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(DUP_NGRAM_N)},
+f AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+       ROUND(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM sh JOIN f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@register("dup_ngram_coverage", _DUP_NGRAM_ORACLE)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detector exact and near dedup both miss: a
+    doc can be 40% duplicated spans yet far from any single other doc.
+    Value-checked per doc against the DuckDB shingle-frequency join;
+    the Spark side shuffles only (doc_id, xxhash64(shingle)) pairs."""
+    from cdc_algorithms_spark.operators.dedup_docs import dup_ngram_coverage
+
+    return dup_ngram_coverage(
+        load_table(spark, "documents", sf_dir), n=DUP_NGRAM_N
+    )
+
+
+# --- heavy hitters: Misra-Gries candidates + exact recount -------------------
+
+FREQ_PHI = 0.005
+
+_FREQUENT_TERMS_ORACLE = rf"""
+WITH {_WORDS_CTE},
+tok AS (SELECT unnest(words) AS term FROM w)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok
+GROUP BY term
+HAVING COUNT(*) > FLOOR({FREQ_PHI} * (SELECT COUNT(*) FROM tok))
+"""
+
+
+@register("frequent_terms", _FREQUENT_TERMS_ORACLE)
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms above a {FREQ_PHI:.1%}-of-corpus frequency bar via the
+    two-pass Misra-Gries shape (operators/frequency.py): map-only
+    candidate summaries, then an exact broadcast-gated recount — never
+    a vocabulary-sized shuffle. The recount makes the output exact, so
+    the oracle is the plain DuckDB frequency query."""
+    from cdc_algorithms_spark.operators.frequency import frequent_terms
+
+    return frequent_terms(load_table(spark, "documents", sf_dir), phi=FREQ_PHI)
+
+
+# --- Bloom-gated decontamination: zero-false-negative check ------------------
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_HASHES = 7
+# generous FP headroom: with 2^20 bits over ~1.4k bench shingles the
+# expected doc-level FP count is ~0; the bound only exists to make the
+# column falsifiable without being seed-brittle.
+_BLOOM_FP_FRAC = 0.02
+
+_BLOOM_DECONTAM_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(DECONTAM_N)},
+tr AS (SELECT * FROM sh WHERE doc_id % {_DECONTAM_MOD} <> 0),
+be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECONTAM_MOD} = 0),
+per_doc AS (
+  SELECT tr.doc_id,
+         MAX(CASE WHEN be.shingle IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM tr LEFT JOIN be ON tr.shingle = be.shingle
+  GROUP BY tr.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(hit) AS BIGINT) AS n_exact_flagged,
+       CAST(0 AS BIGINT) AS n_bloom_missed,
+       TRUE AS fp_within_bound
+FROM per_doc
+"""
+
+
+@register("bloom_decontamination_check", _BLOOM_DECONTAM_ORACLE)
+def q_bloom_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination (operators/membership.py) against
+    the exact shingle join: Bloom filters have NO false negatives, so
+    every exactly-contaminated doc must probe positive —
+    ``n_bloom_missed`` is structurally zero and any probe/build bug
+    (position math, packing, seeding) breaks it loudly.  The FP side is
+    bounded, not pinned: flagged-but-clean docs stay under
+    ``max(ceil(2% of train), 8)`` (measured 0 at sf0.001/0.01/0.1 with
+    2^20 bits)."""
+    from cdc_algorithms_spark.operators.dedup_docs import decontaminate
+    from cdc_algorithms_spark.operators.membership import bloom_flagged_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
+    flagged = bloom_flagged_docs(
+        train, bench, n=DECONTAM_N, num_bits=_BLOOM_BITS, num_hashes=_BLOOM_HASHES
+    )
+    exact = decontaminate(train, bench, n=DECONTAM_N).select("doc_id", "n_shared")
+    j = flagged.join(exact, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum((F.col("n_shared") > 0).cast("long")).cast("long").alias("n_exact_flagged"),
+        F.sum(((F.col("n_shared") > 0) & ~F.col("bloom_hit")).cast("long"))
+        .cast("long")
+        .alias("n_bloom_missed"),
+        (
+            F.sum(((F.col("n_shared") == 0) & F.col("bloom_hit")).cast("long"))
+            <= F.greatest(
+                F.ceil(F.lit(_BLOOM_FP_FRAC) * F.count(F.lit(1))), F.lit(8)
+            )
+        ).alias("fp_within_bound"),
+    )
+
+
+# --- near-dup clusters through the LSH candidate path ------------------------
+
+
+@register("near_dup_clusters_lsh", _COMPONENTS_ORACLE)
+def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline end-to-end: MinHash banding →
+    skew-capped candidate join → exact-Jaccard verification →
+    connected components — value-checked against the DuckDB transitive
+    closure over the EXACT pair graph.  Valid for the same reason
+    minhash_lsh_pairs shares the exact oracle: verification makes
+    precision exact, and the 32/8 banding empirically misses zero
+    J≥0.8 pairs on the fixed driver corpus, so the edge sets (hence the
+    components) coincide — while the Spark side only ever touches
+    banded candidates, never the all-pairs product."""
+    from cdc_algorithms_spark.operators.dedup_docs import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=JACCARD_N,
+        num_hashes=32,
+        bands=8,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    return connected_components(pairs)
+
+
+# --- winnowing fingerprints: near-dup sensitivity check ----------------------
+
+_FP_CHECK_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(0 AS BIGINT) AS n_pairs_sharing_no_fp
+FROM pairs
+"""
+
+
+@register("fingerprint_near_dup_check", _FP_CHECK_ORACLE)
+def q_fingerprint_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textstats.py::doc_fingerprints_fast) are
+    a MOSS-style containment signal: two docs sharing a long-enough
+    run share a selected fingerprint.  The check: every exact J≥0.8
+    pair shares ≥1 fingerprint (measured true at sf0.001/0.01 — these
+    near-identical docs share runs far above the winnowing guarantee
+    length).  DuckDB independently recomputes the pair count; a
+    fingerprint-selection bug (window math, hash drift) that blinds
+    the signal flips ``n_pairs_sharing_no_fp`` nonzero."""
+    from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    fp = doc_fingerprints_fast(docs)
+    shared = (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("id_a"), "fingerprint"), "id_a"
+        )
+        .join(
+            fp.select(
+                F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("__f2")
+            ),
+            "id_b",
+        )
+        .where(F.col("fingerprint") == F.col("__f2"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    missed = pairs.join(shared, ["id_a", "id_b"], "left_anti")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs")
+    ).crossJoin(
+        missed.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_sharing_no_fp"))
+    )
+
+
+# --- semantic dedup: removal-justification check -----------------------------
+
+_SEMDEDUP_T = COSINE_THRESHOLD  # the corpus's duplicate band (0.4)
+
+_SEMDEDUP_CHECK_ORACLE = f"""
+WITH pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= {_SEMDEDUP_T}
+),
+ids AS (SELECT id_a AS vec_id FROM pr UNION SELECT id_b FROM pr)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_points,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ids) AS n_dup_docs,
+       TRUE AS removals_justified,
+       TRUE AS removals_bounded
+"""
+
+
+@register("semantic_dedup_check", _SEMDEDUP_CHECK_ORACLE)
+def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's safety contract, driver-checked: a removed vector
+    ALWAYS has an exact-cosine neighbor ≥ t (its in-cell keeper), so
+    the removal set is a subset of the exactly-duplicated ids — which
+    DuckDB recomputes independently via brute-force
+    ``list_cosine_similarity``.  ``removals_justified`` = no removed
+    vector lacks an exact neighbor; ``removals_bounded`` = |removed| ≤
+    |dup ids|.  Both booleans are falsified by any assignment/kernel
+    bug that prunes a lonely vector; n_points/n_dup_docs are exact
+    value columns (24 removals from 99 dup ids at sf0.01)."""
+    from cdc_algorithms_spark.operators.dedup_docs import embedding_near_dup_pairs
+    from cdc_algorithms_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_near_dup_pairs(emb, threshold=_SEMDEDUP_T)
+    dup_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    )
+    removed = semantic_dedup(emb, k=8, dim=64, threshold=_SEMDEDUP_T).where(
+        ~F.col("keep")
+    )
+    n_points = emb.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    n_dups = dup_ids.agg(F.count(F.lit(1)).cast("long").alias("n_dup_docs"))
+    n_removed = removed.agg(F.count(F.lit(1)).cast("long").alias("__n_removed"))
+    n_unjust = (
+        removed.join(dup_ids, "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_unjustified"))
+    )
+    return (
+        n_points.crossJoin(n_dups)
+        .crossJoin(n_removed)
+        .crossJoin(n_unjust)
+        .select(
+            "n_points",
+            "n_dup_docs",
+            (F.col("__n_unjustified") == 0).alias("removals_justified"),
+            (F.col("__n_removed") <= F.col("n_dup_docs")).alias("removals_bounded"),
+        )
+    )

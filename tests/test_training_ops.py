@@ -921,3 +921,122 @@ def test_release_cached_frames_reclaims_and_recomputes(spark):
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == first
     # idempotent
     assert dd.release_cached_frames() == 0
+
+
+# --- r04 additions: bloom membership, heavy hitters, dup-ngram coverage -----
+
+
+def test_r04_new_ops_match_oracle(spark):
+    for name in (
+        "dup_ngram_coverage",
+        "frequent_terms",
+        "bloom_decontamination_check",
+        "near_dup_clusters_lsh",
+        "fingerprint_near_dup_check",
+        "semantic_dedup_check",
+    ):
+        compare_with_oracle(spark, name, "/root/testdata/sf0.001")
+
+
+def test_bloom_filter_one_sided_error(spark):
+    """Every inserted key probes true (the Bloom guarantee); disjoint
+    keys stay under the sizing's FP budget."""
+    from cdc_algorithms_spark.operators.membership import build_bloom, probe_bloom
+
+    inserted = spark.range(0, 5_000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    other = spark.range(0, 5_000).select(
+        F.concat(F.lit("absent_"), F.col("id")).alias("k")
+    )
+    num_bits, num_hashes = 1 << 17, 7
+    bloom = build_bloom(inserted, "k", num_bits, num_hashes)
+    hits_in = probe_bloom(inserted, "k", bloom, num_bits, num_hashes)
+    assert hits_in.where(~F.col("might_contain")).count() == 0  # no false negatives
+    fp = probe_bloom(other, "k", bloom, num_bits, num_hashes).where(
+        F.col("might_contain")
+    ).count()
+    # k=7, n=5k, m=131072 -> per-key fp ~= (1-e^-0.267)^7 ~= 2e-5
+    assert fp <= 25, f"false-positive rate blew the sizing: {fp}/5000"
+
+
+def test_bloom_probe_plan_is_broadcast_and_jvm_only(spark):
+    """The probe side must see a broadcast of the one-row filter and no
+    Python stage — the whole point is a map-only expression probe."""
+    from cdc_algorithms_spark.operators.membership import build_bloom, probe_bloom
+
+    keys = spark.range(0, 100).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bloom = build_bloom(keys, "k", 1 << 12, 5)
+    plan = (
+        probe_bloom(keys, "k", bloom, 1 << 12, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_frequent_terms_partitioning_independent(spark):
+    """MG candidates vary with partitioning; the recounted OUTPUT must
+    not. Also: output equals the plain exact groupBy at the threshold."""
+    import random
+
+    from cdc_algorithms_spark.operators.frequency import frequent_terms
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    # skewed: w0..w4 heavy, the rest sparse
+    texts = []
+    for d in range(300):
+        toks = [f"w{rng.randrange(5)}" for _ in range(20)] + [
+            rng.choice(vocab) for _ in range(20)
+        ]
+        rng.shuffle(toks)
+        texts.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    phi = 0.01
+    out1 = {
+        (r.term, r.freq)
+        for r in frequent_terms(docs, phi=phi).collect()
+    }
+    out2 = {
+        (r.term, r.freq)
+        for r in frequent_terms(docs.repartition(13), phi=phi).collect()
+    }
+    assert out1 == out2 and out1
+    # exact reference: full groupBy (the shuffle the operator avoids)
+    import math
+
+    from cdc_algorithms_spark.functions.text import words
+
+    tokens = docs.select(F.explode(words("text")).alias("term"))
+    total = tokens.count()
+    exact = {
+        (r.term, r.freq)
+        for r in tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.col("freq") > math.floor(phi * total))
+        .collect()
+    }
+    assert out1 == exact
+
+
+def test_dup_ngram_coverage_planted(spark):
+    """A doc sharing its full text with another scores dup_rate 1.0; a
+    doc with unique text scores 0; a half-shared doc lands between."""
+    from cdc_algorithms_spark.operators.dedup_docs import dup_ngram_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    unique = "one lonely sentence about nothing in particular here"
+    half = shared + " iota kappa lambda mu nu xi omicron pi rho sigma"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique), (4, half)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_ngram_coverage(docs, n=5).collect()}
+    assert rows[1].dup_rate == 1.0 and rows[2].dup_rate == 1.0
+    assert rows[3].dup_rate == 0.0
+    assert 0.0 < rows[4].dup_rate < 1.0
+    # every doc's counts are internally consistent
+    for r in rows.values():
+        assert 0 <= r.n_dup_ngrams <= r.n_ngrams
