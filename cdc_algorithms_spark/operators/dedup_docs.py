@@ -275,11 +275,16 @@ def incremental_jaccard_pairs(
 
     The document-level analog of operators/ingest.py: once the corpus is
     deduplicated, each arriving batch only needs pairs involving its own
-    documents, so the candidate join probes the (small) batch prefix
-    against the full prefix index — at 100 TB that turns the quadratic
-    re-dedup of the whole corpus into work proportional to the batch.
-    Shingle document frequencies (the rarest-first prefix ordering) are
-    computed over corpus ∪ batch, so results equal the pairs-touching-
+    documents, so the CANDIDATE JOIN probes the (small) batch prefix
+    against the full prefix index — never corpus-vs-corpus. The
+    quadratic work is batch-proportional; the shingle document
+    frequencies (the rarest-first prefix ordering) are NOT — this
+    variant recomputes them over corpus ∪ batch on every call, a full
+    corpus re-aggregation that is fine for one-shot jobs but wrong for
+    a standing 100 TB pipeline. For that, build
+    :func:`jaccard_prefix_index` once and probe it with
+    :func:`incremental_jaccard_pairs_indexed` (identical results, no
+    corpus-side aggregate per batch). Results equal the pairs-touching-
     batch subset of ``ngram_jaccard_pairs`` over the union (the oracle
     states exactly that).
 
@@ -303,6 +308,130 @@ def incremental_jaccard_pairs(
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
         )
         .distinct()
+    )
+    return _verify_pairs(sets, candidates, threshold)
+
+
+def jaccard_prefix_index(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Persistable exact-Jaccard corpus index — the batch-proportional
+    answer to :func:`incremental_jaccard_pairs`'s per-call corpus
+    re-aggregation (the document-level mirror of ingest.py's
+    ``chunk_index``). Three frames, each written ONCE per corpus:
+
+    * ``df_index`` — ``(shingle, df)`` corpus document frequencies: the
+      FROZEN rarest-first total order every future batch probes. The
+      prefix-filter theorem (see :func:`ngram_jaccard_pairs`) holds for
+      ANY fixed total order of shingles — rarest-first is only the
+      pruning heuristic — so freezing the corpus-time order keeps the
+      incremental result EXACT while batches merely probe.
+    * ``sets_index`` — ``(doc_id, sh, sz)`` per-doc rarest-first shingle
+      arrays: the verification side (only candidate ids are ever read).
+    * ``prefix_index`` — ``(doc_id, shingle)`` exploded prefixes: the
+      candidate-join build side. At 100 TB write it bucketed by
+      ``shingle`` so batch probes co-locate without reshuffling it.
+
+    A corpus doc contains no shingle outside ``df_index`` (by
+    construction), so its build-time prefix equals its prefix under any
+    extension of the order to unseen shingles — batch-time ordering
+    (``df`` absent → 0, i.e. new shingles are rarest) extends, never
+    contradicts, the frozen order.
+    """
+    sh = doc_shingles(corpus, n, id_col, text_col)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.col("ord.shingle").alias("sh"),
+            F.size("ord").alias("sz"),
+        )
+    )
+    sets = _persist(sets)
+    prefix = sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
+        ).alias("shingle"),
+    )
+    return df_counts, sets, prefix
+
+
+def incremental_jaccard_pairs_indexed(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact incremental near-dup against a persisted
+    :func:`jaccard_prefix_index` — Jaccard pairs touching the NEW batch
+    only, with NO corpus-side aggregate in the probe plan: the batch's
+    shingles look up their frozen rank in ``df_index`` (hash join), the
+    batch's prefixes join ``prefix_index`` ∪ their own explode, and
+    verification semi-joins ``sets_index`` down to candidate ids first.
+    Work at 100 TB is proportional to the batch plus index lookups.
+
+    Results equal :func:`incremental_jaccard_pairs` over (corpus,
+    batch) exactly: candidates under the frozen order are a different
+    superset, but exact verification decides membership (same oracle).
+
+    ``id_col`` values must be disjoint between corpus and batch.
+    """
+    df_index, sets_index, prefix_index = index
+    batch_sh = doc_shingles(batch, n, id_col, text_col)
+    # frozen-order rank: corpus df, or 0 (rarest) for never-seen
+    # shingles — an ORDER-EXTENSION, so corpus-time prefixes stay valid
+    ranked = batch_sh.join(df_index, "shingle", "left").select(
+        "doc_id", "shingle", F.coalesce("df", F.lit(0)).alias("df")
+    )
+    batch_sets = _persist(
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.col("ord.shingle").alias("sh"),
+            F.size("ord").alias("sz"),
+        )
+    )
+    batch_prefix = batch_sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
+        ).alias("shingle"),
+    )
+    all_prefix = prefix_index.unionByName(batch_prefix)
+    a = batch_prefix.alias("a")
+    b = all_prefix.alias("b")
+    # persisted: candidates feed four consumers (two id-union sides and
+    # two verify joins) — without it each re-executes the prefix join,
+    # re-scanning the corpus-sized prefix_index per consumer
+    candidates = _persist(
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sets_index.select("doc_id", "sh")
+        .unionByName(batch_sets.select("doc_id", "sh"))
+        .join(cand_ids, "doc_id", "left_semi")
     )
     return _verify_pairs(sets, candidates, threshold)
 

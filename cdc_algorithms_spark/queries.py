@@ -804,9 +804,13 @@ def q_duplicated_spans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash_match == true rows in CORRECTNESS_r01.json (driver DuckDB oracle, sf0.01)
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "ae_concat_check",
+    "ae_tiling_check",
     "ann_bruteforce_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
     "asof_last_view_before_purchase",
     "benchmark_decontamination",
+    "bloom_decontamination_check",
     "boilerplate_chunks",
     "brand_volume",
     "cdc_apply_check",
@@ -815,16 +819,20 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "chunk_len_median_udaf",
     "chunk_overlap_pairs_fixed",
     "chunk_size_histogram_fixed",
+    "chunk_version_matrix_fixed",
     "curation_pipeline",
     "customer_balance_quartiles",
     "customers_no_1995_order",
     "dedup_cluster_reps",
     "dedup_components",
+    "dedup_sketch_report_fixed",
     "dedup_stats_by_lang",
     "doc_table_diff",
     "docs_grouping_sets",
     "docs_rollup",
+    "dup_ngram_coverage",
     "duplicated_spans_fixed",
+    "embedding_clusters",
     "embedding_near_dup",
     "events_cube",
     "events_hourly_locf",
@@ -834,23 +842,32 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_variant_stats",
     "exact_dedup_docs",
     "fastcdc_concat_check",
+    "fastcdc_tiling_check",
+    "fingerprint_near_dup_check",
     "fixed_chunks",
     "fixed_dedup_stats",
+    "frequent_terms",
     "incremental_ingest_stats",
     "incremental_jaccard_pairs",
+    "incremental_minhash_pairs",
     "lang_marker_hits",
     "language_id",
     "lm_bigram_scores",
     "media_frame_counts",
     "media_resized_summary",
     "media_summary",
+    "minhash_lsh_pairs",
     "mixture_plan_by_source",
+    "mixture_temperature_weights",
     "monthly_order_stats",
+    "near_dup_clusters_lsh",
     "ngram_jaccard_pairs",
     "order_pairs_within_30d",
     "orders_above_global_avg",
     "parallel_ae_concat_check",
+    "parallel_ae_tiling_check",
     "parallel_rabin_concat_check",
+    "parallel_rabin_tiling_check",
     "part_metrics_unpivot",
     "parts_shipped_1998_semi",
     "pii_scrub_docs",
@@ -882,16 +899,20 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "quality_band_by_lang",
     "quality_scores",
     "rabin_concat_check",
+    "rabin_tiling_check",
     "reconstruct_docs_check",
     "repetition_ratios",
     "rolling_7d_user_value",
     "salted_user_segment_join",
+    "semantic_dedup_check",
     "sequence_packing_by_lang",
     "sequence_packing_plan",
     "shuffled_corpus_order",
     "sliding_event_value",
+    "snapshot_diff_ae_conservation",
     "snapshot_diff_fixed",
     "sql_frontend_pricing_summary",
+    "store_gc_plan_fixed",
     "stratified_sample_docs",
     "streaming_change_feed",
     "streaming_decontamination",
@@ -901,13 +922,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_ingest_novelty",
     "streaming_novel_chunks_by_lang",
     "streaming_purchases_by_nation",
+    "streaming_sketch_unique_estimate",
     "streaming_stateful_ae_concat_check",
+    "streaming_stateful_ae_tiling_check",
     "streaming_sync_totals",
     "streaming_unique_chunks_stats",
     "streaming_user_sessions",
     "streaming_view_purchase_conversions",
     "streaming_windowed_event_counts",
     "suppliers_above_nation_avg",
+    "sync_plan_budgeted_fixed",
     "sync_plan_fixed",
     "text_cleaning",
     "tfidf_top_terms",

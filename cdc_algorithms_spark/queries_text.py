@@ -1566,6 +1566,35 @@ def q_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_jaccard_pairs_indexed", _INCR_JACCARD_ORACLE)
+def q_incremental_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental near-dup through the PERSISTED-index path
+    (operators/dedup_docs.py::jaccard_prefix_index +
+    incremental_jaccard_pairs_indexed): the batch probes a frozen
+    corpus-time rarest-first order instead of re-aggregating shingle
+    document frequencies over corpus ∪ batch per call. Same oracle as
+    incremental_jaccard_pairs — the frozen order changes only the
+    candidate superset, and exact verification decides membership.
+    The no-corpus-aggregate probe shape (index read from parquet) is
+    pinned in tests/test_plans.py."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs_indexed,
+        jaccard_prefix_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    index = jaccard_prefix_index(
+        docs.where(F.col("doc_id") % 3 != 0), n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return incremental_jaccard_pairs_indexed(
+        index,
+        docs.where(F.col("doc_id") % 3 == 0),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 @register("incremental_minhash_pairs", _INCR_JACCARD_ORACLE)
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate incremental near-dup (operators/dedup_docs.py::

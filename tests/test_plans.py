@@ -447,3 +447,49 @@ def test_capped_lsh_broadcasts_the_oversized_buckets(spark):
         for cols in P.window_partition_columns(df)
     )
     dd.release_cached_frames()
+
+
+def test_indexed_incremental_probe_never_rescans_corpus(spark, tmp_path):
+    """The batch-proportional exact incremental path: with the
+    jaccard_prefix_index MATERIALIZED (parquet, as a 100 TB pipeline
+    would persist it), the probe plan must read only the index files
+    and the batch — the corpus text is never re-scanned and the shingle
+    document frequencies are never re-aggregated per batch (the
+    per-call corpus∪batch re-aggregation is exactly what the
+    non-indexed variant is documented NOT to solve)."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    # the batch arrives as NEW data (a local frame here, a fresh ingest
+    # table in production) — so any documents.parquet scan in the probe
+    # plan can only be an illegal corpus re-read
+    batch = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in
+         docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text").collect()],
+        "doc_id long, text string",
+    )
+    idx = dd.jaccard_prefix_index(corpus, n=3, threshold=0.8)
+    names = ("df", "sets", "prefix")
+    for name, frame in zip(names, idx):
+        frame.write.parquet(str(tmp_path / name))
+    stored = tuple(spark.read.parquet(str(tmp_path / n)) for n in names)
+    probe = dd.incremental_jaccard_pairs_indexed(
+        stored, batch, n=3, threshold=0.8
+    )
+    plan = P.physical_plan(probe)
+    doc_scans = [
+        line for line in plan.splitlines() if "documents.parquet" in line
+    ]
+    assert not doc_scans, f"probe re-scans the corpus: {doc_scans}"
+    assert str(tmp_path / "prefix") in plan and str(tmp_path / "df") in plan
+    # results equal the non-indexed exact path
+    expect = sorted(
+        dd.incremental_jaccard_pairs(corpus, batch, n=3, threshold=0.8)
+        .collect()
+    )
+    got = sorted(probe.collect())
+    assert got == expect
+    dd.release_cached_frames()
