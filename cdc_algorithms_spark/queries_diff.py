@@ -186,6 +186,96 @@ def snapshot_diff_ae_conservation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# The second AE-diff invariant family (after conservation): snapshot_diff
+# keys on (src_id, chunk identity), and AE cuts are a pure function of the
+# document's bytes — so a document the perturbation does NOT touch
+# (doc_id % 10 ∉ {0, 5}) must diff as ALL-unchanged with stable
+# multiplicities, and every deleted/inserted identity must belong to a
+# touched document. These are mathematical guarantees, not empirical
+# ones; DuckDB independently computes the touched/untouched byte split.
+
+_DIFF_AE_LOCALIZATION_ORACLE = f"""
+WITH new_docs AS ({PERTURB_SQL})
+SELECT
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+    WHERE doc_id % 10 NOT IN (0, 5)) AS untouched_bytes,
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+    WHERE doc_id % 10 IN (0, 5)) AS touched_old_bytes,
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM new_docs
+    WHERE doc_id % 10 IN (0, 5)) AS touched_new_bytes,
+  TRUE AS changes_localized,
+  TRUE AS untouched_old_conserved,
+  TRUE AS untouched_new_conserved
+"""
+
+
+@register("snapshot_diff_ae_localization_check", _DIFF_AE_LOCALIZATION_ORACLE)
+def snapshot_diff_ae_localization_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Localization invariants of the AE snapshot diff:
+    ``changes_localized`` — no deleted/inserted chunk identity on an
+    untouched source; ``untouched_*_conserved`` — occurrence-weighted
+    unchanged bytes over untouched sources equal their corpus bytes on
+    BOTH sides (so untouched docs also have n_old == n_new everywhere).
+    A chunker that is nondeterministic across calls or partitions, or a
+    diff that misclassifies an identity, breaks one of the booleans;
+    the three byte columns are exact values DuckDB recomputes."""
+    from cdc_algorithms_spark.operators.diff import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = cdc_chunks(docs, "ae", 320)
+    new = cdc_chunks(perturb_documents(docs), "ae", 320)
+    d = snapshot_diff(old, new)
+    touched = F.col("src_id") % 10 == 0
+    touched = touched | (F.col("src_id") % 10 == 5)
+    agg = d.agg(
+        F.sum(
+            F.when(~touched, F.col("n_old") * F.col("chunk_bytes")).otherwise(0)
+        ).cast("long").alias("__u_old"),
+        F.sum(
+            F.when(~touched, F.col("n_new") * F.col("chunk_bytes")).otherwise(0)
+        ).cast("long").alias("__u_new"),
+        F.sum(
+            (~touched & (F.col("status") != "unchanged")).cast("long")
+        ).cast("long").alias("__n_leaked"),
+        F.sum(
+            (~touched & (F.col("n_old") != F.col("n_new"))).cast("long")
+        ).cast("long").alias("__n_unstable"),
+    )
+    sizes = (
+        docs.select(
+            F.sum(F.when(~(
+                (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 5)
+            ), F.col("n_chars")).otherwise(0)).cast("long").alias("untouched_bytes"),
+            F.sum(F.when(
+                (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 5),
+                F.col("n_chars"),
+            ).otherwise(0)).cast("long").alias("touched_old_bytes"),
+        )
+    ).crossJoin(
+        perturb_documents(docs).agg(
+            F.sum(F.when(
+                (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 5),
+                F.col("n_chars"),
+            ).otherwise(0)).cast("long").alias("touched_new_bytes")
+        )
+    )
+    return sizes.crossJoin(agg).select(
+        "untouched_bytes",
+        "touched_old_bytes",
+        "touched_new_bytes",
+        (F.col("__n_leaked") == 0).alias("changes_localized"),
+        (
+            (F.col("__u_old") == F.col("untouched_bytes"))
+            & (F.col("__n_unstable") == 0)
+        ).alias("untouched_old_conserved"),
+        (F.col("__u_new") == F.col("untouched_bytes")).alias(
+            "untouched_new_conserved"
+        ),
+    )
+
+
 # --- doc-level table CDC -----------------------------------------------------
 # Row-level change capture between snapshots (operators/diff.py::
 # table_diff): the feed an incremental pipeline keys on to re-process

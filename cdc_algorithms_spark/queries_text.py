@@ -814,6 +814,9 @@ def q_chunk_overlap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("chunk_overlap_pairs_ae")
 def q_chunk_overlap_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by construction (AE cut positions aren't
+    SQL-expressible); the operator's contract is oracle-checked by
+    chunk_overlap_ae_clone_check below."""
     from cdc_algorithms_spark.operators.chunking import cdc_chunks
     from cdc_algorithms_spark.operators.dedup_docs import chunk_overlap_pairs
 
@@ -823,6 +826,56 @@ def q_chunk_overlap_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_overlap_pairs(
         cdc_chunks(docs, "ae", 320),
         threshold=0.3,
+    )
+
+
+# Clone-id offset far above any generator doc_id (same constant as
+# queries_diff's doc_table_diff — see the collision note there).
+_CLONE_OFFSET = 1 << 40
+
+_OVERLAP_AE_CLONE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clone_pairs,
+       CAST(0 AS BIGINT) AS n_clone_pairs_missing,
+       CAST(0 AS BIGINT) AS n_clone_pairs_inexact
+FROM documents WHERE doc_id % 13 = 1
+"""
+
+
+@register("chunk_overlap_ae_clone_check", _OVERLAP_AE_CLONE_ORACLE)
+def q_chunk_overlap_ae_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle conversion for chunk_overlap_pairs_ae: AE cuts are a
+    pure function of document BYTES, so a corpus extended with verbatim
+    clones (doc_id %13==1, id+2^40) must emit every (original, clone)
+    pair with chunk-set jaccard EXACTLY 1.0 — a mathematical guarantee,
+    not an empirical one. DuckDB independently counts the planted
+    clones; any id-dependence, nondeterminism, or partition-dependence
+    in the chunker, and any identity/jaccard bug in
+    chunk_overlap_pairs, surfaces as a missing or inexact clone pair."""
+    from cdc_algorithms_spark.operators.chunking import cdc_chunks
+    from cdc_algorithms_spark.operators.dedup_docs import chunk_overlap_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    clones = docs.where(F.col("doc_id") % 13 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_CLONE_OFFSET)
+    )
+    ov = chunk_overlap_pairs(
+        cdc_chunks(docs.unionByName(clones), "ae", 320), threshold=0.3
+    )
+    expected = docs.where(F.col("doc_id") % 13 == 1).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(_CLONE_OFFSET)).alias("id_b"),
+    )
+    got = expected.join(ov, ["id_a", "id_b"], "left").select("id_a", "jaccard")
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone_pairs"),
+        F.sum(F.col("jaccard").isNull().cast("long"))
+        .cast("long")
+        .alias("n_clone_pairs_missing"),
+        F.sum(
+            (F.coalesce(F.abs(F.col("jaccard") - 1.0), F.lit(0.0)) > 1e-9).cast("long")
+        )
+        .cast("long")
+        .alias("n_clone_pairs_inexact"),
     )
 
 
@@ -1826,6 +1879,80 @@ def q_fingerprint_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         missed.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_sharing_no_fp"))
     )
+
+
+# --- simhash: signal-quality + banding-completeness check --------------------
+
+_SIMHASH_RECALL_HAMMING = 16  # measured max over exact J>=0.8 pairs: 11
+                              # (sf0.001); 5 (sf0.01). Random/broken
+                              # fingerprints center at 32 on 64 bits.
+
+_SIMHASH_CHECK_ORACLE = f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(0 AS BIGINT) AS n_pairs_beyond_hamming,
+       CAST(0 AS BIGINT) AS n_banding_missed
+FROM pairs
+"""
+
+
+@register("simhash_near_dup_check", _SIMHASH_CHECK_ORACLE)
+def q_simhash_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash oracle conversion (the fingerprint itself is
+    hash-seeded, so DuckDB can't recompute it — but its CONTRACT is
+    checkable): (a) signal quality — every exact J≥0.8 pair, which
+    DuckDB recomputes independently, sits within Hamming 16 of 64 bits
+    (measured max 11; a seeding/window/vote bug randomizes fingerprints
+    toward the binomial center of 32 and trips this loudly); (b)
+    banding completeness — the 4×16-bit pigeonhole join of
+    simhash_pairs (operators/dedup_docs.py) finds EVERY pair within
+    Hamming ≤ 3, verified against a brute-force fingerprint self-join.
+    The O(n²) self-join is CHECK APPARATUS at driver scale, not the
+    production path (which is the banded join)."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fps = simhash_fingerprints(docs)
+    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
+    ham = F.expr("bit_count(__fa ^ __fb)")
+    exact = ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    recall = (
+        exact.join(fa, "id_a")
+        .join(fb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+            F.sum((ham > _SIMHASH_RECALL_HAMMING).cast("long"))
+            .cast("long")
+            .alias("n_pairs_beyond_hamming"),
+        )
+    )
+    brute = (
+        fa.crossJoin(fb)
+        .where((F.col("id_a") < F.col("id_b")) & (ham <= 3))
+        .select("id_a", "id_b")
+    )
+    banded = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    missed = brute.join(banded, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_banding_missed")
+    )
+    return recall.crossJoin(missed)
 
 
 # --- semantic dedup: removal-justification check -----------------------------
