@@ -207,3 +207,60 @@ def streaming_novel_chunks_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return run_staged_stream(spark, stages, build, output_mode="complete")
+
+
+# --- streaming near-dup index maintenance ------------------------------------
+# Ingest → near-dup-index → dedup as one continuous pipeline
+# (streaming/near_dup.py): the batch docs (doc_id % 3 == 0) arrive in 3
+# micro-batches, each probing the persisted MinHash band index seeded
+# from the corpus and extending it. The converged pair set must equal
+# the one-shot incremental join — the same exact-Jaccard oracle as
+# incremental_jaccard_pairs — no matter how the stream is batched.
+
+
+from cdc_algorithms_spark.queries_text import _INCR_JACCARD_ORACLE
+
+
+@register("streaming_near_dup_index", _INCR_JACCARD_ORACLE)
+def streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence oracle: the accumulated streaming pair set equals
+    the EXACT Jaccard pairs touching the streamed docs — valid for the
+    same reason incremental_minhash_pairs shares this oracle
+    (verification makes precision exact; the 32/8 banding misses zero
+    J≥0.8 pairs on the driver corpus), plus the find-once argument in
+    streaming/near_dup.py for cross-micro-batch pairs."""
+    import tempfile
+
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+    )
+    from cdc_algorithms_spark.streaming.near_dup import (
+        run_streaming_near_dup_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    incoming = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    stages = [incoming.where(F.col("doc_id") % 9 == 3 * i) for i in range(3)]
+    workdir = tempfile.mkdtemp(prefix="cdc_neardup_store_")
+    try:
+        result = run_streaming_near_dup_index(
+            spark,
+            corpus,
+            stages,
+            workdir,
+            n=JACCARD_N,
+            num_hashes=32,
+            bands=8,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket=LSH_MAX_BUCKET,
+        )
+        rows = result.collect()  # small pair frame; outlives the tempdir
+        schema = result.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

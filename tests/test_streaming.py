@@ -621,3 +621,40 @@ def test_sync_store_listing_ignores_stray_entries(spark, tmp_path):
     # and the current batch's own subdir is excluded on replay paths
     listed2 = _list_store_subdirs(spark, store_dir, exclude="batch_0")
     assert all(not p.endswith("batch_0") for p in listed2)
+
+
+def test_streaming_near_dup_index_is_batching_invariant(spark, tmp_path):
+    """The maintained near-dup index must converge to the one-shot
+    incremental result regardless of micro-batching: 1-stage and
+    3-stage runs produce the same pair set, equal to
+    incremental_minhash_pairs over (corpus, all-batches-at-once)."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_minhash_pairs,
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.streaming.near_dup import (
+        run_streaming_near_dup_index,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    incoming = docs.where(F.col("doc_id") % 3 == 0)
+
+    def run(stages, wd):
+        out = run_streaming_near_dup_index(
+            spark, corpus, stages, str(tmp_path / wd),
+            n=3, num_hashes=32, bands=8, threshold=0.8,
+        )
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in out.collect())
+
+    three = run([incoming.where(F.col("doc_id") % 9 == 3 * i) for i in range(3)], "w3")
+    one = run([incoming], "w1")
+    oneshot = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            corpus, incoming, n=3, num_hashes=32, bands=8, threshold=0.8
+        ).collect()
+    )
+    assert three == one == oneshot
+    assert len(three) > 0
+    release_cached_frames()
