@@ -116,7 +116,10 @@ def _ae_find_cut(arr: np.ndarray, s: int, n: int, w: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-_RABIN_BLOCK = 1 << 18  # 256 Ki elements → scratch fits in L2/L3
+_RABIN_BLOCK = 1 << 15  # 32 Ki elements → scratch stays L2-resident
+                        # (same finding as _GEAR_BLOCK below: the old
+                        # 256 Ki "fits in L2/L3" blocks measured 84 MB/s
+                        # vs 95 at 32 Ki on random 64 MiB)
 
 
 def _rabin_hit_candidates(arr: np.ndarray, p: RabinParams) -> np.ndarray:
