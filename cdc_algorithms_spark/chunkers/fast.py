@@ -62,6 +62,18 @@ def _ae_scan(data, p: AeParams, final: bool) -> list[int]:
     n = arr.size
     if n == 0:
         return []
+    from cdc_algorithms_spark.chunkers.native import ae_scan_native
+
+    native = ae_scan_native(arr, p, final)
+    if native is not None:
+        return native
+    return _ae_scan_numpy(arr, p, final)
+
+
+def _ae_scan_numpy(arr: np.ndarray, p: AeParams, final: bool) -> list[int]:
+    n = arr.size
+    if n == 0:
+        return []
     w = p.window_size
     cuts: list[int] = []
     s = 0
@@ -237,6 +249,18 @@ def _rabin_scan(data, p: RabinParams, final: bool) -> list[int]:
     n = arr.size
     if n == 0:
         return []
+    from cdc_algorithms_spark.chunkers.native import rabin_scan_native
+
+    native = rabin_scan_native(arr, p, final)
+    if native is not None:
+        return native
+    return _rabin_scan_numpy(arr, p, final)
+
+
+def _rabin_scan_numpy(arr: np.ndarray, p: RabinParams, final: bool) -> list[int]:
+    n = arr.size
+    if n == 0:
+        return []
     cand = _rabin_hit_candidates(arr, p)
 
     cuts: list[int] = []
@@ -356,6 +380,22 @@ def fastcdc_bounds(data, p: FastCdcParams) -> list[int]:
 
 
 def _fastcdc_scan(data, p: FastCdcParams, final: bool) -> list[int]:
+    arr = _as_array(data)
+    n = arr.size
+    if n == 0:
+        return []
+    # compiled rolling-hash path when a system compiler exists (~8× the
+    # numpy scan; bit-identical — golden cuts + property tests pin it);
+    # falls through to the numpy formulation otherwise
+    from cdc_algorithms_spark.chunkers.native import fastcdc_scan_native
+
+    native = fastcdc_scan_native(arr, p, final)
+    if native is not None:
+        return native
+    return _fastcdc_scan_numpy(data, p, final)
+
+
+def _fastcdc_scan_numpy(data, p: FastCdcParams, final: bool) -> list[int]:
     arr = _as_array(data)
     n = arr.size
     if n == 0:

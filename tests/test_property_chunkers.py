@@ -101,3 +101,29 @@ def test_shift_invariance_resync(algo, data, prefix):
     assert {c for c in base if c >= tail_from} == {
         c for c in shifted if c >= tail_from
     }
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+@given(data=payload, expected=st.sampled_from([256, 512, 4096, 16384]))
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_native_equals_numpy(algo, data, expected):
+    """The optional compiled scans (chunkers/native.py) and the numpy
+    formulations must produce identical cuts for both the final-cut and
+    bounds variants; skips when no compiler exists (then the numpy path
+    is the only one and the core-equality tests above cover it)."""
+    import numpy as np
+
+    import cdc_algorithms_spark.chunkers.native as native
+
+    if algo == "ae" and expected == 256:
+        expected = 512  # AE's reference window formula needs expected > 256
+    p = make_params(algo, expected, 1)
+    arr = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, np.uint8)
+    native_fn = getattr(native, f"{algo}_scan_native")
+    numpy_fn = getattr(fast, f"_{algo}_scan_numpy")
+    for final in (True, False):
+        got = native_fn(arr, p, final)
+        if got is None:
+            pytest.skip("no system compiler — numpy fallback is the only path")
+        want = numpy_fn(arr, p, final)
+        assert got == want

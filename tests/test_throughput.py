@@ -27,10 +27,35 @@ _MB = len(_DATA) / 2**20
 )
 def test_chunker_throughput_floor(algo, floor_mbps):
     p = make_params(algo, 16384, 1)
-    fn = getattr(fast, f"{algo}_cuts")
-    fn(_DATA[: 1 << 20], p)  # warm scratch allocations
+    fn = getattr(fast, f"_{algo}_scan_numpy")
+    arr = np.frombuffer(_DATA, dtype=np.uint8)
+    fn(arr[: 1 << 20], p, True)  # warm scratch allocations
     t0 = time.monotonic()
-    cuts = fn(_DATA, p)
+    cuts = fn(arr, p, True)
+    mbps = _MB / (time.monotonic() - t0)
+    assert cuts, "no cuts produced"
+    assert mbps >= floor_mbps, f"{algo}: {mbps:.0f} MB/s < floor {floor_mbps}"
+
+
+@pytest.mark.parametrize(
+    "algo,floor_mbps",
+    [("ae", 400.0), ("rabin", 200.0), ("fastcdc", 400.0)],
+)
+def test_native_kernel_throughput_floor(algo, floor_mbps):
+    """Floors for the compiled scan path (chunkers/native.py; measured
+    AE ~1.4, Rabin ~0.65, FastCDC ~1.5 GB/s on random 256 MiB) — 2-3×
+    headroom for scheduler noise. Skipped where no system compiler
+    exists (the numpy floors above still gate the fallback)."""
+    from cdc_algorithms_spark.chunkers import native
+
+    if native._load() is None:
+        pytest.skip("no system compiler — native path unavailable")
+    p = make_params(algo, 16384, 1)
+    fn = getattr(native, f"{algo}_scan_native")
+    arr = np.frombuffer(_DATA, dtype=np.uint8)
+    fn(arr[: 1 << 20], p, True)  # warm: compile + load once
+    t0 = time.monotonic()
+    cuts = fn(arr, p, True)
     mbps = _MB / (time.monotonic() - t0)
     assert cuts, "no cuts produced"
     assert mbps >= floor_mbps, f"{algo}: {mbps:.0f} MB/s < floor {floor_mbps}"
