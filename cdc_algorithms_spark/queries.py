@@ -951,6 +951,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "snapshot_diff_ae_localization_check",
+    "chunk_overlap_ae_clone_check",
+    "incremental_jaccard_pairs_indexed",
+    "simhash_near_dup_check",
+    "streaming_near_dup_index",
     "mixture_temperature_weights",
     "dedup_sketch_report_fixed",
     "snapshot_diff_ae_conservation",
@@ -996,11 +1001,6 @@ _VERIFY_WINDOW: list[str] = [
     "udtf_ae_concat_check",
     "incremental_jaccard_pairs",
     "streaming_unique_chunks_stats",
-    "streaming_event_type_counts",
-    "streaming_windowed_event_counts",
-    "streaming_user_sessions",
-    "streaming_purchases_by_nation",
-    "streaming_decontamination",
 ]
 
 
