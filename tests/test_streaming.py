@@ -658,3 +658,43 @@ def test_streaming_near_dup_index_is_batching_invariant(spark, tmp_path):
     assert three == one == oneshot
     assert len(three) > 0
     release_cached_frames()
+
+
+def test_near_dup_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a near-dup micro-batch with the same batch_id (the
+    at-least-once recovery path) must produce the identical pair set,
+    band index, and doc store — and must NOT see its own half-written
+    first attempt as pre-existing corpus (which would suppress every
+    batch-vs-batch pair as 'already indexed')."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        minhash_band_index,
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.streaming.near_dup import near_dup_batch
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    index_dir = str(tmp_path / "band_index")
+    docs_dir = str(tmp_path / "docs")
+    pairs_dir = str(tmp_path / "pairs")
+    minhash_band_index(corpus, 3, 32, 8).write.parquet(index_dir + "/seed")
+    corpus.write.parquet(docs_dir + "/seed")
+
+    def state():
+        pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spark.read.parquet(pairs_dir + "/*").collect()
+        )
+        return (
+            pairs,
+            spark.read.parquet(index_dir + "/*").count(),
+            spark.read.parquet(docs_dir + "/*").count(),
+        )
+
+    near_dup_batch(spark, batch, index_dir, docs_dir, pairs_dir, 0, n=3)
+    first = state()
+    assert first[0], "no pairs found — fixture drift"
+    near_dup_batch(spark, batch, index_dir, docs_dir, pairs_dir, 0, n=3)
+    assert state() == first, "replay changed pairs/index/store"
+    release_cached_frames()
