@@ -951,6 +951,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "split_assignment_summary",
+    "split_leakage_pairs",
+    "cluster_safe_split_check",
     "snapshot_diff_ae_localization_check",
     "chunk_overlap_ae_clone_check",
     "incremental_jaccard_pairs_indexed",
@@ -998,9 +1001,6 @@ _VERIFY_WINDOW: list[str] = [
     "text_cleaning",
     "sequence_packing_by_lang",
     "shuffled_corpus_order",
-    "udtf_ae_concat_check",
-    "incremental_jaccard_pairs",
-    "streaming_unique_chunks_stats",
 ]
 
 
