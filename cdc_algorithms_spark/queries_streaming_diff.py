@@ -136,7 +136,11 @@ def streaming_sync_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="cdc_sync_store_")
     try:
         result = run_incremental_sync(spark, old, stages, workdir)
-        # materialize before the store dirs vanish
+        # materialize before the store dirs vanish — safe to collect:
+        # run_incremental_sync returns GLOBAL TOTALS (a fixed handful of
+        # aggregate rows, independent of corpus size), never per-chunk
+        # rows; a corpus-proportional result would have to be written
+        # out instead (sinks.py) before the tempdir cleanup
         rows = result.collect()
     finally:
         import shutil
