@@ -1,0 +1,50 @@
+"""bench.py contract-line budget: the driver records only the LAST
+2000 bytes of stdout, so the one JSON line (plus newline) must fit or
+its head is truncated and the round's bench artifact parses as null
+(this silently happened when the headline grew to 72 entries — the
+emit ladder dropped the whole per-query map). These tests pin the
+budget against the CURRENT headline set so the failure mode is a red
+test at the commit that adds query 71+, not a missing artifact."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _line_for(values: dict[str, float]) -> str:
+    return bench.format_contract_line(values, sum(values.values()), 0.1)
+
+
+def _worst_case_values() -> dict[str, float]:
+    # every entry at 4 value-chars ("9.99"): the widest a sane sf0.1
+    # timing gets (the 2x acceptance band tops out near 6.5 s)
+    return {name: 9.99 for name in bench.HEADLINE}
+
+
+def test_contract_line_fits_driver_tail_at_full_precision():
+    line = _line_for(_worst_case_values())
+    payload = json.loads(line)
+    assert len(line) + 1 <= 2000
+    # and WITHOUT the 1-decimal fallback: per-query 2-decimal precision
+    # is what the per-pin 2x-band audit reads
+    assert payload["queries"] == {n: 9.99 for n in bench.HEADLINE}
+
+
+def test_contract_line_ladder_never_overflows():
+    # pathological values (hour-long entries) may legitimately shrink
+    # precision or drop the map, but the line must ALWAYS fit
+    huge = {name: 8675.3091 for name in bench.HEADLINE}
+    line = _line_for(huge)
+    assert len(line) + 1 <= 2000
+    assert json.loads(line)["metric"] == "headline_queries_total"
+
+
+def test_headline_entries_all_registered_and_pinned():
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in SPARK_QUERIES]
+    assert not missing, f"headline not in registry: {missing}"
+    unpinned = [q for q in bench.HEADLINE if q not in bench.BASELINE_SF01]
+    assert not unpinned, f"headline without sf0.1 pin: {unpinned}"
