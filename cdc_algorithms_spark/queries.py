@@ -989,6 +989,7 @@ _VERIFY_WINDOW: list[str] = [
     "cdc_apply_check",
     "media_summary",
     "media_frame_counts",
+    "media_features_check",
     "udtf_fixed_chunks",
     "dedup_components",
     "stratified_sample_docs",
@@ -1000,7 +1001,6 @@ _VERIFY_WINDOW: list[str] = [
     "sequence_packing_plan",
     "text_cleaning",
     "sequence_packing_by_lang",
-    "shuffled_corpus_order",
 ]
 
 

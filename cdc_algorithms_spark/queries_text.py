@@ -453,6 +453,93 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+# Invariant twin for the rows-only media_features (r04 pattern — e.g.
+# semantic_dedup_check): the feature VALUES come from an Arrow UDF the
+# oracle can't run, but the stub's definition (bucketed byte means / 255
+# over np.array_split buckets) admits an EXACT independent audit: the
+# bucket-size-weighted feature sum × 255 must reconstruct the payload's
+# byte sum, which Spark recomputes WITHOUT the UDF (codepoint sum over
+# the text — equal to the byte sum exactly on ASCII payloads, and docs
+# failing the in-query ASCII guard simply drop out of that one flag).
+_MEDIA_FEATURES_CHECK_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(CASE WHEN length(text) = octet_length(encode(text))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii_checked,
+       TRUE AS dims_ok,
+       TRUE AS values_bounded,
+       TRUE AS byte_mean_consistent
+FROM documents
+"""
+
+
+@register("media_features_check", _MEDIA_FEATURES_CHECK_ORACLE)
+def q_media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked invariants over extract_features' output: row
+    parity with the media table (n_features counted through an id join,
+    so dropped/duplicated/invented media_ids all move it), fixed dims,
+    [0,1] bounds, and exact byte-sum reconstruction per payload (float32
+    slack 0.5 absolute vs byte sums in the 10^4..10^6 range). The oracle
+    recomputes the counts independently and demands every flag TRUE."""
+    from cdc_algorithms_spark.operators.multimodal import FEATURE_DIM
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    dim = FEATURE_DIM
+    # independent byte statistics — straight off the text, never
+    # through the featurizer UDF
+    stats = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.length("text").alias("n"),
+        F.expr(
+            "CASE WHEN length(text) = 0 THEN 0D ELSE "
+            "aggregate(sequence(1, length(text)), 0D, "
+            "(acc, i) -> acc + ascii(substr(text, i, 1))) END"
+        ).alias("byte_sum"),
+        F.expr("length(text) = octet_length(encode(text, 'utf-8'))").alias(
+            "is_ascii"
+        ),
+    )
+    # np.array_split bucket b has size n div dim + 1 for b < n % dim,
+    # else n div dim — so the weighted feature sum reconstructs the
+    # byte mean decomposition exactly (up to float32 representation)
+    recon = F.expr(
+        f"aggregate(zip_with(features, sequence(0, {dim - 1}), "
+        f"(f, b) -> CAST(f AS DOUBLE) * (CASE WHEN b < n % {dim} "
+        f"THEN n DIV {dim} + 1 ELSE n DIV {dim} END)), 0D, "
+        f"(acc, x) -> acc + x) * 255.0"
+    )
+    per_row = feats.join(stats, "media_id").select(
+        (F.size("features") == dim).alias("__dims"),
+        (
+            (F.array_min("features") >= 0.0) & (F.array_max("features") <= 1.0)
+        ).alias("__bounded"),
+        (~F.col("is_ascii") | (F.abs(recon - F.col("byte_sum")) < 0.5)).alias(
+            "__consistent"
+        ),
+        F.col("is_ascii"),
+    )
+    flags = per_row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum(F.when(F.col("is_ascii"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ascii_checked"),
+        F.bool_and("__dims").alias("dims_ok"),
+        F.bool_and("__bounded").alias("values_bounded"),
+        F.bool_and("__consistent").alias("byte_mean_consistent"),
+    )
+    n_media = media.agg(F.count(F.lit(1)).cast("long").alias("n_media"))
+    return n_media.crossJoin(F.broadcast(flags)).select(
+        "n_media",
+        "n_features",
+        "n_ascii_checked",
+        "dims_ok",
+        "values_bounded",
+        "byte_mean_consistent",
+    )
+
+
 # --- ANN quality metrics (recall vs exact top-k) ---------------------------
 
 

@@ -29,6 +29,7 @@ ORACLE_QUERIES = [
     "token_counts",
     "media_summary",
     "media_frame_counts",
+    "media_features_check",
     "chunk_overlap_pairs_fixed",
     "repetition_ratios",
     "lm_bigram_scores",
@@ -169,6 +170,48 @@ def test_media_features_shape_and_determinism(spark, sf_dir):
     for v in f1.values():
         assert len(v) == 16
         assert all(0.0 <= x <= 1.0 for x in v)
+
+
+def test_media_features_check_detects_tampered_features(spark, sf_dir):
+    """The byte-sum reconstruction in media_features_check must actually
+    bite: corrupting one bucket of one feature vector flips
+    byte_mean_consistent to False (so the driver row would go red on a
+    real featurizer regression, not just on count drift)."""
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    good = SPARK_QUERIES["media_features_check"](spark, sf_dir).collect()[0]
+    assert good["byte_mean_consistent"] and good["dims_ok"]
+    assert good["n_media"] == good["n_features"] == good["n_ascii_checked"]
+
+    import cdc_algorithms_spark.operators.multimodal as mm
+
+    orig = mm.extract_features
+
+    def corrupted(media, dim=mm.FEATURE_DIM, strict=False):
+        out = orig(media, dim=dim, strict=strict)
+        return out.withColumn(
+            "features",
+            F.when(
+                F.col("media_id") == 3,
+                F.concat(
+                    F.slice("features", 1, dim - 1),
+                    F.array(F.lit(0.77).cast("float")),
+                ),
+            ).otherwise(F.col("features")),
+        )
+
+    # the query imports extract_features at module import time — patch
+    # the name it actually calls
+    import cdc_algorithms_spark.queries_text as qt
+
+    qt_orig = qt.extract_features
+    qt.extract_features = corrupted
+    try:
+        bad = SPARK_QUERIES["media_features_check"](spark, sf_dir).collect()[0]
+    finally:
+        qt.extract_features = qt_orig
+    assert not bad["byte_mean_consistent"]
+    assert bad["dims_ok"]  # only the value moved, not the shape
 
 
 def test_media_features_strict_raises(spark, sf_dir):
