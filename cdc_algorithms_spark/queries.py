@@ -1000,7 +1000,7 @@ _VERIFY_WINDOW: list[str] = [
     "mixture_plan_by_source",
     "sequence_packing_plan",
     "text_cleaning",
-    "sequence_packing_by_lang",
+    "dedup_adjusted_mixture",
 ]
 
 

@@ -2315,3 +2315,118 @@ def q_cluster_safe_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .crossJoin(F.broadcast(leaked))
     )
+
+
+# --- Dedup-adjusted mixture planning ---------------------------------------
+# Mixture weights derived from EFFECTIVE (post-dedup) source sizes: a
+# source whose tokens are largely near-copies of already-counted
+# documents must not earn mixture weight for them, or the sampled
+# mixture over-trains on the duplicated content the dedup stage exists
+# to suppress. Composition: near-dup components over the exact Jaccard
+# pair graph (keep-one accounting: only each cluster's representative
+# contributes tokens; J=1 exact copies are a special case of the same
+# graph) -> per-source effective totals -> temperature weights over the
+# effective sizes. This closes the dedup -> curation loop the same way
+# streaming_near_dup_index closes ingest -> index -> dedup.
+
+_MIXTURE_ALPHA = 0.7
+
+_DEDUP_MIXTURE_ORACLE = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, seen) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.seen = e.src
+),
+comp AS (SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node),
+marked AS (
+  SELECT d.source,
+         CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS toks,
+         (c.component_id IS NULL OR c.component_id = d.doc_id) AS is_rep
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE length(d.text) > 0
+),
+per_source AS (
+  SELECT source,
+         CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+         CAST(SUM(CASE WHEN is_rep THEN toks ELSE 0 END) AS BIGINT)
+           AS effective_tokens
+  FROM marked GROUP BY source
+),
+z AS (SELECT SUM(POW(effective_tokens, {_MIXTURE_ALPHA})) AS z FROM per_source)
+SELECT source, raw_tokens, effective_tokens,
+       ROUND(1.0 - effective_tokens * 1.0 / raw_tokens, 6) AS dup_token_share,
+       ROUND(POW(effective_tokens, {_MIXTURE_ALPHA}) / z.z, 6) AS weight
+FROM per_source, z
+"""
+
+
+@register("dedup_adjusted_mixture", _DEDUP_MIXTURE_ORACLE)
+def q_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights over post-near-dup effective token
+    counts (operators/dedup_docs.py::ngram_jaccard_pairs ->
+    connected_components + the temperature_weights normalization
+    shape): weight proportional to effective_tokens^0.7, where only each
+    near-dup cluster's representative (component min id; singletons are
+    their own) contributes tokens. Plan: the component frame is bounded
+    by docs-with-a-near-dup so it broadcasts into a map-side left join;
+    per-source totals are a #sources-row frame; the normalizing
+    constant is a 1-row broadcast cross join - nothing corpus-sized
+    crosses an exchange after the pair graph is built."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    comp = connected_components(
+        ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    )
+    toks = F.ceil(F.length("text") / 4.0).cast("long")
+    marked = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "source",
+            "toks",
+            (
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            ).alias("is_rep"),
+        )
+    )
+    per_source = marked.groupBy("source").agg(
+        F.sum("toks").cast("long").alias("raw_tokens"),
+        F.sum(F.when(F.col("is_rep"), F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("effective_tokens"),
+    )
+    z = per_source.agg(
+        F.sum(F.pow("effective_tokens", _MIXTURE_ALPHA)).alias("__z")
+    )
+    return per_source.crossJoin(F.broadcast(z)).select(
+        "source",
+        "raw_tokens",
+        "effective_tokens",
+        F.round(
+            1.0 - F.col("effective_tokens") / F.col("raw_tokens"), 6
+        ).alias("dup_token_share"),
+        F.round(
+            F.pow("effective_tokens", _MIXTURE_ALPHA) / F.col("__z"), 6
+        ).alias("weight"),
+    )

@@ -30,6 +30,7 @@ ORACLE_QUERIES = [
     "media_summary",
     "media_frame_counts",
     "media_features_check",
+    "dedup_adjusted_mixture",
     "chunk_overlap_pairs_fixed",
     "repetition_ratios",
     "lm_bigram_scores",
