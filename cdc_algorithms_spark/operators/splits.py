@@ -151,6 +151,17 @@ def cluster_safe_split_assignment(
 
     The component frame is bounded by docs-with-a-near-dup, so it
     broadcasts; the corpus join stays map-side.
+
+    Stability note: :func:`split_assignment` is stable under corpus
+    growth (a doc's split depends only on its own id), which is the
+    property production pipelines rely on to extend a corpus without
+    re-carving it. THIS variant is deterministic given the final pair
+    graph but NOT growth-stable: a new document can bridge two existing
+    clusters, merging them and re-keying one side's members — the
+    unavoidable price of the zero-leakage guarantee (if the merged
+    cluster kept both splits, the bridging pair would leak). Pipelines
+    that need both properties freeze holdout membership at carve time
+    and route later near-dups of ANY held-out doc to that doc's split.
     """
     from cdc_algorithms_spark.operators.dedup_docs import connected_components
 

@@ -113,6 +113,25 @@ def test_cluster_safe_assignment_never_leaks(spark):
     assert assignment.count() == docs.count()
 
 
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """A doc's split depends only on its own id: carving a grown corpus
+    must reproduce every pre-existing doc's split exactly (the property
+    that lets a production corpus extend without re-carving). The
+    cluster-safe variant deliberately trades this for zero leakage —
+    see its docstring."""
+    docs = load_table(spark, "documents", SF_DIR)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    a_half = {
+        r["doc_id"]: r["split"]
+        for r in split_assignment(half, seed=9).select("doc_id", "split").collect()
+    }
+    a_full = {
+        r["doc_id"]: r["split"]
+        for r in split_assignment(docs, seed=9).select("doc_id", "split").collect()
+    }
+    assert all(a_full[k] == v for k, v in a_half.items())
+
+
 def test_split_leakage_restricted_to_pair_list(spark):
     docs = load_table(spark, "documents", SF_DIR)
     assignment = split_assignment(docs, seed=11)
