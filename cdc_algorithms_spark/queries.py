@@ -954,6 +954,8 @@ _VERIFY_WINDOW: list[str] = [
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
+    "media_features_check",
+    "dedup_adjusted_mixture",
     "snapshot_diff_ae_localization_check",
     "chunk_overlap_ae_clone_check",
     "incremental_jaccard_pairs_indexed",
@@ -989,7 +991,6 @@ _VERIFY_WINDOW: list[str] = [
     "cdc_apply_check",
     "media_summary",
     "media_frame_counts",
-    "media_features_check",
     "udtf_fixed_chunks",
     "dedup_components",
     "stratified_sample_docs",
@@ -1000,7 +1001,6 @@ _VERIFY_WINDOW: list[str] = [
     "mixture_plan_by_source",
     "sequence_packing_plan",
     "text_cleaning",
-    "dedup_adjusted_mixture",
 ]
 
 
