@@ -270,6 +270,42 @@ def diff_tables(old: DataFrame, new: DataFrame, **kw) -> DataFrame:
     return table_diff(old, new, **kw)
 
 
+def split(docs: DataFrame, fractions=None, seed: int = 0, **kw) -> DataFrame:
+    """Deterministic train/val/test carve: map-only LCG hash thresholds,
+    stable under corpus growth (operators/splits.py::split_assignment).
+    ``fractions`` is ``[("train", .8), ("val", .1), ("test", .1)]``-style
+    (the default)."""
+    from cdc_algorithms_spark.operators.splits import (
+        DEFAULT_FRACTIONS,
+        split_assignment,
+    )
+
+    return split_assignment(docs, fractions or DEFAULT_FRACTIONS, seed=seed, **kw)
+
+
+def split_leakage(assignment: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
+    """Cross-split near-dup leakage audit: pairs whose docs landed in
+    different splits (operators/splits.py::split_leakage)."""
+    from cdc_algorithms_spark.operators.splits import split_leakage as _l
+
+    return _l(assignment, pairs, **kw)
+
+
+def cluster_safe_split(
+    docs: DataFrame, pairs: DataFrame, fractions=None, seed: int = 0, **kw
+) -> DataFrame:
+    """Zero-leakage carve: whole near-dup clusters share a split
+    (operators/splits.py::cluster_safe_split_assignment)."""
+    from cdc_algorithms_spark.operators.splits import (
+        DEFAULT_FRACTIONS,
+        cluster_safe_split_assignment,
+    )
+
+    return cluster_safe_split_assignment(
+        docs, pairs, fractions or DEFAULT_FRACTIONS, seed=seed, **kw
+    )
+
+
 def shuffle_order(docs: DataFrame, seed: int = 0, **kw) -> DataFrame:
     """Reproducible global training order: deterministic LCG shuffle key
     + bucketed two-phase global rank, no single-task total sort

@@ -129,3 +129,16 @@ def test_sql_frontend_runs_tables_and_udtfs(spark):
         .collect()
     }
     assert {r.lang: r.n_bytes for r in out} == want
+
+
+def test_split_verbs(spark):
+    docs = load_table(spark, "documents", SF)
+    assignment = api.split(docs, seed=11)
+    assert assignment.where(F.col("split").isNull()).count() == 0
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    leaks = api.split_leakage(assignment, pairs)
+    assert set(leaks.columns) >= {"id_a", "id_b", "split_a", "split_b"}
+    safe = api.cluster_safe_split(docs, pairs, seed=11)
+    assert api.split_leakage(safe, pairs).count() == 0
