@@ -280,7 +280,11 @@ def split(docs: DataFrame, fractions=None, seed: int = 0, **kw) -> DataFrame:
         split_assignment,
     )
 
-    return split_assignment(docs, fractions or DEFAULT_FRACTIONS, seed=seed, **kw)
+    # `is None`, not `or`: an explicitly passed empty sequence must hit
+    # split_thresholds' ValueError, not silently become the default
+    if fractions is None:
+        fractions = DEFAULT_FRACTIONS
+    return split_assignment(docs, fractions, seed=seed, **kw)
 
 
 def split_leakage(assignment: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
@@ -301,8 +305,10 @@ def cluster_safe_split(
         cluster_safe_split_assignment,
     )
 
+    if fractions is None:
+        fractions = DEFAULT_FRACTIONS
     return cluster_safe_split_assignment(
-        docs, pairs, fractions or DEFAULT_FRACTIONS, seed=seed, **kw
+        docs, pairs, fractions, seed=seed, **kw
     )
 
 

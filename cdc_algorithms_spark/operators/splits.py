@@ -122,11 +122,19 @@ def split_leakage(
     the pairs twice via broadcast — one scan of the corpus, no
     corpus-sized shuffle.
     """
+    from cdc_algorithms_spark.operators.dedup_docs import _persist
+
     touched = pairs.select(F.col(id_a).alias(id_col)).unionByName(
         pairs.select(F.col(id_b).alias(id_col))
     ).distinct()
-    small = assignment.select(F.col(id_col), "split").join(
-        F.broadcast(touched), id_col, "left_semi"
+    # persisted: `small` feeds BOTH broadcast sides below — without it
+    # each side re-executes the lineage, scanning the corpus-sized
+    # assignment twice. It is pair-list-sized, so the cache is tiny
+    # (release via dedup_docs.release_cached_frames between pipelines).
+    small = _persist(
+        assignment.select(F.col(id_col), "split").join(
+            F.broadcast(touched), id_col, "left_semi"
+        )
     )
     a = F.broadcast(small.withColumnRenamed(id_col, id_a).withColumnRenamed("split", "split_a"))
     b = F.broadcast(small.withColumnRenamed(id_col, id_b).withColumnRenamed("split", "split_b"))

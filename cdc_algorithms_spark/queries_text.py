@@ -510,15 +510,19 @@ def q_media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN n DIV {dim} + 1 ELSE n DIV {dim} END)), 0D, "
         f"(acc, x) -> acc + x) * 255.0"
     )
-    per_row = feats.join(stats, "media_id").select(
+    # LEFT join from feats: a featurizer row with an INVENTED media_id
+    # must still be counted (moving n_features) and must fail the
+    # consistency flag — an inner join would silently drop it and the
+    # check would stay green on a corrupted-id regression
+    per_row = feats.join(stats, "media_id", "left").select(
         (F.size("features") == dim).alias("__dims"),
         (
             (F.array_min("features") >= 0.0) & (F.array_max("features") <= 1.0)
         ).alias("__bounded"),
-        (~F.col("is_ascii") | (F.abs(recon - F.col("byte_sum")) < 0.5)).alias(
-            "__consistent"
-        ),
-        F.col("is_ascii"),
+        F.when(F.col("n").isNull(), F.lit(False))
+        .otherwise(~F.col("is_ascii") | (F.abs(recon - F.col("byte_sum")) < 0.5))
+        .alias("__consistent"),
+        F.coalesce("is_ascii", F.lit(False)).alias("is_ascii"),
     )
     flags = per_row.agg(
         F.count(F.lit(1)).cast("long").alias("n_features"),
@@ -662,8 +666,13 @@ def q_udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Dedup groups: connected components over the near-dup pair graph -------
 
-_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+# Shared pair-graph + transitive-closure CTE block (requires the w/sh
+# CTEs in scope and WITH RECURSIVE). The threshold filter uses the SAME
+# round-to-6 form as _JACCARD_ORACLE / Spark's _verify_pairs — an
+# unrounded filter would disagree with the Spark side for pairs whose
+# exact Jaccard sits within 5e-7 below the threshold (unreachable on
+# the driver fixtures, reachable at production shingle counts).
+_COMPONENTS_CTE = f"""
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -673,7 +682,8 @@ s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT id_a, id_b
   FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+  WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -684,6 +694,10 @@ reach(node, seen) AS (
   UNION
   SELECT r.node, e.dst FROM reach r JOIN edges e ON r.seen = e.src
 )
+"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},{_COMPONENTS_CTE}
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(MIN(seen) AS BIGINT) AS component_id
 FROM reach GROUP BY node
@@ -1742,9 +1756,12 @@ def q_incremental_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
             docs.where(F.col("doc_id") % 3 != 0), n=JACCARD_N,
             threshold=JACCARD_THRESHOLD,
         )
-        # drop stale sessions' entries (their persisted frames are dead)
-        for k in [k for k in _JACCARD_INDEX_CACHE if k[0] != key[0]]:
-            del _JACCARD_INDEX_CACHE[k]
+        # cap the cache at ONE entry: stale sessions' frames are dead,
+        # and keeping another sf_dir's persisted index frames pinned in
+        # the live session's executor storage just accumulates memory
+        # (dropping the references lets the context cleaner reclaim the
+        # cached partitions)
+        _JACCARD_INDEX_CACHE.clear()
         _JACCARD_INDEX_CACHE[key] = index
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1942,7 +1959,8 @@ s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT id_a, id_b
   FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+  WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
        CAST(0 AS BIGINT) AS n_pairs_sharing_no_fp
@@ -2006,7 +2024,8 @@ s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT id_a, id_b
   FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+  WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
        CAST(0 AS BIGINT) AS n_pairs_beyond_hamming,
@@ -2145,18 +2164,25 @@ def _split_case_sql(key_expr: str) -> str:
     return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
 
 
+def _split_lcg_sql(expr: str) -> str:
+    """The split-seeded two-round LCG in DuckDB SQL — byte-identical
+    integer arithmetic to operators/shuffle.shuffle_key (single-sourced:
+    every split oracle keys through this)."""
+    return (
+        f"(((({expr} % 2147483648) * 1103515245 + 12345 + {_SPLIT_SEED})"
+        f" % 2147483648) * 1103515245 + 12345) % 2147483648"
+    )
+
+
 def _split_keyed_cte(rep_expr: str = "doc_id") -> str:
-    """DuckDB CTE assigning each doc its split off ``rep_expr``'s LCG key
-    — byte-identical integer arithmetic to operators/shuffle.shuffle_key."""
+    """DuckDB CTE assigning each doc its split off ``rep_expr``'s LCG key."""
     return f"""
 keyed AS (
   SELECT doc_id, lang, n_chars,
          {_split_case_sql("k")} AS split
   FROM (
     SELECT doc_id, lang, n_chars,
-           (((({rep_expr} % 2147483648) * 1103515245 + 12345 + {_SPLIT_SEED})
-             % 2147483648)
-            * 1103515245 + 12345) % 2147483648 AS k
+           {_split_lcg_sql(rep_expr)} AS k
     FROM documents
   )
 )
@@ -2238,27 +2264,7 @@ def q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_SPLIT_ORACLE = f"""
-WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT id_a, id_b
-  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-reach(node, seen) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.seen = e.src
-),
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},{_COMPONENTS_CTE},
 comp AS (SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node),
 keyed AS (
   SELECT doc_id, split FROM (
@@ -2266,9 +2272,7 @@ keyed AS (
            {_split_case_sql("k")} AS split
     FROM (
       SELECT d0.doc_id,
-             ((((COALESCE(c.component_id, d0.doc_id) % 2147483648)
-                * 1103515245 + 12345 + {_SPLIT_SEED}) % 2147483648)
-              * 1103515245 + 12345) % 2147483648 AS k
+             {_split_lcg_sql("COALESCE(c.component_id, d0.doc_id)")} AS k
       FROM documents d0 LEFT JOIN comp c ON c.doc_id = d0.doc_id
     ) d
   )
@@ -2332,27 +2336,7 @@ def q_cluster_safe_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_ALPHA = 0.7
 
 _DEDUP_MIXTURE_ORACLE = f"""
-WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT id_a, id_b
-  FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-reach(node, seen) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.seen = e.src
-),
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},{_COMPONENTS_CTE},
 comp AS (SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node),
 marked AS (
   SELECT d.source,

@@ -142,3 +142,7 @@ def test_split_verbs(spark):
     assert set(leaks.columns) >= {"id_a", "id_b", "split_a", "split_b"}
     safe = api.cluster_safe_split(docs, pairs, seed=11)
     assert api.split_leakage(safe, pairs).count() == 0
+    # an explicit empty fractions sequence must raise, not silently
+    # fall back to the 80/10/10 default
+    with pytest.raises(ValueError):
+        api.split(docs, fractions=[])

@@ -89,6 +89,19 @@ def test_split_assignment_plan_is_map_only(spark):
     assert P.python_eval_count(raw) == 0
 
 
+def test_split_leakage_reuses_cached_assignment_slice(spark):
+    """Both broadcast sides of the leakage join must read the PERSISTED
+    pair-touched assignment slice (InMemoryTableScan), not re-execute
+    its lineage — an unpersisted slice scans the corpus once per side."""
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    out = split_leakage(split_assignment(docs, seed=11), pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_cluster_safe_assignment_never_leaks(spark):
     docs = load_table(spark, "documents", SF_DIR)
     # synthetic pair graph: chain 0-1-2 plus island 7-8 forces
