@@ -160,3 +160,59 @@ def test_split_leakage_restricted_to_pair_list(spark):
         assert out == []
     else:
         assert len(out) == 1 and out[0]["id_a"] == 0 and out[0]["id_b"] == 1
+
+
+# --- property tests (pure functions, no Spark) ------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @st.composite
+    def _fraction_lists(draw):
+        n = draw(st.integers(min_value=1, max_value=6))
+        raw = draw(
+            st.lists(
+                st.floats(min_value=0.01, max_value=1.0),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        total = sum(raw)
+        return [(f"s{i}", x / total) for i, x in enumerate(raw)]
+
+    @given(_fraction_lists())
+    @settings(max_examples=200, deadline=None)
+    def test_thresholds_partition_the_ring(fractions):
+        """Bounds are nonnegative-monotone and end exactly at 2^31, so
+        every possible LCG key maps to exactly one split."""
+        bounds = split_thresholds(fractions)
+        uppers = [u for _, u in bounds]
+        assert sorted(uppers) == uppers  # cumulative → monotone
+        assert uppers[-1] == 1 << 31
+        assert all(0 <= u <= 1 << 31 for u in uppers)
+        # proportional sizing: each slice width within 1 of frac * M
+        prev = 0
+        for (name, frac), upper in zip(fractions, uppers):
+            width = upper - prev
+            if upper != 1 << 31:  # last bound absorbs float remainder
+                assert abs(width - frac * (1 << 31)) <= 1.0 + 1e-6 * (1 << 31)
+            prev = upper
+
+    @given(st.integers(min_value=0, max_value=(1 << 31) - 1), _fraction_lists())
+    @settings(max_examples=200, deadline=None)
+    def test_every_key_maps_to_exactly_one_split(key, fractions):
+        bounds = split_thresholds(fractions)
+        hits = [name for name, upper in bounds if key < upper]
+        assert hits, f"key {key} above every bound"
+        # first-match semantics: the CASE picks hits[0]; uniqueness of
+        # the mapping is exactly "bounds are cumulative"
+        assert hits[0] == next(
+            name for name, upper in bounds if key < upper
+        )
