@@ -408,6 +408,15 @@ def incremental_jaccard_pairs_indexed(
             F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
         ).alias("shingle"),
     )
+    # NOTE on probe cost: the batch side of the candidate join is
+    # batch-sized and broadcasts, so the per-batch cost is one MAP-SIDE
+    # SCAN of prefix_index — no corpus-sized shuffle (measured: 4x the
+    # corpus costs ~1.4x the probe, tools/bench_crossover.py; an
+    # explicit broadcast-semi pre-prune of the index was tried and
+    # REJECTED — it adds a second index pass for nothing the join's
+    # own broadcast doesn't already give). Eliminating the scan itself
+    # needs the bucketed-by-shingle parquet layout (docstring above):
+    # then only matching buckets are read.
     all_prefix = prefix_index.unionByName(batch_prefix)
     a = batch_prefix.alias("a")
     b = all_prefix.alias("b")

@@ -274,12 +274,83 @@ def tfidf_new(spark: SparkSession, rows: int) -> DataFrame:
     return _tfidf_new(_synth_docs(spark, rows), rows)
 
 
+
+
+# --- incremental near-dup: per-batch rebuild vs persisted-index probe -------
+
+
+def _njd_docs(spark: SparkSession, n: int, offset: int = 0,
+              words: int = 40, vocab: int = 50_000) -> DataFrame:
+    """n synthetic docs of `words` pseudorandom vocab words (deterministic
+    off doc_id). A sparse 50k vocabulary keeps prefix joins realistic;
+    the first 10 batch docs verbatim-copy corpus docs so the exact
+    verification path does real work."""
+    word = lambda i: F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(vocab))
+    )
+    return spark.range(n).select(
+        (F.col("id") + offset).alias("doc_id")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.array(*[word(i) for i in range(words)]), " "
+        ).alias("text"),
+    )
+
+
+def _njd_batch(spark: SparkSession) -> DataFrame:
+    """500 new docs; the first 10 verbatim-copy corpus docs 0-9 (J=1
+    pairs), so candidate generation AND exact verification both fire."""
+    fresh = _njd_docs(spark, 490, offset=10_000_000)
+    copies = _njd_docs(spark, 10).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return fresh.unionByName(copies)
+
+
+_NJD_INDEX_CACHE: dict = {}
+
+
+def njd_rebuild(spark: SparkSession, corpus_n: int) -> DataFrame:
+    """The r04-weak shape: every batch call re-aggregates shingle
+    document frequencies over corpus UNION batch — per-batch cost grows
+    with the corpus."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs,
+    )
+
+    corpus = _njd_docs(spark, corpus_n)
+    batch = _njd_batch(spark)
+    return incremental_jaccard_pairs(corpus, batch, n=3, threshold=0.8)
+
+
+def njd_indexed(spark: SparkSession, corpus_n: int) -> DataFrame:
+    """The persisted-index shape: jaccard_prefix_index built ONCE per
+    (session, corpus) — the cold run pays build+probe (the once-per-
+    corpus cost), the median run is the steady-state batch probe."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs_indexed,
+        jaccard_prefix_index,
+    )
+
+    key = (spark.sparkContext.applicationId, corpus_n)
+    index = _NJD_INDEX_CACHE.get(key)
+    if index is None:
+        _NJD_INDEX_CACHE.clear()
+        index = jaccard_prefix_index(_njd_docs(spark, corpus_n), n=3,
+                                     threshold=0.8)
+        _NJD_INDEX_CACHE[key] = index
+    return incremental_jaccard_pairs_indexed(index, _njd_batch(spark),
+                                             n=3, threshold=0.8)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=32_000_000,
                     help="sync_plan row count; stratified uses 2x, tfidf rows/4")
     ap.add_argument("--only", choices=["sync_plan", "stratified_sample",
-                                       "tfidf_top_terms"], default=None,
+                                       "tfidf_top_terms",
+                                       "incremental_jaccard"], default=None,
                     help="run a single benchmark (fits CI time slots)")
     args = ap.parse_args()
 
@@ -295,6 +366,11 @@ def main() -> None:
         ("stratified_sample", "new", stratified_new, args.rows * 2),
         ("tfidf_top_terms", "old", tfidf_old, args.rows // 4),
         ("tfidf_top_terms", "new", tfidf_new, args.rows // 4),
+        # old = per-batch corpus re-aggregation; new = persisted-index
+        # probe (new-cold includes the once-per-corpus index build,
+        # new-med is the steady-state batch probe)
+        ("incremental_jaccard", "old", njd_rebuild, args.rows // 400),
+        ("incremental_jaccard", "new", njd_indexed, args.rows // 400),
     ]
     results: dict[str, dict] = {}
     if args.only:
@@ -307,7 +383,9 @@ def main() -> None:
     print(
         f"\nsync_plan: {args.rows:,} x ~1KiB chunks (60% one hot identity); "
         f"stratified: {args.rows * 2:,} docs; "
-        f"tfidf: {args.rows // 4:,} docs x 20 tokens"
+        f"tfidf: {args.rows // 4:,} docs x 20 tokens; "
+        f"incr-jaccard: {args.rows // 400:,}-doc corpus, 500-doc batch "
+        f"(new-cold = index build + probe, new-med = steady-state probe)"
     )
     print(
         f"{'query':20} {'old cold':>9} {'old med':>9} {'new cold':>9}"
