@@ -67,6 +67,11 @@ __all__ = [
     "repetition",
     "fingerprints",
     "stream_dedup_unique_chunks",
+    "fuzzy_matches",
+    "funnel",
+    "zorder_plan",
+    "compact_plan",
+    "outliers",
 ]
 
 
@@ -455,3 +460,49 @@ def version_matrix(chunk_tables, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.diff import chunk_version_matrix
 
     return chunk_version_matrix(chunk_tables, **kw)
+
+
+# --- linkage, layout & anomaly (r05) -----------------------------------------
+
+def fuzzy_matches(df: DataFrame, name_col: str, block_col, **kw) -> DataFrame:
+    """Blocked fuzzy matching over the distinct-value vocabulary
+    (operators/linkage.py::blocked_fuzzy_name_pairs) — record-linkage
+    candidate pairs without an all-pairs row compare."""
+    from cdc_algorithms_spark.operators.linkage import blocked_fuzzy_name_pairs
+
+    return blocked_fuzzy_name_pairs(df, name_col, block_col, **kw)
+
+
+def funnel(events: DataFrame, stages, **kw) -> DataFrame:
+    """Strictly-ordered first-touch funnel over event stages
+    (operators/linkage.py::event_funnel)."""
+    from cdc_algorithms_spark.operators.linkage import event_funnel
+
+    return event_funnel(events, stages, **kw)
+
+
+def zorder_plan(df: DataFrame, x_col: str, y_col: str, **kw) -> DataFrame:
+    """Z-order file-layout plan: map-only quadtree-cell assignment plus
+    the per-file min/max pruning stats (operators/layout.py)."""
+    from cdc_algorithms_spark.operators.layout import zorder_layout_plan
+
+    return zorder_layout_plan(df, x_col, y_col, **kw)
+
+
+def compact_plan(
+    df: DataFrame, group_col: str, order_col: str, size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Greedy small-file compaction manifest (operators/layout.py::
+    compaction_plan) — running-sum bin packing per group."""
+    from cdc_algorithms_spark.operators.layout import compaction_plan
+
+    return compaction_plan(df, group_col, order_col, size_col, target_bytes)
+
+
+def outliers(df: DataFrame, group_col: str, value_col: str, **kw) -> DataFrame:
+    """Per-group z-score outliers with order-independent DECIMAL moments
+    (operators/profile.py::value_outliers)."""
+    from cdc_algorithms_spark.operators.profile import value_outliers
+
+    return value_outliers(df, group_col, value_col, **kw)

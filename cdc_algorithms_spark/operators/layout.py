@@ -1,0 +1,182 @@
+"""Physical-layout planning: Z-order clustering and small-file compaction.
+
+At 100 TB the dominant cost of most queries is the scan, and the
+dominant lever on the scan is *layout*: co-locating rows so file-level
+min/max statistics prune I/O (Z-ordering), and keeping file sizes near
+the target so the scheduler isn't drowned in tiny tasks (compaction).
+The reference engine (a chunking kernel) has no layout surface; these
+operators supply the planning half — pure metadata computations that
+Spark executes as ordinary aggregates, so they scale like any other
+query.
+
+* ``zorder_values`` / ``zorder_layout_plan``: map each row to a point
+  on the Z-order (Morton) space-filling curve over two integer
+  dimensions and derive the target file per row from the curve's top
+  bits. Because a Z-value prefix IS a quadtree cell, `file = zval >>
+  k` assigns co-located rows to the same file **without any global
+  sort** — the map-only alternative to `ORDER BY zval` layouts, which
+  need a range exchange. The plan output (per-file min/max of both
+  dimensions) is exactly the footer statistics a reader would prune
+  on, so the quality of the layout is directly inspectable.
+
+* ``compaction_plan``: greedy bin-packing of ordered items into
+  target-size output files via a running-sum window per group — the
+  planning step of an OPTIMIZE/compaction job. One shuffle on the
+  group key; state per task is a single running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _scaled(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Normalize an integer column to the [0, 2**bits) grid.
+
+    Integer-exact on both engines: the numerator and denominator are
+    integers < 2**32, the IEEE quotient is correctly rounded, and a
+    rational n/d can only sit within one ulp of an integer when it IS
+    one — so ``floor`` is deterministic and oracle-reproducible.
+    """
+    return F.floor(
+        (col - lo).cast("double")
+        * F.lit(float(1 << bits))
+        / (hi - lo + F.lit(1)).cast("double")
+    ).cast("long")
+
+
+def _interleave(sx: Column, sy: Column, bits: int) -> Column:
+    """Morton-interleave two ``bits``-wide values; x takes the high bit
+    of each pair. Pure bitwise Column arithmetic — whole-stage codegen,
+    no UDF."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        xbit = F.shiftright(sx, b).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(sy, b).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(xbit, 2 * b + 1) + F.shiftleft(ybit, 2 * b)
+    return z
+
+
+def zorder_values(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Append ``zval`` (Morton code of the normalized (x, y) point).
+
+    Normalization bounds come from a 1-row global min/max aggregate
+    broadcast back over the data (the same 1-row-normalizer shape as
+    ``resample_locf``): two passes over the input, zero row-to-row
+    dependencies, so the operator is embarrassingly parallel.
+    """
+    mm = df.agg(
+        F.min(x_col).cast("long").alias("__xlo"),
+        F.max(x_col).cast("long").alias("__xhi"),
+        F.min(y_col).cast("long").alias("__ylo"),
+        F.max(y_col).cast("long").alias("__yhi"),
+    )
+    out = df.crossJoin(F.broadcast(mm))
+    sx = _scaled(F.col(x_col).cast("long"), F.col("__xlo"), F.col("__xhi"), bits)
+    sy = _scaled(F.col(y_col).cast("long"), F.col("__ylo"), F.col("__yhi"), bits)
+    return out.withColumn("zval", _interleave(sx, sy, bits)).drop(
+        "__xlo", "__xhi", "__ylo", "__yhi"
+    )
+
+
+def zorder_layout_plan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    file_bits: int = 4,
+) -> DataFrame:
+    """Plan a Z-ordered file layout over two integer dimensions.
+
+    Each row's target file is the top ``2*file_bits`` bits of its
+    Z-value — a quadtree cell of the (x, y) plane — giving up to
+    ``4**file_bits`` files with NO range exchange or sort (contrast
+    ``ORDER BY zval``, which needs a skew-prone global sort at write
+    time; the prefix rule is a plain map).
+
+    Returns per planned file the pruning statistics a scan would use:
+    ``(file_id, n_rows, x_min, x_max, y_min, y_max, x_span, y_span)``.
+    Bounded spans in BOTH dimensions (vs. a 1-D sort layout, which
+    bounds only its sort key) are what make min/max skipping effective
+    for predicates on either column.
+    """
+    shift = 2 * (bits - file_bits)
+    if shift < 0:
+        raise ValueError("file_bits must be <= bits")
+    z = zorder_values(df, x_col, y_col, bits)
+    return (
+        z.withColumn("file_id", F.shiftright("zval", shift).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(x_col).cast("long").alias("x_min"),
+            F.max(x_col).cast("long").alias("x_max"),
+            F.min(y_col).cast("long").alias("y_min"),
+            F.max(y_col).cast("long").alias("y_max"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("x_max") - F.col("x_min") + 1).cast("long").alias("x_span"),
+            (F.col("y_max") - F.col("y_min") + 1).cast("long").alias("y_span"),
+        )
+    )
+
+
+def compaction_plan(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Greedy bin-packing of ordered items into ~``target_bytes`` files.
+
+    Within each ``group_col`` partition, items are taken in
+    ``order_col`` order and assigned ``file_seq = floor(running_size_before
+    / target_bytes)`` — the standard streaming first-fit rule: a file
+    closes once the bytes before the current item reach the target, so
+    every planned file except possibly the last lands in
+    ``[target, target + max_item)`` bytes.
+
+    Returns ``(group, file_seq, n_items, total_bytes, first_item,
+    last_item)`` — the manifest a rewrite job would execute.
+
+    Scale design: one hash shuffle on the group key; the window is a
+    running sum (constant state per task, no buffering of the frame).
+    The plan is pure metadata — item *content* never moves until the
+    rewrite job consumes the manifest.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = df.withColumn(
+        "file_seq",
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("double")
+            / F.lit(float(int(target_bytes)))
+        ).cast("long"),
+    )
+    return (
+        assigned.groupBy(
+            F.col(group_col).alias("group"), F.col("file_seq")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(size_col).cast("long").alias("total_bytes"),
+            F.min(order_col).alias("first_item"),
+            F.max(order_col).alias("last_item"),
+        )
+    )

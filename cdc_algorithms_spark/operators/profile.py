@@ -73,3 +73,47 @@ def profile_table(
         F.col("p.min_value").alias("min_value"),
         F.col("p.max_value").alias("max_value"),
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection with order-independent math.
+
+    Flags rows whose ``value_col`` deviates from the group mean by more
+    than ``sigma`` population standard deviations — the drift/anomaly
+    screen that runs over ingest batches before they join the corpus.
+
+    Determinism note (why not ``stddev_pop`` directly): float SUM/AVG
+    depend on partial-aggregation merge order, so a value sitting near
+    the sigma boundary could flip between runs and against the DuckDB
+    oracle. Instead the moments are accumulated as DECIMAL (exact,
+    order-independent on both engines), converted to double once, and
+    the mean/variance/z arithmetic is a fixed expression tree — every
+    run and both engines compute bit-identical z-scores.
+
+    Scale design: one hash aggregate to the per-group moment table
+    (rows = group cardinality), broadcast back over the stream — the
+    detail scan is map-only, no second shuffle.
+    """
+    dec = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(dec).cast("double").alias("__s1"),
+        F.sum(dec * dec).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    enriched = df.join(F.broadcast(stats), group_col).withColumn(
+        "__z",
+        (F.col(value_col).cast("double") - mean) / F.sqrt(var),
+    )
+    # var > 0 guard: in a constant group z is 0/0 = NaN, and BOTH Spark
+    # and DuckDB order NaN above every number — without the guard an
+    # all-constant group would flag every row.
+    return enriched.where(
+        (var > F.lit(0.0)) & (F.abs(F.col("__z")) > F.lit(float(sigma)))
+    ).select(*df.columns, F.round("__z", 4).alias("z_score"))

@@ -625,6 +625,7 @@ from cdc_algorithms_spark import queries_joins  # noqa: E402,F401
 from cdc_algorithms_spark import queries_text  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming_diff  # noqa: E402,F401
+from cdc_algorithms_spark import queries_extras  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -951,6 +952,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "fuzzy_name_matches",
+    "event_funnel",
+    "zorder_layout_plan",
+    "compaction_plan",
+    "value_outliers",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -996,11 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "stratified_sample_docs",
     "tfidf_top_terms",
     "media_resized_summary",
-    "chunk_overlap_pairs_fixed",
-    "benchmark_decontamination",
-    "mixture_plan_by_source",
-    "sequence_packing_plan",
-    "text_cleaning",
 ]
 
 

@@ -1,0 +1,269 @@
+"""Linkage, funnel, layout-planning and anomaly queries.
+
+Completes the pipeline surface around the core dedup/chunking engine
+(SURVEY.md §2.5): record linkage (blocked fuzzy matching), behavioral
+funnels, physical-layout planning (Z-order file assignment + small-file
+compaction — the scan-pruning levers that dominate at 100 TB), and
+order-independent anomaly screening. Every query here is oracle-backed;
+the DuckDB SQL mirrors the Spark expression tree exactly (same scaled
+integer grids, same double expressions) so the driver's exact value-hash
+compare holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.layout import compaction_plan, zorder_layout_plan
+from cdc_algorithms_spark.operators.linkage import (
+    blocked_fuzzy_name_pairs,
+    event_funnel,
+)
+from cdc_algorithms_spark.operators.profile import value_outliers
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching over the part-name vocabulary
+# ---------------------------------------------------------------------------
+
+_FUZZY_DISTANCE = 2
+
+_FUZZY_ORACLE = f"""
+WITH vocab AS (
+    SELECT split_part(p_name, ' ', 2) AS block,
+           p_name AS name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM part GROUP BY 1, 2
+)
+SELECT a.block AS block,
+       a.name AS name_a,
+       b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance,
+       a.n_rows AS n_rows_a,
+       b.n_rows AS n_rows_b
+FROM vocab a JOIN vocab b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {_FUZZY_DISTANCE}
+"""
+
+
+@register("fuzzy_name_matches", _FUZZY_ORACLE)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names (same noun token, edit distance <= 2)
+    — the catalog-reconciliation shape. The quadratic compare runs over
+    the distinct-name vocabulary (64 names here, bounded at any SF),
+    never over part rows."""
+    part = load_table(spark, "part", sf_dir)
+    return blocked_fuzzy_name_pairs(
+        part,
+        name_col="p_name",
+        block_col=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=_FUZZY_DISTANCE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel over the event stream
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH s0 AS (
+    SELECT user_id AS uid, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT e.user_id AS uid, MIN(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.uid
+    WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id AS uid, MIN(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.uid
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+),
+counts AS (
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+),
+base AS (SELECT n_users AS n_base FROM counts WHERE stage_idx = 0)
+SELECT stage_idx, stage, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE), 6) AS conversion
+FROM counts, base
+"""
+
+
+@register("event_funnel", _FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch view -> click -> purchase funnel: each stage must
+    occur strictly after the user's earliest qualifying previous-stage
+    event. All shuffles are on user_id; no global window."""
+    ev = load_table(spark, "events", sf_dir)
+    return event_funnel(ev, _FUNNEL_STAGES)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout plan over orders (custkey x order-day)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_FILE_BITS = 4
+_Z_EPOCH = "1995-01-01"
+
+
+def _scaled_sql(col: str, lo: str, hi: str, bits: int) -> str:
+    return (
+        f"CAST(FLOOR(CAST(({col} - {lo}) AS DOUBLE) * {float(1 << bits)} "
+        f"/ CAST(({hi} - {lo} + 1) AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _interleave_sql(sx: str, sy: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({sx} >> {b}) & 1) * {1 << (2 * b + 1)})")
+        terms.append(f"((({sy} >> {b}) & 1) * {1 << (2 * b)})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+    SELECT o_custkey AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS y
+    FROM orders
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi FROM pts
+),
+sc AS (
+    SELECT x, y,
+           {_scaled_sql('x', 'xlo', 'xhi', _Z_BITS)} AS sx,
+           {_scaled_sql('y', 'ylo', 'yhi', _Z_BITS)} AS sy
+    FROM pts, mm
+),
+z AS (
+    SELECT x, y, ({_interleave_sql('sx', 'sy', _Z_BITS)}) AS zval FROM sc
+),
+perfile AS (
+    SELECT CAST(zval >> {2 * (_Z_BITS - _Z_FILE_BITS)} AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+    FROM z GROUP BY 1
+)
+SELECT file_id, n_rows, x_min, x_max, y_min, y_max,
+       CAST(x_max - x_min + 1 AS BIGINT) AS x_span,
+       CAST(y_max - y_min + 1 AS BIGINT) AS y_span
+FROM perfile
+"""
+
+
+@register("zorder_layout_plan", _ZORDER_ORACLE)
+def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a Z-ordered file layout for orders over (custkey, order
+    day): target file = top bits of the Morton code (a quadtree cell),
+    assigned map-only — no global sort. Output = the per-file min/max
+    stats a scan would prune on, in both dimensions."""
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return zorder_layout_plan(
+        pts, "x", "y", bits=_Z_BITS, file_bits=_Z_FILE_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan over documents
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4096
+
+_COMPACTION_ORACLE = f"""
+WITH cum AS (
+    SELECT source, doc_id, n_chars,
+           COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM documents
+),
+assigned AS (
+    SELECT source,
+           CAST(FLOOR(CAST(before AS DOUBLE) / {float(_COMPACT_TARGET)}) AS BIGINT)
+               AS file_seq,
+           doc_id, n_chars
+    FROM cum
+)
+SELECT source AS "group", file_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_item,
+       MAX(doc_id) AS last_item
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("compaction_plan", _COMPACTION_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bin-packing of documents into ~4 KiB files per source —
+    the manifest an OPTIMIZE job would execute. One shuffle on source;
+    running-sum window, constant state per task."""
+    docs = load_table(spark, "documents", sf_dir)
+    return compaction_plan(
+        docs,
+        group_col="source",
+        order_col="doc_id",
+        size_col="n_chars",
+        target_bytes=_COMPACT_TARGET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent z-score outliers over the event stream
+# ---------------------------------------------------------------------------
+
+_OUTLIER_SIGMA = 3.0
+
+_OUTLIERS_ORACLE = f"""
+WITH st AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                AS DOUBLE) AS s2
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((CAST(e.value AS DOUBLE) - s1 / n)
+             / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z_score
+FROM events e JOIN st USING (event_type)
+WHERE (s2 / n - (s1 / n) * (s1 / n)) > 0.0
+  AND ABS((CAST(e.value AS DOUBLE) - s1 / n)
+          / sqrt(s2 / n - (s1 / n) * (s1 / n))) > {_OUTLIER_SIGMA}
+"""
+
+
+@register("value_outliers", _OUTLIERS_ORACLE)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 sigma from the per-type mean. Moments
+    accumulate as DECIMAL (exact, merge-order-independent) so the
+    boundary filter is bit-stable across runs and engines; the detail
+    pass is a map-only broadcast join."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    return value_outliers(
+        ev, group_col="event_type", value_col="value", sigma=_OUTLIER_SIGMA
+    )

@@ -1,0 +1,241 @@
+"""Planted-fixture and plan-shape tests for the linkage / funnel /
+layout / anomaly operators (queries_extras.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark import plans as P
+from cdc_algorithms_spark.operators.layout import (
+    compaction_plan,
+    zorder_layout_plan,
+    zorder_values,
+)
+from cdc_algorithms_spark.operators.linkage import (
+    blocked_fuzzy_name_pairs,
+    event_funnel,
+)
+from cdc_algorithms_spark.operators.profile import value_outliers
+from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_planted(spark):
+    rows = (
+        [("red widget",)] * 3
+        + [("rad widget",)]
+        + [("blue bolt",)] * 2
+        + [("blu bolt",)]
+        + [("green gear",)]
+    )
+    df = spark.createDataFrame(rows, ["name"])
+    out = blocked_fuzzy_name_pairs(
+        df, "name", F.split("name", " ").getItem(1), max_distance=2
+    )
+    got = {
+        (r.block, r.name_a, r.name_b, r.distance, r.n_rows_a, r.n_rows_b)
+        for r in out.collect()
+    }
+    assert got == {
+        ("widget", "rad widget", "red widget", 1, 1, 3),
+        ("bolt", "blu bolt", "blue bolt", 1, 1, 2),
+    }
+
+
+def test_fuzzy_pairs_block_bounds_candidates(spark):
+    # Different blocks are never compared even at distance 1.
+    df = spark.createDataFrame([("hot rod",), ("hot rad",)], ["name"])
+    out = blocked_fuzzy_name_pairs(
+        df, "name", F.split("name", " ").getItem(1), max_distance=2
+    )
+    assert out.count() == 0
+
+
+def test_fuzzy_query_plan_vocab_level(spark):
+    df = SPARK_QUERIES["fuzzy_name_matches"](spark, SF_DIR)
+    # no Python, no cartesian: the pair stage is an equi-join on block
+    assert P.python_eval_count(df) == 0
+    plan = P.physical_plan(df)
+    assert "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel
+# ---------------------------------------------------------------------------
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_event_funnel_strict_ordering(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, "view", _ts(1)),
+        (1, "click", _ts(2)),
+        (1, "purchase", _ts(3)),
+        # u2 clicked BEFORE first view -> stops after view
+        (2, "click", _ts(1)),
+        (2, "view", _ts(2)),
+        (2, "purchase", _ts(3)),
+        # u3 skipped click -> purchase must not count
+        (3, "view", _ts(1)),
+        (3, "purchase", _ts(2)),
+        # u4 never purchases
+        (4, "view", _ts(1)),
+        (4, "click", _ts(2)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r.stage: (r.stage_idx, r.n_users, r.conversion)
+        for r in event_funnel(ev, ("view", "click", "purchase")).collect()
+    }
+    assert out == {
+        "view": (0, 4, 1.0),
+        "click": (1, 2, 0.5),
+        "purchase": (2, 1, 0.25),
+    }
+
+
+def test_event_funnel_plan_no_global_window(spark):
+    df = SPARK_QUERIES["event_funnel"](spark, SF_DIR)
+    assert P.python_eval_count(df) == 0
+    # every window-free stage shuffles on user_id only; no empty
+    # partitionBy (global) window anywhere
+    assert all(cols for cols in P.window_partition_columns(df))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _morton(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+def test_zorder_values_identity_grid(spark):
+    # x, y already span [0, 255] so the scaled grid is the identity and
+    # zval must equal the reference Morton code exactly.
+    pts = [(0, 0), (255, 255), (3, 1), (128, 64), (200, 7)]
+    df = spark.createDataFrame(pts, ["x", "y"]).unionByName(
+        spark.createDataFrame([(0, 255), (255, 0)], ["x", "y"])
+    )
+    got = {(r.x, r.y): r.zval for r in zorder_values(df, "x", "y").collect()}
+    for (x, y), z in got.items():
+        assert z == _morton(x, y), (x, y, z)
+
+
+def test_zorder_plan_bounds_both_spans(spark):
+    # On the identity grid each planned file is one 16x16 quadtree cell:
+    # both spans bounded by 16 — the property that makes min/max pruning
+    # work for predicates on EITHER dimension.
+    pts = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 11)]
+    df = spark.createDataFrame(pts + [(0, 0), (255, 255)], ["x", "y"])
+    out = zorder_layout_plan(df, "x", "y", bits=8, file_bits=4).collect()
+    assert sum(r.n_rows for r in out) == len(pts) + 2
+    for r in out:
+        assert r.x_span <= 16 and r.y_span <= 16, r
+
+
+def test_zorder_query_plan_map_only_assignment(spark):
+    df = SPARK_QUERIES["zorder_layout_plan"](spark, SF_DIR)
+    plan = P.physical_plan(df)
+    # file assignment is a bit-shift, not a sort: no global sort/range
+    # exchange anywhere in the plan
+    assert "rangepartitioning" not in plan.lower()
+    assert P.python_eval_count(df) == 0
+    # min/max normalizer is a broadcast, the only shuffles are the two
+    # hash aggregates (bounds + per-file stats)
+    assert P.broadcast_join_count(df) >= 1
+    assert P.exchange_count(df) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_planted(spark):
+    rows = [
+        ("s", 1, 100),
+        ("s", 2, 100),
+        ("s", 3, 100),
+        ("s", 4, 50),
+        ("s", 5, 200),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = {
+        (r.group, r.file_seq): (r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in compaction_plan(df, "source", "doc_id", "n_chars", 250).collect()
+    }
+    assert out == {
+        ("s", 0): (3, 300, 1, 3),
+        ("s", 1): (2, 250, 4, 5),
+    }
+
+
+def test_compaction_plan_cumulative_invariant(spark):
+    # Greedy rule invariant: the bytes before bin k (= sum of bins < k)
+    # land in [k*target, k*target + max item of bin k-1).
+    target = 4096
+    df = SPARK_QUERIES["compaction_plan"](spark, SF_DIR)
+    rows = df.orderBy("group", "file_seq").collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.group, []).append(r)
+    assert by_group
+    for group_rows in by_group.values():
+        seqs = [r.file_seq for r in group_rows]
+        assert seqs == list(range(len(seqs))), "file_seq must be dense"
+        cum = 0
+        for k, r in enumerate(group_rows):
+            if k > 0:
+                assert cum >= k * target, (r.group, k, cum)
+            cum += r.total_bytes
+
+
+def test_compaction_query_plan_bounded_shuffles(spark):
+    df = SPARK_QUERIES["compaction_plan"](spark, SF_DIR)
+    assert P.python_eval_count(df) == 0
+    assert P.exchange_count(df) <= 2  # window on source + final rollup
+
+
+# ---------------------------------------------------------------------------
+# z-score outliers
+# ---------------------------------------------------------------------------
+
+
+def test_value_outliers_planted(spark):
+    rows = [("a", i, 10.0) for i in range(99)] + [("a", 99, 100.0)]
+    df = spark.createDataFrame(rows, ["grp", "row_id", "value"])
+    out = value_outliers(df, "grp", "value", sigma=3.0).collect()
+    assert [(r.grp, r.row_id) for r in out] == [("a", 99)]
+    # z of the planted outlier: (100-10.9)/sqrt(mean(v^2)-mean^2)
+    assert abs(out[0].z_score - 9.9499) < 1e-3
+
+
+def test_value_outliers_constant_group_not_flagged(spark):
+    df = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(10)], ["grp", "row_id", "value"]
+    )
+    assert value_outliers(df, "grp", "value").count() == 0
+
+
+def test_value_outliers_plan_broadcast_detail_pass(spark):
+    df = SPARK_QUERIES["value_outliers"](spark, SF_DIR)
+    assert P.python_eval_count(df) == 0
+    assert P.broadcast_join_count(df) >= 1
+    assert P.exchange_count(df) <= 1  # only the moments aggregate shuffles
