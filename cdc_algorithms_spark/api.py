@@ -72,6 +72,7 @@ __all__ = [
     "zorder_plan",
     "compact_plan",
     "outliers",
+    "curriculum",
 ]
 
 
@@ -506,3 +507,11 @@ def outliers(df: DataFrame, group_col: str, value_col: str, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.profile import value_outliers
 
     return value_outliers(df, group_col, value_col, **kw)
+
+
+def curriculum(docs: DataFrame, band_col, seed: int = 0, **kw) -> DataFrame:
+    """Banded curriculum read order: difficulty bands ascending, LCG
+    shuffle within band (operators/shuffle.py::curriculum_order)."""
+    from cdc_algorithms_spark.operators.shuffle import curriculum_order
+
+    return curriculum_order(docs, band_col, seed=seed, **kw)

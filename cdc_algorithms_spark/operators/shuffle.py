@@ -84,3 +84,57 @@ def deterministic_shuffle(
         )
         .drop("__bkt", "__base")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    band_col,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """``(doc_id, band, shuffle_key, curriculum_rank)``: curriculum
+    read order — easy bands first, deterministically shuffled WITHIN
+    each band (the standard curriculum-training order: sort by a
+    difficulty proxy, randomize inside the level).
+
+    ``band_col`` is a small-integer difficulty Column (e.g. a length or
+    quality bucket). The global rank is ordered by (band, shuffle_key,
+    doc_id) and assigned with the same bounded two-phase machinery as
+    ``deterministic_shuffle``: rows bucket by (band, key high bits),
+    per-bucket counts roll into cumulative bases over the tiny
+    (bands x 1024) bucket frame, and row_number runs only within a
+    bounded bucket — no all-rows window partition anywhere.
+    """
+    band = band_col if not isinstance(band_col, str) else F.col(band_col)
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        band.cast("long").alias("band"),
+        shuffle_key(id_col, seed).alias("shuffle_key"),
+    ).withColumn("__bkt", F.shiftright("shuffle_key", 31 - _N_BUCKETS_BITS))
+
+    prior = (
+        Window.partitionBy()
+        .orderBy("band", "__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        keyed.groupBy("band", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "band",
+            "__bkt",
+            F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__base"),
+        )
+    )
+    in_bucket = Window.partitionBy("band", "__bkt").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return (
+        keyed.join(F.broadcast(bases), ["band", "__bkt"])
+        .withColumn(
+            "curriculum_rank",
+            (F.col("__base") + F.row_number().over(in_bucket)).cast("long"),
+        )
+        .drop("__bkt", "__base")
+        .select("doc_id", "band", "shuffle_key", "curriculum_rank")
+    )

@@ -957,6 +957,8 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_layout_plan",
     "compaction_plan",
     "value_outliers",
+    "curriculum_order",
+    "fixed_dedup_sweep",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1000,8 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "udtf_fixed_chunks",
     "dedup_components",
     "stratified_sample_docs",
-    "tfidf_top_terms",
-    "media_resized_summary",
 ]
 
 

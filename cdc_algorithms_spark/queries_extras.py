@@ -267,3 +267,98 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers(
         ev, group_col="event_type", value_col="value", sigma=_OUTLIER_SIGMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: easy bands first, shuffled within a band
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SEED = 23
+
+_CURRICULUM_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 7) AS band,
+         ((((doc_id % 2147483648) * 1103515245 + 12345 + {_CURRICULUM_SEED})
+           % 2147483648)
+          * 1103515245 + 12345) % 2147483648 AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, band,
+       CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id) AS BIGINT)
+         AS curriculum_rank
+FROM keyed
+"""
+
+
+@register("curriculum_order", _CURRICULUM_ORACLE)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum read order over documents: length-bucket difficulty
+    bands ascending, deterministic LCG shuffle within each band, global
+    rank via the bounded two-phase machinery (no all-rows window)."""
+    from cdc_algorithms_spark.operators.shuffle import curriculum_order
+
+    docs = load_table(spark, "documents", sf_dir)
+    band = F.least(
+        F.floor(F.col("n_chars") / F.lit(100.0)), F.lit(7).cast("long")
+    )
+    return curriculum_order(docs, band, seed=_CURRICULUM_SEED)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-chunk-size dedup sweep: the tuning curve for the chunk-size knob
+# ---------------------------------------------------------------------------
+
+_SWEEP_SIZES = (32, 64, 128, 256)
+
+
+def _fixed_chunks_sql(size: int) -> str:
+    return f"""
+    SELECT 'fixed{size}' AS algo,
+           CAST(LEAST({size}, d.n_chars - u.off) AS BIGINT) AS length,
+           substring(d.text, CAST(u.off + 1 AS INT), {size}) AS chunk_text
+    FROM documents d, UNNEST(range(0, d.n_chars, {size})) AS u(off)
+    """
+
+
+_SWEEP_ORACLE = f"""
+WITH chunks AS (
+    {" UNION ALL ".join(_fixed_chunks_sql(s) for s in _SWEEP_SIZES)}
+),
+per_key AS (
+    SELECT algo, chunk_text,
+           COUNT(*) AS occurrences,
+           SUM(length) AS bytes_all,
+           MAX(length) AS bytes_one
+    FROM chunks GROUP BY algo, chunk_text
+)
+SELECT algo,
+       CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+       CAST(SUM(bytes_one) AS BIGINT) AS unique_bytes,
+       CAST(SUM(occurrences) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       ROUND(SUM(bytes_one) * 1.0 / SUM(bytes_all), 6) AS dedup_coeff,
+       ROUND(SUM(bytes_all) * 1.0 / COUNT(*), 6) AS avg_chunk,
+       ROUND(SUM(bytes_one) * 1.0 / COUNT(*), 6) AS avg_chunk_unique
+FROM per_key GROUP BY algo
+"""
+
+
+@register("fixed_dedup_sweep", _SWEEP_ORACLE)
+def q_fixed_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup metrics at four fixed chunk sizes in one result — the
+    chunk-size tuning curve (smaller chunks find more duplication but
+    cost more metadata; this query quantifies the trade-off). Each size
+    is an independent scan branch feeding the shared (algo, key)
+    aggregate; at scale the branches run as parallel stages off the
+    same cached input."""
+    from cdc_algorithms_spark.operators.chunking import fixed_chunks
+    from cdc_algorithms_spark.operators.dedup import dedup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = None
+    for s in _SWEEP_SIZES:
+        branch = fixed_chunks(docs, s).select("algo", "length", "chunk_text")
+        chunks = branch if chunks is None else chunks.unionByName(branch)
+    return dedup_stats(chunks)

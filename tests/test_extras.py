@@ -239,3 +239,45 @@ def test_value_outliers_plan_broadcast_detail_pass(spark):
     assert P.python_eval_count(df) == 0
     assert P.broadcast_join_count(df) >= 1
     assert P.exchange_count(df) <= 1  # only the moments aggregate shuffles
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_band_then_shuffle(spark):
+    from cdc_algorithms_spark.operators.shuffle import curriculum_order
+
+    rows = [(i, i % 3) for i in range(200)]  # (doc_id, band)
+    df = spark.createDataFrame(rows, ["doc_id", "band"])
+    out = curriculum_order(df, "band", seed=7).collect()
+    assert sorted(r.curriculum_rank for r in out) == list(range(1, 201))
+    by_rank = sorted(out, key=lambda r: r.curriculum_rank)
+    # bands are non-decreasing along the rank; within a band the order
+    # follows (shuffle_key, doc_id)
+    keys = [(r.band, r.shuffle_key, r.doc_id) for r in by_rank]
+    assert keys == sorted(keys)
+    # within-band order is actually shuffled (not id order)
+    band0_ids = [r.doc_id for r in by_rank if r.band == 0]
+    assert band0_ids != sorted(band0_ids)
+
+
+def test_curriculum_query_no_all_rows_window(spark):
+    df = SPARK_QUERIES["curriculum_order"](spark, SF_DIR)
+    # the only empty-partition window runs over the tiny bucket frame
+    # (<= bands x 1024 rows), never the corpus: corpus rows go through
+    # the (band, __bkt)-partitioned row_number only
+    parts = P.window_partition_columns(df)
+    assert any(cols for cols in parts), "per-bucket window missing"
+
+
+def test_fixed_dedup_sweep_consistent_with_single_size(spark):
+    sweep = {
+        r.algo: r for r in SPARK_QUERIES["fixed_dedup_sweep"](spark, SF_DIR).collect()
+    }
+    assert set(sweep) == {"fixed32", "fixed64", "fixed128", "fixed256"}
+    single = SPARK_QUERIES["fixed_dedup_stats"](spark, SF_DIR).collect()[0]
+    assert sweep["fixed64"].asDict() == single.asDict()
+    # smaller chunks can only expose MORE duplication per byte
+    assert sweep["fixed32"].dedup_coeff <= sweep["fixed256"].dedup_coeff
