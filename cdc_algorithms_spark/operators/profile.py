@@ -99,12 +99,34 @@ def value_outliers(
     (rows = group cardinality), broadcast back over the stream — the
     detail scan is map-only, no second shuffle.
     """
+    return outlier_screen(
+        df, outlier_moments(df, group_col, value_col), group_col, value_col, sigma
+    )
+
+
+def outlier_moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group (n, sum, sum-of-squares) with DECIMAL accumulation —
+    the exact, merge-order-independent moment table ``outlier_screen``
+    probes. Split out so a stream can be screened against moments from
+    a static corpus (stream-static drift screen)."""
     dec = F.col(value_col).cast("decimal(18,6)")
-    stats = df.groupBy(group_col).agg(
+    return df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(dec).cast("double").alias("__s1"),
         F.sum(dec * dec).cast("double").alias("__s2"),
     )
+
+
+def outlier_screen(
+    df: DataFrame,
+    stats: DataFrame,
+    group_col: str,
+    value_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Map-only screen: broadcast-join ``stats`` (from
+    ``outlier_moments``) and keep rows beyond ``sigma`` deviations.
+    Works identically on batch frames and streams (stateless)."""
     mean = F.col("__s1") / F.col("__n")
     var = F.col("__s2") / F.col("__n") - mean * mean
     enriched = df.join(F.broadcast(stats), group_col).withColumn(

@@ -959,6 +959,8 @@ _VERIFY_WINDOW: list[str] = [
     "value_outliers",
     "curriculum_order",
     "fixed_dedup_sweep",
+    "near_dup_threshold_sweep",
+    "streaming_value_outliers",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1000,8 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "media_summary",
     "media_frame_counts",
     "udtf_fixed_chunks",
-    "dedup_components",
-    "stratified_sample_docs",
 ]
 
 

@@ -362,3 +362,127 @@ def q_fixed_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch = fixed_chunks(docs, s).select("algo", "length", "chunk_text")
         chunks = branch if chunks is None else chunks.unionByName(branch)
     return dedup_stats(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep: the precision/recall tuning curve
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+_SWEEP_BASE = 0.5  # pairs computed once at the loosest threshold
+
+_NEAR_DUP_SWEEP_ORACLE = None  # built below (needs queries_text CTEs)
+
+
+def _build_near_dup_sweep_oracle() -> str:
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        _shingles_cte,
+        _WORDS_CTE,
+    )
+
+    th_list = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= {_SWEEP_BASE}
+),
+th AS (SELECT UNNEST([{th_list}]) AS threshold),
+flagged AS (
+  SELECT th.threshold, pairs.id_a, pairs.id_b
+  FROM pairs JOIN th ON pairs.jaccard >= th.threshold
+),
+ids AS (
+  SELECT threshold, UNNEST([id_a, id_b]) AS doc_id FROM flagged
+)
+SELECT f.threshold,
+       CAST(f.n_pairs AS BIGINT) AS n_pairs,
+       CAST(d.n_docs AS BIGINT) AS n_docs
+FROM (SELECT threshold, COUNT(*) AS n_pairs FROM flagged GROUP BY 1) f
+JOIN (SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs FROM ids GROUP BY 1) d
+  USING (threshold)
+"""
+
+
+def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair/doc counts at four Jaccard thresholds from ONE
+    exact pair computation (run at the loosest threshold, then bucketed
+    by an explode over the tiny threshold list) — the dedup-aggressiveness
+    tuning curve. The expensive inverted-index join runs once; the sweep
+    itself is metadata-scale."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        _persist,
+        ngram_jaccard_pairs,
+    )
+    from cdc_algorithms_spark.queries_text import JACCARD_N
+
+    docs = load_table(spark, "documents", sf_dir)
+    # two consumers (pair counts + distinct-doc counts) — persist the
+    # pair frame or the inverted-index join runs twice
+    pairs = _persist(
+        ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=_SWEEP_BASE)
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    flagged = pairs.select("id_a", "id_b", "jaccard", th).where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = flagged.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        flagged.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold")
+
+
+register("near_dup_threshold_sweep", _build_near_dup_sweep_oracle())(
+    q_near_dup_threshold_sweep
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the outlier screen (stream-static drift screen)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_value_outliers", _OUTLIERS_ORACLE)
+def q_streaming_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ARRIVE as a stream and are screened per micro-batch
+    against the static corpus moments (broadcast stream-static join,
+    stateless append mode — each batch's outliers emit immediately).
+    The converged flag set must equal the batch ``value_outliers``
+    result, so the same oracle applies."""
+    from cdc_algorithms_spark.operators.profile import (
+        outlier_moments,
+        outlier_screen,
+    )
+    from cdc_algorithms_spark.streaming import run_staged_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    stats = outlier_moments(ev, "event_type", "value")
+    stages = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return outlier_screen(
+            stream, stats, "event_type", "value", _OUTLIER_SIGMA
+        )
+
+    return run_staged_stream(spark, stages, build, output_mode="append")

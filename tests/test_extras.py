@@ -281,3 +281,35 @@ def test_fixed_dedup_sweep_consistent_with_single_size(spark):
     assert sweep["fixed64"].asDict() == single.asDict()
     # smaller chunks can only expose MORE duplication per byte
     assert sweep["fixed32"].dedup_coeff <= sweep["fixed256"].dedup_coeff
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep + streaming outlier screen
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_threshold_sweep_monotonic_and_consistent(spark):
+    sweep = {
+        r.threshold: (r.n_pairs, r.n_docs)
+        for r in SPARK_QUERIES["near_dup_threshold_sweep"](spark, SF_DIR).collect()
+    }
+    assert set(sweep) == {0.5, 0.7, 0.8, 0.9}
+    # tightening the threshold can only lose pairs/docs
+    for lo, hi in [(0.5, 0.7), (0.7, 0.8), (0.8, 0.9)]:
+        assert sweep[hi][0] <= sweep[lo][0]
+        assert sweep[hi][1] <= sweep[lo][1]
+    # the 0.8 bucket must agree with the standalone exact-pair query
+    n_08 = SPARK_QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).count()
+    assert sweep[0.8][0] == n_08
+
+
+def test_streaming_outliers_converge_to_batch(spark):
+    batch = {
+        (r.event_id, r.z_score)
+        for r in SPARK_QUERIES["value_outliers"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r.event_id, r.z_score)
+        for r in SPARK_QUERIES["streaming_value_outliers"](spark, SF_DIR).collect()
+    }
+    assert batch and streamed == batch
