@@ -961,6 +961,7 @@ _VERIFY_WINDOW: list[str] = [
     "fixed_dedup_sweep",
     "near_dup_threshold_sweep",
     "streaming_value_outliers",
+    "streaming_event_funnel",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "cdc_apply_check",
     "media_summary",
     "media_frame_counts",
-    "udtf_fixed_chunks",
 ]
 
 

@@ -486,3 +486,69 @@ def q_streaming_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_staged_stream(spark, stages, build, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_event_funnel", _FUNNEL_ORACLE)
+def q_streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a CONTINUOUS pipeline: events arrive in three
+    ts-ordered micro-batches; per-user stage progress lives in operator
+    state (streaming/funnel.py::stateful_funnel) and advancement rows
+    emit incrementally. Converged per-user max depth = the batch
+    funnel's deepest stage, so the batch oracle applies unchanged."""
+    from cdc_algorithms_spark.streaming import run_staged_stream
+    from cdc_algorithms_spark.streaming.funnel import stateful_funnel
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # ts-ordered staging (the exactness condition: cross-batch arrival
+    # order is ascending in ts; within a batch any order is fine)
+    c1, c2 = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.34)"),
+        F.expr("percentile(unix_micros(ts), 0.67)"),
+    ).first()
+    stages_frames = [
+        ev.where(F.unix_micros("ts") <= c1),
+        ev.where((F.unix_micros("ts") > c1) & (F.unix_micros("ts") <= c2)),
+        ev.where(F.unix_micros("ts") > c2),
+    ]
+    sink = run_staged_stream(
+        spark,
+        stages_frames,
+        lambda s: stateful_funnel(s, _FUNNEL_STAGES),
+        output_mode="update",
+    )
+
+    per_user = sink.groupBy("user_id").agg(F.max("depth").alias("d"))
+    reached = per_user.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("d"))).alias(
+            "stage_idx"
+        )
+    )
+    got = reached.groupBy("stage_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    stage_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_FUNNEL_STAGES)], ["stage_idx", "stage"]
+    )
+    counts = stage_df.join(got, "stage_idx", "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+    )
+    base = counts.where(F.col("stage_idx") == 0).select(
+        F.col("n_users").alias("n_base")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("n_base").cast("double"), 6
+        ).alias("conversion"),
+    )

@@ -313,3 +313,57 @@ def test_streaming_outliers_converge_to_batch(spark):
         for r in SPARK_QUERIES["streaming_value_outliers"](spark, SF_DIR).collect()
     }
     assert batch and streamed == batch
+
+
+def test_stateful_funnel_cross_batch_and_disorder(spark):
+    from cdc_algorithms_spark.streaming import run_staged_stream
+    from cdc_algorithms_spark.streaming.funnel import stateful_funnel
+
+    # batch 1: u1 views; u2's click arrives BEFORE its view within the
+    #          same batch (in-batch disorder must be sorted in state)
+    b1 = spark.createDataFrame(
+        [
+            (1, "view", _ts(1)),
+            (2, "click", _ts(2)),
+            (2, "view", _ts(3)),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    # batch 2: u1 clicks (cross-batch advancement); u2 purchases without
+    #          ever clicking after its view -> u2 stays at depth 0
+    b2 = spark.createDataFrame(
+        [
+            (1, "click", _ts(10)),
+            (2, "purchase", _ts(11)),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    # batch 3: u1 completes
+    b3 = spark.createDataFrame(
+        [(1, "purchase", _ts(20))], ["user_id", "event_type", "ts"]
+    )
+    sink = run_staged_stream(
+        spark,
+        [b1, b2, b3],
+        lambda s: stateful_funnel(s, ("view", "click", "purchase")),
+        output_mode="update",
+    )
+    from pyspark.sql import functions as SF
+
+    final = {
+        r.user_id: r.d
+        for r in sink.groupBy("user_id").agg(SF.max("depth").alias("d")).collect()
+    }
+    assert final == {1: 2, 2: 0}
+
+
+def test_streaming_funnel_converges_to_batch(spark):
+    batch = {
+        (r.stage_idx, r.stage, r.n_users, r.conversion)
+        for r in SPARK_QUERIES["event_funnel"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r.stage_idx, r.stage, r.n_users, r.conversion)
+        for r in SPARK_QUERIES["streaming_event_funnel"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
