@@ -962,6 +962,7 @@ _VERIFY_WINDOW: list[str] = [
     "near_dup_threshold_sweep",
     "streaming_value_outliers",
     "streaming_event_funnel",
+    "training_manifest",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "doc_table_diff",
     "cdc_apply_check",
     "media_summary",
-    "media_frame_counts",
 ]
 
 

