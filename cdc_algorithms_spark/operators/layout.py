@@ -180,3 +180,85 @@ def compaction_plan(
             F.max(order_col).alias("last_item"),
         )
     )
+
+
+def layout_pruning_compare(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    file_bits: int = 4,
+) -> DataFrame:
+    """Quantify min/max-pruning effectiveness: Z-order vs 1-D sort.
+
+    For each candidate layout — ``zorder`` (file = top Morton bits) and
+    ``xsort`` (file = top bits of the scaled x alone, the 1-D sorted
+    baseline) — computes the expected fraction of files a uniform point
+    predicate on x (resp. y) must touch: ``sum(file span) / (global
+    range * n_files)``. A 1-D layout bounds only its sort key (y
+    fraction ~= 1 — every file spans the whole y range); the Z-layout
+    bounds BOTH, which is the entire case for Z-ordering.
+
+    Single pass: each row is tagged with both layouts' file ids via a
+    2-way metadata explode, so one (layout, file) aggregate serves both
+    — the input is scanned once however many layouts are compared.
+    """
+    shift = bits - file_bits
+    if shift < 0:
+        raise ValueError("file_bits must be <= bits")
+    # the 1-D baseline gets the SAME file count as the Z layout
+    # (4**file_bits) so the touch fractions compare like-for-like
+    xsort_shift = max(0, bits - 2 * file_bits)
+    mm = df.agg(
+        F.min(x_col).cast("long").alias("__xlo"),
+        F.max(x_col).cast("long").alias("__xhi"),
+        F.min(y_col).cast("long").alias("__ylo"),
+        F.max(y_col).cast("long").alias("__yhi"),
+    )
+    base = df.crossJoin(F.broadcast(mm))
+    sx = _scaled(F.col(x_col).cast("long"), F.col("__xlo"), F.col("__xhi"), bits)
+    sy = _scaled(F.col(y_col).cast("long"), F.col("__ylo"), F.col("__yhi"), bits)
+    zf = F.shiftright(_interleave(sx, sy, bits), 2 * shift)
+    xf = F.shiftright(sx, xsort_shift)
+    tagged = base.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"), zf.cast("long").alias("file_id")
+                ),
+                F.struct(
+                    F.lit("xsort").alias("layout"), xf.cast("long").alias("file_id")
+                ),
+            )
+        ).alias("t"),
+    )
+    per_file = tagged.groupBy(
+        F.col("t.layout").alias("layout"), F.col("t.file_id").alias("file_id")
+    ).agg(
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    span = lambda lo, hi: F.col(hi) - F.col(lo) + F.lit(1)  # noqa: E731
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(
+            F.sum(span("x_min", "x_max")).cast("double")
+            / (
+                (F.max("x_max") - F.min("x_min") + F.lit(1)).cast("double")
+                * F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("x_touch_frac"),
+        F.round(
+            F.sum(span("y_min", "y_max")).cast("double")
+            / (
+                (F.max("y_max") - F.min("y_min") + F.lit(1)).cast("double")
+                * F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("y_touch_frac"),
+    )

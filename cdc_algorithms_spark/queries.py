@@ -963,6 +963,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_value_outliers",
     "streaming_event_funnel",
     "training_manifest",
+    "zorder_pruning_gain",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "incremental_ingest_stats",
     "doc_table_diff",
     "cdc_apply_check",
-    "media_summary",
 ]
 
 

@@ -640,3 +640,75 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("training_manifest", _build_training_manifest_oracle())(
     q_training_manifest
 )
+
+
+# ---------------------------------------------------------------------------
+# Layout pruning gain: Z-order vs 1-D sort, quantified
+# ---------------------------------------------------------------------------
+
+_PRUNE_ORACLE = f"""
+WITH pts AS (
+    SELECT o_custkey AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS y
+    FROM orders
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi FROM pts
+),
+sc AS (
+    SELECT x, y,
+           {_scaled_sql('x', 'xlo', 'xhi', _Z_BITS)} AS sx,
+           {_scaled_sql('y', 'ylo', 'yhi', _Z_BITS)} AS sy
+    FROM pts, mm
+),
+tagged AS (
+    SELECT 'zorder' AS layout,
+           CAST(({_interleave_sql('sx', 'sy', _Z_BITS)})
+                >> {2 * (_Z_BITS - _Z_FILE_BITS)} AS BIGINT) AS file_id,
+           x, y
+    FROM sc
+    UNION ALL
+    SELECT 'xsort' AS layout,
+           CAST(sx >> {max(0, _Z_BITS - 2 * _Z_FILE_BITS)} AS BIGINT) AS file_id,
+           x, y
+    FROM sc
+),
+per_file AS (
+    SELECT layout, file_id,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM tagged GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       ROUND(CAST(SUM(x_max - x_min + 1) AS DOUBLE)
+             / (CAST(MAX(x_max) - MIN(x_min) + 1 AS DOUBLE)
+                * CAST(COUNT(*) AS DOUBLE)), 6) AS x_touch_frac,
+       ROUND(CAST(SUM(y_max - y_min + 1) AS DOUBLE)
+             / (CAST(MAX(y_max) - MIN(y_min) + 1 AS DOUBLE)
+                * CAST(COUNT(*) AS DOUBLE)), 6) AS y_touch_frac
+FROM per_file GROUP BY 1
+"""
+
+
+@register("zorder_pruning_gain", _PRUNE_ORACLE)
+def q_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much scan pruning each layout buys, as data: expected
+    fraction of files a uniform point predicate touches, per dimension,
+    for the Z-order layout vs the 1-D x-sorted baseline. The 1-D layout
+    bounds only its sort key (y fraction ~1); Z bounds both — the
+    quantitative case for Z-ordering, verified by the oracle."""
+    from cdc_algorithms_spark.operators.layout import layout_pruning_compare
+
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return layout_pruning_compare(
+        pts, "x", "y", bits=_Z_BITS, file_bits=_Z_FILE_BITS
+    )

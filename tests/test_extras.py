@@ -384,3 +384,23 @@ def test_training_manifest_composition_consistent(spark):
     # the per-cell census must agree with the standalone split summary
     # restricted to kept docs (same seed/fractions by construction)
     assert all(r.n_tokens >= r.n_docs for r in rows)  # every kept doc non-empty
+
+
+def test_layout_pruning_compare_bounds_both_dims(spark):
+    rows = {
+        r.layout: r
+        for r in SPARK_QUERIES["zorder_pruning_gain"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"zorder", "xsort"}
+    z, xs = rows["zorder"], rows["xsort"]
+    # both layouts draw from the same 4**file_bits possible cells;
+    # OCCUPIED counts may differ on sparse fixtures
+    assert z.n_files <= 256 and xs.n_files <= 256
+    # the 1-D layout bounds only its sort key; Z bounds both
+    assert xs.x_touch_frac < z.x_touch_frac
+    assert xs.y_touch_frac > 0.5
+    assert z.y_touch_frac < 0.5
+    # Z's worst dimension is far better than xsort's worst dimension
+    assert max(z.x_touch_frac, z.y_touch_frac) < max(
+        xs.x_touch_frac, xs.y_touch_frac
+    )
