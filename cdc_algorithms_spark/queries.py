@@ -964,6 +964,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_event_funnel",
     "training_manifest",
     "zorder_pruning_gain",
+    "profile_drift_docs",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "sync_plan_fixed",
     "incremental_ingest_stats",
     "doc_table_diff",
-    "cdc_apply_check",
 ]
 
 

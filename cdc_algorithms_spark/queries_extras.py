@@ -712,3 +712,93 @@ def q_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_pruning_compare(
         pts, "x", "y", bits=_Z_BITS, file_bits=_Z_FILE_BITS
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift report: exact profile of old vs perturbed documents
+# ---------------------------------------------------------------------------
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_union_sql(relation: str) -> str:
+    branches = []
+    for c in _DOC_COLS:
+        branches.append(f"""
+  SELECT '{c}' AS "column",
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         CAST(MIN({c}) AS VARCHAR) AS min_value,
+         CAST(MAX({c}) AS VARCHAR) AS max_value
+  FROM {relation}""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+  SELECT u."column" AS "column", s.n_rows, u.n_nulls, u.n_distinct, u.min_value, u.max_value
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM {relation}) s
+  CROSS JOIN ({union}) u
+"""
+
+
+def _build_profile_drift_oracle() -> str:
+    from cdc_algorithms_spark.operators.diff import PERTURB_SQL
+
+    return f"""
+WITH new_docs AS ({PERTURB_SQL}),
+po AS ({_profile_union_sql("documents")}),
+pn AS ({_profile_union_sql("new_docs")})
+SELECT po."column" AS "column",
+       po.n_rows AS n_rows_old,
+       pn.n_rows AS n_rows_new,
+       CAST(pn.n_nulls - po.n_nulls AS BIGINT) AS n_nulls_delta,
+       CAST(pn.n_distinct - po.n_distinct AS BIGINT) AS n_distinct_delta,
+       po.min_value IS DISTINCT FROM pn.min_value AS min_changed,
+       po.max_value IS DISTINCT FROM pn.max_value AS max_changed
+FROM po JOIN pn ON po."column" = pn."column" 
+"""
+
+
+def q_profile_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot drift report: exact per-column profiles of
+    the current documents table vs the (deterministically perturbed)
+    next snapshot, joined column-wise into deltas and changed-flags —
+    the ingest-validation gate that runs before a new snapshot joins
+    the corpus. Each profile is ONE wide aggregate over its scan
+    (operators/profile.py); the drift join is over #columns rows."""
+    from cdc_algorithms_spark.operators.diff import perturb_documents
+    from cdc_algorithms_spark.operators.profile import profile_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old_p = profile_table(docs, columns=list(_DOC_COLS), exact=True)
+    new_p = profile_table(
+        perturb_documents(docs), columns=list(_DOC_COLS), exact=True
+    )
+    o = old_p.select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("__nulls_o"),
+        F.col("n_distinct").alias("__dist_o"),
+        F.col("min_value").alias("__min_o"),
+        F.col("max_value").alias("__max_o"),
+    )
+    n = new_p.select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("__nulls_n"),
+        F.col("n_distinct").alias("__dist_n"),
+        F.col("min_value").alias("__min_n"),
+        F.col("max_value").alias("__max_n"),
+    )
+    return o.join(n, "column").select(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        (F.col("__nulls_n") - F.col("__nulls_o")).cast("long").alias("n_nulls_delta"),
+        (F.col("__dist_n") - F.col("__dist_o")).cast("long").alias("n_distinct_delta"),
+        (~F.col("__min_o").eqNullSafe(F.col("__min_n"))).alias("min_changed"),
+        (~F.col("__max_o").eqNullSafe(F.col("__max_n"))).alias("max_changed"),
+    )
+
+
+register("profile_drift_docs", _build_profile_drift_oracle())(
+    q_profile_drift_docs
+)

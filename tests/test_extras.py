@@ -404,3 +404,19 @@ def test_layout_pruning_compare_bounds_both_dims(spark):
     assert max(z.x_touch_frac, z.y_touch_frac) < max(
         xs.x_touch_frac, xs.y_touch_frac
     )
+
+
+def test_profile_drift_flags_the_perturbation(spark):
+    rows = {
+        r.column: r
+        for r in SPARK_QUERIES["profile_drift_docs"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    # the perturbation rewrites text/n_chars for 20% of docs, touches
+    # nothing else
+    assert rows["doc_id"].n_nulls_delta == 0
+    assert not rows["doc_id"].min_changed and not rows["doc_id"].max_changed
+    assert not rows["lang"].min_changed and not rows["source"].min_changed
+    assert rows["text"].min_changed or rows["text"].n_distinct_delta != 0
+    assert rows["n_chars"].n_distinct_delta != 0 or rows["n_chars"].max_changed
+    assert all(r.n_rows_old == r.n_rows_new for r in rows.values())
