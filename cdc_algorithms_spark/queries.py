@@ -965,6 +965,7 @@ _VERIFY_WINDOW: list[str] = [
     "training_manifest",
     "zorder_pruning_gain",
     "profile_drift_docs",
+    "streaming_compaction_plan",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "semantic_dedup_check",
     "sync_plan_fixed",
     "incremental_ingest_stats",
-    "doc_table_diff",
 ]
 
 

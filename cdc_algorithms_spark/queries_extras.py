@@ -802,3 +802,40 @@ def q_profile_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("profile_drift_docs", _build_profile_drift_oracle())(
     q_profile_drift_docs
 )
+
+
+@register("streaming_compaction_plan", _COMPACTION_ORACLE)
+def q_streaming_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning as CONTINUOUS ingest: documents arrive in
+    three doc_id-ordered micro-batches, each item is assigned its
+    target file on arrival from the per-source running-total state
+    (streaming/funnel.py::stateful_compaction), and the aggregated
+    manifest equals the batch plan — same oracle."""
+    from cdc_algorithms_spark.streaming import run_staged_stream
+    from cdc_algorithms_spark.streaming.funnel import stateful_compaction
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "n_chars"
+    )
+    lo, hi = docs.agg(
+        F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+    ).first()
+    stages = [
+        docs.where(F.col("doc_id") <= lo),
+        docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+        docs.where(F.col("doc_id") > hi),
+    ]
+    sink = run_staged_stream(
+        spark,
+        stages,
+        lambda s: stateful_compaction(
+            s, "source", "doc_id", "n_chars", _COMPACT_TARGET
+        ),
+        output_mode="append",
+    )
+    return sink.groupBy("group", "file_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.min("item").alias("first_item"),
+        F.max("item").alias("last_item"),
+    )

@@ -115,3 +115,75 @@ def stateful_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming compaction assignment (same module: tiny stateful operators)
+# ---------------------------------------------------------------------------
+
+ASSIGN_SCHEMA = "group string, item long, size long, file_seq long"
+
+
+def stateful_compaction(
+    items_stream: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Streaming twin of ``operators/layout.py::compaction_plan``: the
+    per-group running byte total lives in operator state, so each
+    arriving item gets its target file the moment it lands — the
+    continuous-ingest version of the OPTIMIZE planner.
+
+    Emits ``(group, item, size, file_seq)`` per arriving item. Exact
+    under ``order_col``-ordered arrival across micro-batches per group
+    (in-batch disorder is sorted in state — same contract as
+    ``stateful_funnel``); under that condition the emitted assignment
+    equals the batch plan's, so the batch oracle applies to the
+    aggregated manifest.
+
+    State is ONE long per in-flight group.
+    """
+    from collections.abc import Iterator
+    from typing import Any
+
+    target = float(int(target_bytes))
+
+    def assign(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        group = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(order_col)
+        (cum,) = state.get if state.exists else (0,)
+        items, sizes, seqs = [], [], []
+        for item, size in zip(rows[order_col], rows[size_col]):
+            items.append(int(item))
+            sizes.append(int(size))
+            seqs.append(int(math.floor(cum / target)))
+            cum += int(size)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "group": pd.Series([group] * len(items), dtype="object"),
+                "item": pd.Series(items, dtype="int64"),
+                "size": pd.Series(sizes, dtype="int64"),
+                "file_seq": pd.Series(seqs, dtype="int64"),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return items_stream.groupBy(group_col).applyInPandasWithState(
+        assign,
+        outputStructType=ASSIGN_SCHEMA,
+        stateStructType="cum long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

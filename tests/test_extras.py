@@ -420,3 +420,37 @@ def test_profile_drift_flags_the_perturbation(spark):
     assert rows["text"].min_changed or rows["text"].n_distinct_delta != 0
     assert rows["n_chars"].n_distinct_delta != 0 or rows["n_chars"].max_changed
     assert all(r.n_rows_old == r.n_rows_new for r in rows.values())
+
+
+def test_streaming_compaction_converges_to_batch(spark):
+    batch = {
+        (r.group, r.file_seq, r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in SPARK_QUERIES["compaction_plan"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r.group, r.file_seq, r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in SPARK_QUERIES["streaming_compaction_plan"](spark, SF_DIR).collect()
+    }
+    assert batch and streamed == batch
+
+
+def test_stateful_compaction_cross_batch_state(spark):
+    from cdc_algorithms_spark.streaming import run_staged_stream
+    from cdc_algorithms_spark.streaming.funnel import stateful_compaction
+
+    b1 = spark.createDataFrame(
+        [("s", 2, 100), ("s", 1, 100)], ["source", "doc_id", "n_chars"]
+    )  # in-batch disorder: doc 2 listed before doc 1
+    b2 = spark.createDataFrame(
+        [("s", 3, 100), ("s", 4, 50)], ["source", "doc_id", "n_chars"]
+    )
+    sink = run_staged_stream(
+        spark,
+        [b1, b2],
+        lambda s: stateful_compaction(s, "source", "doc_id", "n_chars", 250),
+        output_mode="append",
+    )
+    got = {(r.item, r.file_seq) for r in sink.collect()}
+    # before-values: doc1=0, doc2=100, doc3=200 (carried across batches),
+    # doc4=300 -> files 0,0,0,1
+    assert got == {(1, 0), (2, 0), (3, 0), (4, 1)}
