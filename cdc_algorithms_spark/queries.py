@@ -966,6 +966,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_pruning_gain",
     "profile_drift_docs",
     "streaming_compaction_plan",
+    "anomaly_runs",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "fingerprint_near_dup_check",
     "semantic_dedup_check",
     "sync_plan_fixed",
-    "incremental_ingest_stats",
 ]
 
 

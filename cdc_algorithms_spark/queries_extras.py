@@ -839,3 +839,96 @@ def q_streaming_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("item").alias("first_item"),
         F.max("item").alias("last_item"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly runs: gaps-and-islands incident detection over the screen
+# ---------------------------------------------------------------------------
+
+_RUN_GAP_US = 86_400_000_000  # 24 h
+
+_ANOMALY_RUNS_ORACLE = f"""
+WITH st AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                AS DOUBLE) AS s2
+    FROM events GROUP BY 1
+),
+flagged AS (
+    SELECT e.user_id, e.event_id, e.ts,
+           ROUND((CAST(e.value AS DOUBLE) - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z_score
+    FROM events e JOIN st USING (event_type)
+    WHERE (s2 / n - (s1 / n) * (s1 / n)) > 0.0
+      AND ABS((CAST(e.value AS DOUBLE) - s1 / n)
+              / sqrt(s2 / n - (s1 / n) * (s1 / n))) > {_OUTLIER_SIGMA}
+),
+marked AS (
+    SELECT user_id, event_id, ts, z_score,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_RUN_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM flagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, ts, z_score,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM marked
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
+       MAX(z_score) AS peak_z
+FROM runs GROUP BY 1, 2
+"""
+
+
+@register("anomaly_runs", _ANOMALY_RUNS_ORACLE)
+def q_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident detection: consecutive per-user outlier events within a
+    24 h gap collapse into runs (gaps-and-islands over the z-score
+    screen). Partitioned by user — bounded window partitions at any
+    scale, never a per-type total order."""
+    from pyspark.sql import Window
+
+    from cdc_algorithms_spark.operators.profile import (
+        outlier_moments,
+        outlier_screen,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    flagged = outlier_screen(
+        ev, outlier_moments(ev, "event_type", "value"), "event_type", "value",
+        _OUTLIER_SIGMA,
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = flagged.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > F.lit(_RUN_GAP_US)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("brk").over(w_cum))
+    return runs.groupBy("user_id", F.col("run_id").cast("long").alias("run_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros("ts")).cast("long").alias("start_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
+        F.max("z_score").alias("peak_z"),
+    )

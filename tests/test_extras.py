@@ -454,3 +454,20 @@ def test_stateful_compaction_cross_batch_state(spark):
     # before-values: doc1=0, doc2=100, doc3=200 (carried across batches),
     # doc4=300 -> files 0,0,0,1
     assert got == {(1, 0), (2, 0), (3, 0), (4, 1)}
+
+
+def test_anomaly_runs_stitch_and_split(spark):
+    rows = {
+        (r.user_id, r.run_id): r
+        for r in SPARK_QUERIES["anomaly_runs"](spark, SF_DIR).collect()
+    }
+    assert rows
+    for (_, run_id), r in rows.items():
+        assert run_id >= 1 and r.n_events >= 1
+        assert r.end_us >= r.start_us
+        # events inside one run are within the 24h-gap rule end to end:
+        # a run of n events spans at most (n-1) * gap
+        assert r.end_us - r.start_us <= (r.n_events - 1) * 86_400_000_000
+    # total flagged events must reconcile with the standalone screen
+    n_flagged = SPARK_QUERIES["value_outliers"](spark, SF_DIR).count()
+    assert sum(r.n_events for r in rows.values()) == n_flagged
