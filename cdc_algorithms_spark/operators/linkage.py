@@ -153,3 +153,45 @@ def event_funnel(
             F.col("n_users").cast("double") / F.col("n_base").cast("double"), 6
         ).alias("conversion"),
     )
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    name_col: str,
+    block_col,
+    max_distance: int = 2,
+    right_name_col: str | None = None,
+    right_block_col=None,
+) -> DataFrame:
+    """Cross-TABLE record linkage: match ``left`` names to ``right``
+    names within blocks at Levenshtein distance <= ``max_distance``
+    (0 = exact matches included — reconciliation wants both).
+
+    Same scale recipe as :func:`blocked_fuzzy_name_pairs`: each side
+    collapses to its distinct (block, name) vocabulary with row counts
+    BEFORE the quadratic stage, so candidate pairs are bounded by
+    vocabulary sizes per block, never by row counts. Returns
+    ``(block, name_a, name_b, distance, n_rows_a, n_rows_b)`` where
+    ``a`` is the left side.
+    """
+    lblock = F.col(block_col) if isinstance(block_col, str) else block_col
+    rname = right_name_col if right_name_col is not None else name_col
+    rb = right_block_col if right_block_col is not None else block_col
+    rblock = F.col(rb) if isinstance(rb, str) else rb
+    a = (
+        left.select(lblock.alias("block"), F.col(name_col).alias("name_a"))
+        .groupBy("block", "name_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows_a"))
+    )
+    b = (
+        right.select(rblock.alias("block"), F.col(rname).alias("name_b"))
+        .groupBy("block", "name_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows_b"))
+    )
+    return (
+        a.join(b, "block")
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("distance") <= F.lit(int(max_distance)))
+        .select("block", "name_a", "name_b", "distance", "n_rows_a", "n_rows_b")
+    )

@@ -967,6 +967,7 @@ _VERIFY_WINDOW: list[str] = [
     "profile_drift_docs",
     "streaming_compaction_plan",
     "anomaly_runs",
+    "catalog_reconciliation",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "near_dup_clusters_lsh",
     "fingerprint_near_dup_check",
     "semantic_dedup_check",
-    "sync_plan_fixed",
 ]
 
 

@@ -932,3 +932,64 @@ def q_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
         F.max("z_score").alias("peak_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table catalog reconciliation against a perturbed vendor feed
+# ---------------------------------------------------------------------------
+
+_VENDOR_PERTURB_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 3 = 0
+            THEN 'x' || substring(p_name, 2)
+            ELSE p_name END AS p_name
+FROM part
+"""
+
+_CATALOG_RECON_ORACLE = f"""
+WITH vendor AS ({_VENDOR_PERTURB_SQL}),
+a AS (
+    SELECT split_part(p_name, ' ', 2) AS block, p_name AS name_a,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_a
+    FROM part GROUP BY 1, 2
+),
+b AS (
+    SELECT split_part(p_name, ' ', 2) AS block, p_name AS name_b,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_b
+    FROM vendor GROUP BY 1, 2
+)
+SELECT a.block AS block, a.name_a, b.name_b,
+       CAST(levenshtein(a.name_a, b.name_b) AS BIGINT) AS distance,
+       a.n_rows_a, b.n_rows_b
+FROM a JOIN b USING (block)
+WHERE levenshtein(a.name_a, b.name_b) <= {_FUZZY_DISTANCE}
+"""
+
+
+@register("catalog_reconciliation", _CATALOG_RECON_ORACLE)
+def q_catalog_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage: the part catalog vs a perturbed
+    "vendor feed" (every third part's name gets a leading-character
+    typo). Both sides collapse to their (block, name) vocabularies
+    before the quadratic stage; exact matches (distance 0) and typo
+    links (distance 1-2) come back together — the reconciliation
+    work-list."""
+    from cdc_algorithms_spark.operators.linkage import blocked_fuzzy_join
+
+    part = load_table(spark, "part", sf_dir)
+    vendor = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("x"), F.substring("p_name", 2, 1 << 30)),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+    )
+    return blocked_fuzzy_join(
+        part,
+        vendor,
+        name_col="p_name",
+        block_col=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=_FUZZY_DISTANCE,
+    )

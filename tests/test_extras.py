@@ -471,3 +471,19 @@ def test_anomaly_runs_stitch_and_split(spark):
     # total flagged events must reconcile with the standalone screen
     n_flagged = SPARK_QUERIES["value_outliers"](spark, SF_DIR).count()
     assert sum(r.n_events for r in rows.values()) == n_flagged
+
+
+def test_catalog_reconciliation_links_typos(spark):
+    rows = SPARK_QUERIES["catalog_reconciliation"](spark, SF_DIR).collect()
+    by_dist = {}
+    for r in rows:
+        by_dist.setdefault(r.distance, 0)
+        by_dist[r.distance] += 1
+    # exact matches for untouched names AND distance-1 typo links exist
+    assert by_dist.get(0, 0) > 0
+    assert by_dist.get(1, 0) > 0
+    # every typo'd vendor name links back to its original: 'x' + tail
+    originals = {r.name_a for r in rows}
+    for r in rows:
+        if r.name_b.startswith("x") and r.distance == 1:
+            assert r.name_a[1:] == r.name_b[1:] or r.name_a in originals
