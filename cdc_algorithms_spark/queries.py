@@ -968,6 +968,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_compaction_plan",
     "anomaly_runs",
     "catalog_reconciliation",
+    "streaming_zorder_route",
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
@@ -1001,7 +1002,6 @@ _VERIFY_WINDOW: list[str] = [
     "bloom_decontamination_check",
     "near_dup_clusters_lsh",
     "fingerprint_near_dup_check",
-    "semantic_dedup_check",
 ]
 
 

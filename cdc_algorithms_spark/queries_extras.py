@@ -993,3 +993,70 @@ def q_catalog_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col=F.split(F.col("p_name"), " ").getItem(1),
         max_distance=_FUZZY_DISTANCE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Z-order routing (continuous ingest into the planned layout)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_zorder_route", _ZORDER_ORACLE)
+def q_streaming_zorder_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest into a Z-ordered table: orders ARRIVE in two
+    micro-batches; each batch routes rows to their quadtree file with
+    the bit-interleave against FROZEN corpus bounds (broadcast 1-row
+    stream-static join — routing is stateless and map-only), and a
+    complete-mode aggregate maintains the per-file stats. Converged
+    result = the batch layout plan, same oracle."""
+    from cdc_algorithms_spark.operators.layout import _interleave, _scaled
+    from cdc_algorithms_spark.streaming import run_staged_stream
+
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mm = pts.agg(
+        F.min("x").cast("long").alias("__xlo"),
+        F.max("x").cast("long").alias("__xhi"),
+        F.min("y").cast("long").alias("__ylo"),
+        F.max("y").cast("long").alias("__yhi"),
+    )
+    stages = [pts.where(F.col("k") % 2 == i).drop("k") for i in range(2)]
+    shift = 2 * (_Z_BITS - _Z_FILE_BITS)
+
+    def build(stream: DataFrame) -> DataFrame:
+        routed = stream.join(F.broadcast(mm))
+        sx = _scaled(F.col("x"), F.col("__xlo"), F.col("__xhi"), _Z_BITS)
+        sy = _scaled(F.col("y"), F.col("__ylo"), F.col("__yhi"), _Z_BITS)
+        return (
+            routed.withColumn(
+                "file_id",
+                F.shiftright(_interleave(sx, sy, _Z_BITS), shift).cast("long"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("x").cast("long").alias("x_min"),
+                F.max("x").cast("long").alias("x_max"),
+                F.min("y").cast("long").alias("y_min"),
+                F.max("y").cast("long").alias("y_max"),
+            )
+        )
+
+    sink = run_staged_stream(spark, stages, build, output_mode="complete")
+    return sink.select(
+        "file_id",
+        "n_rows",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        (F.col("x_max") - F.col("x_min") + 1).cast("long").alias("x_span"),
+        (F.col("y_max") - F.col("y_min") + 1).cast("long").alias("y_span"),
+    )

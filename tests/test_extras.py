@@ -487,3 +487,14 @@ def test_catalog_reconciliation_links_typos(spark):
     for r in rows:
         if r.name_b.startswith("x") and r.distance == 1:
             assert r.name_a[1:] == r.name_b[1:] or r.name_a in originals
+
+
+def test_streaming_zorder_route_converges_to_batch(spark):
+    batch = {
+        tuple(r) for r in SPARK_QUERIES["zorder_layout_plan"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in SPARK_QUERIES["streaming_zorder_route"](spark, SF_DIR).collect()
+    }
+    assert batch and streamed == batch
