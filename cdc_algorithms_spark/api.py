@@ -73,6 +73,11 @@ __all__ = [
     "compact_plan",
     "outliers",
     "curriculum",
+    "reconcile",
+    "pruning_gain",
+    "incidents_screen",
+    "stream_funnel",
+    "stream_compact",
 ]
 
 
@@ -515,3 +520,52 @@ def curriculum(docs: DataFrame, band_col, seed: int = 0, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.shuffle import curriculum_order
 
     return curriculum_order(docs, band_col, seed=seed, **kw)
+
+
+def reconcile(left: DataFrame, right: DataFrame, name_col: str, block_col, **kw) -> DataFrame:
+    """Cross-table record linkage at vocabulary level
+    (operators/linkage.py::blocked_fuzzy_join) — exact + typo links."""
+    from cdc_algorithms_spark.operators.linkage import blocked_fuzzy_join
+
+    return blocked_fuzzy_join(left, right, name_col, block_col, **kw)
+
+
+def pruning_gain(df: DataFrame, x_col: str, y_col: str, **kw) -> DataFrame:
+    """Expected per-dimension file-touch fractions: Z-order vs the 1-D
+    sorted baseline (operators/layout.py::layout_pruning_compare)."""
+    from cdc_algorithms_spark.operators.layout import layout_pruning_compare
+
+    return layout_pruning_compare(df, x_col, y_col, **kw)
+
+
+def incidents_screen(df: DataFrame, group_col: str, value_col: str, **kw) -> DataFrame:
+    """Map-only z-score screen against precomputed moments — feed its
+    output into a gaps-and-islands pass for incident runs (see the
+    registered ``anomaly_runs`` query for the composition)."""
+    from cdc_algorithms_spark.operators.profile import (
+        outlier_moments,
+        outlier_screen,
+    )
+
+    return outlier_screen(
+        df, outlier_moments(df, group_col, value_col), group_col, value_col, **kw
+    )
+
+
+def stream_funnel(events_stream: DataFrame, stages, **kw) -> DataFrame:
+    """Stateful streaming funnel: per-user stage timestamps as operator
+    state, advancement-only emission (streaming/funnel.py)."""
+    from cdc_algorithms_spark.streaming.funnel import stateful_funnel
+
+    return stateful_funnel(events_stream, stages, **kw)
+
+
+def stream_compact(items_stream: DataFrame, group_col: str, order_col: str,
+                   size_col: str, target_bytes: int) -> DataFrame:
+    """Streaming compaction assignment: per-group running-total state
+    routes each arriving item to its target file (streaming/funnel.py)."""
+    from cdc_algorithms_spark.streaming.funnel import stateful_compaction
+
+    return stateful_compaction(
+        items_stream, group_col, order_col, size_col, target_bytes
+    )
