@@ -542,14 +542,9 @@ def incidents_screen(df: DataFrame, group_col: str, value_col: str, **kw) -> Dat
     """Map-only z-score screen against precomputed moments — feed its
     output into a gaps-and-islands pass for incident runs (see the
     registered ``anomaly_runs`` query for the composition)."""
-    from cdc_algorithms_spark.operators.profile import (
-        outlier_moments,
-        outlier_screen,
-    )
+    from cdc_algorithms_spark.operators.profile import value_outliers
 
-    return outlier_screen(
-        df, outlier_moments(df, group_col, value_col), group_col, value_col, **kw
-    )
+    return value_outliers(df, group_col, value_col, **kw)
 
 
 def stream_funnel(events_stream: DataFrame, stages, **kw) -> DataFrame:

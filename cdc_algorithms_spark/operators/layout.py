@@ -145,9 +145,12 @@ def compaction_plan(
     Within each ``group_col`` partition, items are taken in
     ``order_col`` order and assigned ``file_seq = floor(running_size_before
     / target_bytes)`` — the standard streaming first-fit rule: a file
-    closes once the bytes before the current item reach the target, so
-    every planned file except possibly the last lands in
-    ``[target, target + max_item)`` bytes.
+    closes once the bytes before the current item reach the target.
+    Files are non-decreasing and — whenever no item exceeds the target —
+    dense; the guaranteed bound is cumulative: the bytes before file k's
+    first item land in ``[k*target, k*target + max_item)`` (an oversized
+    item can overshoot a boundary and leave a small or skipped file —
+    pinned by tests/test_property_layout.py).
 
     Returns ``(group, file_seq, n_items, total_bytes, first_item,
     last_item)`` — the manifest a rewrite job would execute.
@@ -204,11 +207,13 @@ def layout_pruning_compare(
     — the input is scanned once however many layouts are compared.
     """
     shift = bits - file_bits
-    if shift < 0:
-        raise ValueError("file_bits must be <= bits")
+    if bits < 2 * file_bits:
+        # below this the xsort baseline cannot reach 4**file_bits files
+        # and the comparison would silently bias toward zorder
+        raise ValueError("layout_pruning_compare needs bits >= 2*file_bits")
     # the 1-D baseline gets the SAME file count as the Z layout
     # (4**file_bits) so the touch fractions compare like-for-like
-    xsort_shift = max(0, bits - 2 * file_bits)
+    xsort_shift = bits - 2 * file_bits
     mm = df.agg(
         F.min(x_col).cast("long").alias("__xlo"),
         F.max(x_col).cast("long").alias("__xhi"),

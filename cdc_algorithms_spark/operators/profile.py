@@ -108,10 +108,17 @@ def outlier_moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group (n, sum, sum-of-squares) with DECIMAL accumulation —
     the exact, merge-order-independent moment table ``outlier_screen``
     probes. Split out so a stream can be screened against moments from
-    a static corpus (stream-static drift screen)."""
+    a static corpus (stream-static drift screen).
+
+    Domain contract: values must fit decimal(18,6) (|v| < 1e12) and the
+    per-group sum of squares must fit decimal(38,12) (~1e26). Under
+    this session's ANSI mode a breach RAISES (cast/sum overflow) rather
+    than silently skewing the screen; for non-ANSI embedders ``__n``
+    counts the same cast expression as the sums so a NULL-ed cast can
+    never be counted in n but dropped from s1/s2."""
     dec = F.col(value_col).cast("decimal(18,6)")
     return df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.count(dec).cast("double").alias("__n"),
         F.sum(dec).cast("double").alias("__s1"),
         F.sum(dec * dec).cast("double").alias("__s2"),
     )

@@ -56,10 +56,15 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-name vocabulary (64 names here, bounded at any SF),
     never over part rows."""
     part = load_table(spark, "part", sf_dir)
+    # coalesce to '' so a single-token name blocks like DuckDB's
+    # split_part (which returns '' instead of NULL) — NULL blocks never
+    # equi-join, so the engines would otherwise diverge on such names
     return blocked_fuzzy_name_pairs(
         part,
         name_col="p_name",
-        block_col=F.split(F.col("p_name"), " ").getItem(1),
+        block_col=F.coalesce(
+            F.split(F.col("p_name"), " ").getItem(1), F.lit("")
+        ),
         max_distance=_FUZZY_DISTANCE,
     )
 
@@ -896,18 +901,12 @@ def q_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, never a per-type total order."""
     from pyspark.sql import Window
 
-    from cdc_algorithms_spark.operators.profile import (
-        outlier_moments,
-        outlier_screen,
-    )
+    from cdc_algorithms_spark.operators.profile import value_outliers
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    flagged = outlier_screen(
-        ev, outlier_moments(ev, "event_type", "value"), "event_type", "value",
-        _OUTLIER_SIGMA,
-    )
+    flagged = value_outliers(ev, "event_type", "value", _OUTLIER_SIGMA)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = (
         Window.partitionBy("user_id")
@@ -990,7 +989,9 @@ def q_catalog_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         part,
         vendor,
         name_col="p_name",
-        block_col=F.split(F.col("p_name"), " ").getItem(1),
+        block_col=F.coalesce(
+            F.split(F.col("p_name"), " ").getItem(1), F.lit("")
+        ),
         max_distance=_FUZZY_DISTANCE,
     )
 

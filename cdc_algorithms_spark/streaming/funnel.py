@@ -55,6 +55,20 @@ def stateful_funnel(
     stages = list(stages)
     if not stages:
         raise ValueError("stages must be non-empty")
+    # fail fast in the driver: the output/state schemas are fixed, so
+    # the key must be integral and the timestamp a real timestamp (an
+    # integer ts would be misread as nanoseconds by the normalization)
+    dtypes = dict(events_stream.dtypes)
+    if dtypes.get(user_col) not in ("int", "bigint", "smallint", "tinyint"):
+        raise TypeError(
+            f"stateful_funnel needs an integral {user_col!r}; got "
+            f"{dtypes.get(user_col)!r}"
+        )
+    if dtypes.get(ts_col) not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"stateful_funnel needs a timestamp {ts_col!r}; got "
+            f"{dtypes.get(ts_col)!r}"
+        )
     n_stages = len(stages)
     state_schema = ", ".join(f"t{k} long" for k in range(n_stages))
 
@@ -148,6 +162,17 @@ def stateful_compaction(
     from collections.abc import Iterator
     from typing import Any
 
+    dtypes = dict(items_stream.dtypes)
+    if dtypes.get(group_col) != "string":
+        raise TypeError(
+            f"stateful_compaction needs a string {group_col!r} (the output "
+            f"schema is fixed); got {dtypes.get(group_col)!r}"
+        )
+    if dtypes.get(order_col) not in ("int", "bigint", "smallint", "tinyint"):
+        raise TypeError(
+            f"stateful_compaction needs an integral {order_col!r}; got "
+            f"{dtypes.get(order_col)!r}"
+        )
     target = float(int(target_bytes))
 
     def assign(

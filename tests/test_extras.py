@@ -482,11 +482,15 @@ def test_catalog_reconciliation_links_typos(spark):
     # exact matches for untouched names AND distance-1 typo links exist
     assert by_dist.get(0, 0) > 0
     assert by_dist.get(1, 0) > 0
-    # every typo'd vendor name links back to its original: 'x' + tail
-    originals = {r.name_a for r in rows}
-    for r in rows:
-        if r.name_b.startswith("x") and r.distance == 1:
-            assert r.name_a[1:] == r.name_b[1:] or r.name_a in originals
+    # every typo'd vendor name ('x' + tail) must link back to its TRUE
+    # original — a row with the same tail at distance exactly 1
+    typod = {r.name_b for r in rows if r.name_b.startswith("x")}
+    assert typod  # the perturbation produced vendor typos
+    for vb in typod:
+        assert any(
+            r.name_b == vb and r.distance == 1 and r.name_a[1:] == vb[1:]
+            for r in rows
+        ), f"no original linked for vendor typo {vb!r}"
 
 
 def test_streaming_zorder_route_converges_to_batch(spark):
