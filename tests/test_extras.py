@@ -502,3 +502,23 @@ def test_streaming_zorder_route_converges_to_batch(spark):
         for r in SPARK_QUERIES["streaming_zorder_route"](spark, SF_DIR).collect()
     }
     assert batch and streamed == batch
+
+
+def test_training_manifest_plan_shape(spark):
+    df = SPARK_QUERIES["training_manifest"](spark, SF_DIR)
+    plan = P.physical_plan(df)
+    # the component frame broadcasts into the keep-one join; the final
+    # manifest rollup is the only corpus-facing hash aggregate pair
+    assert P.broadcast_join_count(df) >= 1
+    assert "Cartesian" not in plan
+    # split assignment is a projection — no window over the corpus
+    for cols in P.window_partition_columns(df):
+        assert cols, "unexpected all-rows window in the manifest plan"
+
+
+def test_curriculum_rank_is_bucketed_not_global_sort(spark):
+    df = SPARK_QUERIES["curriculum_order"](spark, SF_DIR)
+    # the row_number windows are (band, bucket)-partitioned; no global
+    # single-task sort materializes the corpus order
+    parts = P.window_partition_columns(df)
+    assert any(len(cols) >= 2 for cols in parts)
