@@ -809,21 +809,28 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "ann_bruteforce_topk",
     "ann_ivf_recall",
     "ann_lsh_recall",
+    "anomaly_runs",
     "asof_last_view_before_purchase",
     "benchmark_decontamination",
     "bloom_decontamination_check",
     "boilerplate_chunks",
     "brand_volume",
+    "catalog_reconciliation",
     "cdc_apply_check",
     "change_ratio_fixed",
     "char_entropy_scores",
     "chunk_len_median_udaf",
+    "chunk_overlap_ae_clone_check",
     "chunk_overlap_pairs_fixed",
     "chunk_size_histogram_fixed",
     "chunk_version_matrix_fixed",
+    "cluster_safe_split_check",
+    "compaction_plan",
     "curation_pipeline",
+    "curriculum_order",
     "customer_balance_quartiles",
     "customers_no_1995_order",
+    "dedup_adjusted_mixture",
     "dedup_cluster_reps",
     "dedup_components",
     "dedup_sketch_report_fixed",
@@ -835,6 +842,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "duplicated_spans_fixed",
     "embedding_clusters",
     "embedding_near_dup",
+    "event_funnel",
     "events_cube",
     "events_hourly_locf",
     "events_json_stats",
@@ -847,13 +855,17 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "fingerprint_near_dup_check",
     "fixed_chunks",
     "fixed_dedup_stats",
+    "fixed_dedup_sweep",
     "frequent_terms",
+    "fuzzy_name_matches",
     "incremental_ingest_stats",
     "incremental_jaccard_pairs",
+    "incremental_jaccard_pairs_indexed",
     "incremental_minhash_pairs",
     "lang_marker_hits",
     "language_id",
     "lm_bigram_scores",
+    "media_features_check",
     "media_frame_counts",
     "media_resized_summary",
     "media_summary",
@@ -862,6 +874,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "mixture_temperature_weights",
     "monthly_order_stats",
     "near_dup_clusters_lsh",
+    "near_dup_threshold_sweep",
     "ngram_jaccard_pairs",
     "order_pairs_within_30d",
     "orders_above_global_avg",
@@ -873,6 +886,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "parts_shipped_1998_semi",
     "pii_scrub_docs",
     "price_quantiles",
+    "profile_drift_docs",
     "profile_orders",
     "purchase_and_error_users",
     "q10_returned_items",
@@ -909,18 +923,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "sequence_packing_by_lang",
     "sequence_packing_plan",
     "shuffled_corpus_order",
+    "simhash_near_dup_check",
     "sliding_event_value",
     "snapshot_diff_ae_conservation",
+    "snapshot_diff_ae_localization_check",
     "snapshot_diff_fixed",
+    "split_assignment_summary",
+    "split_leakage_pairs",
     "sql_frontend_pricing_summary",
     "store_gc_plan_fixed",
     "stratified_sample_docs",
     "streaming_change_feed",
+    "streaming_compaction_plan",
     "streaming_decontamination",
     "streaming_distinct_users_within_watermark",
     "streaming_event_counts_update_mode",
+    "streaming_event_funnel",
     "streaming_event_type_counts",
     "streaming_ingest_novelty",
+    "streaming_near_dup_index",
     "streaming_novel_chunks_by_lang",
     "streaming_purchases_by_nation",
     "streaming_sketch_unique_estimate",
@@ -929,8 +950,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_sync_totals",
     "streaming_unique_chunks_stats",
     "streaming_user_sessions",
+    "streaming_value_outliers",
     "streaming_view_purchase_conversions",
     "streaming_windowed_event_counts",
+    "streaming_zorder_route",
     "suppliers_above_nation_avg",
     "sync_plan_budgeted_fixed",
     "sync_plan_fixed",
@@ -938,11 +961,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "tfidf_top_terms",
     "token_counts",
     "top_order_per_customer",
+    "training_manifest",
     "udtf_ae_concat_check",
     "udtf_fixed_chunks",
     "user_sessions",
     "value_band_range_join",
+    "value_outliers",
     "viewers_never_purchased",
+    "zorder_layout_plan",
+    "zorder_pruning_gain",
 })
 
 # The driver-verification window: the 50 oracle-backed queries the

@@ -101,8 +101,11 @@ def test_verify_window_composition():
     # all previously-green and no-oracle entries
     names = list(SPARK_QUERIES)
     backlog_end = max(
-        i for i, n in enumerate(names)
-        if n in ORACLE_SQL and n not in _DRIVER_GREEN
+        (
+            i for i, n in enumerate(names)
+            if n in ORACLE_SQL and n not in _DRIVER_GREEN
+        ),
+        default=0,
     )
     for i in range(backlog_end):
         n = names[i]
