@@ -333,8 +333,9 @@ def jaccard_prefix_index(
     * ``sets_index`` — ``(doc_id, sh, sz)`` per-doc rarest-first shingle
       arrays: the verification side (only candidate ids are ever read).
     * ``prefix_index`` — ``(doc_id, shingle)`` exploded prefixes: the
-      candidate-join build side. At 100 TB write it bucketed by
-      ``shingle`` so batch probes co-locate without reshuffling it.
+      candidate-join build side. Persist via :func:`write_jaccard_index`
+      (partitioned by shingle bucket) so batch probes read only their
+      own buckets instead of scanning the whole index.
 
     A corpus doc contains no shingle outside ``df_index`` (by
     construction), so its build-time prefix equals its prefix under any
@@ -364,6 +365,87 @@ def jaccard_prefix_index(
     return df_counts, sets, prefix
 
 
+# Bucket counts for the DURABLE (parquet) form of the Jaccard index.
+# Writer and prober must agree; both default here. The shingle bucket is
+# pmod(xxhash64(shingle), SH) — a deterministic function of the value, so
+# a batch can compute which buckets its own shingles fall in and read
+# ONLY those partition directories (static partition pruning).
+JACCARD_SH_BUCKETS = 64
+JACCARD_ID_BUCKETS = 16
+
+
+def _sh_bucket(col: str | Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def write_jaccard_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    path: str,
+    sh_buckets: int = JACCARD_SH_BUCKETS,
+    id_buckets: int = JACCARD_ID_BUCKETS,
+) -> None:
+    """Persist a :func:`jaccard_prefix_index` as partition-pruned parquet
+    — the durable form of the standing-pipeline contract:
+
+    * ``{path}/df`` and ``{path}/prefix`` partitioned by ``sh_bucket =
+      pmod(xxhash64(shingle), sh_buckets)``: a batch probe computes its
+      own shingles' buckets and reads ONLY matching directories, so
+      per-batch index I/O is min(batch's bucket spread, whole index) —
+      batch-proportional for the small standing batches the incremental
+      contract exists for, never worse than the full scan.
+    * ``{path}/sets`` partitioned by ``id_bucket = pmod(doc_id,
+      id_buckets)``: verification reads only the candidate ids' buckets.
+    * ``prefix`` additionally sorted by ``shingle`` within partitions so
+      parquet row-group min/max stats prune inside each bucket too.
+
+    ``repartition`` on the partition column first ⇒ one writer task per
+    directory (no small-file explosion). At 100 TB raise the bucket
+    counts (finer pruning, same plan shape).
+    """
+    df_counts, sets, prefix = index
+    (
+        df_counts.select(
+            "shingle", "df", _sh_bucket("shingle", sh_buckets).alias("sh_bucket")
+        )
+        .repartition("sh_bucket")
+        .write.mode("overwrite")
+        .partitionBy("sh_bucket")
+        .parquet(f"{path}/df")
+    )
+    (
+        sets.select(
+            "doc_id", "sh", "sz",
+            F.pmod(F.col("doc_id"), F.lit(id_buckets)).alias("id_bucket"),
+        )
+        .repartition("id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(f"{path}/sets")
+    )
+    (
+        prefix.select(
+            "doc_id", "shingle", _sh_bucket("shingle", sh_buckets).alias("sh_bucket")
+        )
+        .repartition("sh_bucket")
+        .sortWithinPartitions("shingle")
+        .write.mode("overwrite")
+        .partitionBy("sh_bucket")
+        .parquet(f"{path}/prefix")
+    )
+
+
+def read_jaccard_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a :func:`write_jaccard_index` store. The returned frames keep
+    their ``sh_bucket`` / ``id_bucket`` partition columns — their
+    presence is what switches :func:`incremental_jaccard_pairs_indexed`
+    onto the bucket-pruned probe path."""
+    return tuple(
+        spark.read.parquet(f"{path}/{name}") for name in ("df", "sets", "prefix")
+    )
+
+
 def incremental_jaccard_pairs_indexed(
     index: tuple[DataFrame, DataFrame, DataFrame],
     batch: DataFrame,
@@ -371,6 +453,8 @@ def incremental_jaccard_pairs_indexed(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh_buckets: int = JACCARD_SH_BUCKETS,
+    id_buckets: int = JACCARD_ID_BUCKETS,
 ) -> DataFrame:
     """Exact incremental near-dup against a persisted
     :func:`jaccard_prefix_index` — Jaccard pairs touching the NEW batch
@@ -380,14 +464,48 @@ def incremental_jaccard_pairs_indexed(
     verification semi-joins ``sets_index`` down to candidate ids first.
     Work at 100 TB is proportional to the batch plus index lookups.
 
+    **Bucket-pruned probe**: when the index frames come from
+    :func:`read_jaccard_index` (they carry ``sh_bucket`` / ``id_bucket``
+    partition columns), the probe first computes the ≤ ``sh_buckets``
+    distinct buckets the batch's own shingles hash into (one small
+    batch-side aggregate; the driver transfer is bounded by the bucket
+    count, never the batch) and statically filters every index read down
+    to those partition directories — df lookup, prefix join, and (via
+    the candidate ids' buckets) the verification sets. The scans show
+    ``PartitionFilters: [sh_bucket IN (…)]`` (pinned in
+    tests/test_plans.py), so per-batch index I/O is bucket-pruned
+    instead of a full index scan. Correctness is unaffected: every
+    batch shingle's bucket is in the probed set by construction, and
+    dropped index rows can never join or verify.
+
     Results equal :func:`incremental_jaccard_pairs` over (corpus,
     batch) exactly: candidates under the frozen order are a different
     superset, but exact verification decides membership (same oracle).
 
     ``id_col`` values must be disjoint between corpus and batch.
+    ``sh_buckets`` / ``id_buckets`` must match the writer's values.
     """
     df_index, sets_index, prefix_index = index
+    pruned = "sh_bucket" in prefix_index.columns
     batch_sh = doc_shingles(batch, n, id_col, text_col)
+    if pruned:
+        # persisted: feeds the bucket-set collect AND the ranking join
+        batch_sh = _persist(batch_sh)
+        buckets = [
+            r[0]
+            for r in batch_sh.select(
+                _sh_bucket("shingle", sh_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if "sh_bucket" in df_index.columns:
+            df_index = df_index.where(
+                F.col("sh_bucket").isin(buckets)
+            ).drop("sh_bucket")
+        prefix_index = prefix_index.where(
+            F.col("sh_bucket").isin(buckets)
+        ).drop("sh_bucket")
     # frozen-order rank: corpus df, or 0 (rarest) for never-seen
     # shingles — an ORDER-EXTENSION, so corpus-time prefixes stay valid
     ranked = batch_sh.join(df_index, "shingle", "left").select(
@@ -409,14 +527,12 @@ def incremental_jaccard_pairs_indexed(
         ).alias("shingle"),
     )
     # NOTE on probe cost: the batch side of the candidate join is
-    # batch-sized and broadcasts, so the per-batch cost is one MAP-SIDE
-    # SCAN of prefix_index — no corpus-sized shuffle (measured: 4x the
-    # corpus costs ~1.4x the probe, tools/bench_crossover.py; an
-    # explicit broadcast-semi pre-prune of the index was tried and
-    # REJECTED — it adds a second index pass for nothing the join's
-    # own broadcast doesn't already give). Eliminating the scan itself
-    # needs the bucketed-by-shingle parquet layout (docstring above):
-    # then only matching buckets are read.
+    # batch-sized and broadcasts, so the per-batch cost is one map-side
+    # pass over the (bucket-pruned, when durable) prefix_index — no
+    # corpus-sized shuffle. An explicit broadcast-semi pre-prune of the
+    # index rows was tried and REJECTED — it adds a second index pass
+    # for nothing the join's own broadcast doesn't already give; the
+    # partition-directory pruning above is the one that cuts I/O.
     all_prefix = prefix_index.unionByName(batch_prefix)
     a = batch_prefix.alias("a")
     b = all_prefix.alias("b")
@@ -437,6 +553,20 @@ def incremental_jaccard_pairs_indexed(
         .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    if "id_bucket" in sets_index.columns:
+        # candidates are already persisted (four consumers) — deriving
+        # the ≤ id_buckets candidate-id buckets here is one tiny job
+        id_bs = [
+            r[0]
+            for r in cand_ids.select(
+                F.pmod(F.col("doc_id"), F.lit(id_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        sets_index = sets_index.where(
+            F.col("id_bucket").isin(id_bs)
+        ).drop("id_bucket")
     sets = (
         sets_index.select("doc_id", "sh")
         .unionByName(batch_sets.select("doc_id", "sh"))

@@ -1720,53 +1720,63 @@ def q_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# One corpus index per (session, corpus dir): jaccard_prefix_index is
-# the written-ONCE side of the incremental contract — rebuilding it on
-# every call would make the bench time the build, not the probe, and no
-# standing pipeline rebuilds its corpus index per batch. Keyed on the
-# Spark applicationId so a stopped session's persisted frames are never
-# reused by a new one.
-_JACCARD_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+# One DURABLE corpus index per (session, corpus dir): the index is the
+# written-ONCE side of the incremental contract — rebuilding it on every
+# call would make the bench time the build, not the probe, and no
+# standing pipeline rebuilds its corpus index per batch. The cache holds
+# the parquet path of the written index (keyed on the applicationId so a
+# new session never trusts another's temp dir); the probe re-reads it
+# from disk per call, exactly as a standing pipeline's batches would.
+_JACCARD_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 @register("incremental_jaccard_pairs_indexed", _INCR_JACCARD_ORACLE)
 def q_incremental_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact incremental near-dup through the PERSISTED-index path
-    (operators/dedup_docs.py::jaccard_prefix_index +
-    incremental_jaccard_pairs_indexed): the batch probes a frozen
-    corpus-time rarest-first order instead of re-aggregating shingle
-    document frequencies over corpus ∪ batch per call. Same oracle as
+    """Exact incremental near-dup through the DURABLE-index path
+    (operators/dedup_docs.py::jaccard_prefix_index →
+    write_jaccard_index → read_jaccard_index →
+    incremental_jaccard_pairs_indexed): the corpus index is written ONCE
+    as shingle-bucket-partitioned parquet, and each batch probe
+    statically prunes every index read down to the partition directories
+    its own shingles hash into — batch-proportional index I/O, no full
+    index scan and no corpus-side aggregate per batch. Same oracle as
     incremental_jaccard_pairs — the frozen order changes only the
     candidate superset, and exact verification decides membership.
-    The no-corpus-aggregate probe shape (index read from parquet) is
-    pinned in tests/test_plans.py. The index is built once per
-    (session, corpus) and cached — repeat calls (bench timed runs after
-    the warm-up, every batch of a standing pipeline) measure the PROBE,
+    The bucket-pruned probe shape (PartitionFilters on every index scan)
+    is pinned in tests/test_plans.py. The index is built+written once
+    per (session, corpus) — repeat calls (bench timed runs after the
+    warm-up, every batch of a standing pipeline) measure the PROBE,
     which is the operator's cost model."""
+    import tempfile
+
     from cdc_algorithms_spark.operators.dedup_docs import (
         incremental_jaccard_pairs_indexed,
         jaccard_prefix_index,
+        read_jaccard_index,
+        write_jaccard_index,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    index = _JACCARD_INDEX_CACHE.get(key)
-    if index is None:
+    path = _JACCARD_INDEX_CACHE.get(key)
+    if path is None:
         docs = load_table(spark, "documents", sf_dir)
         index = jaccard_prefix_index(
             docs.where(F.col("doc_id") % 3 != 0), n=JACCARD_N,
             threshold=JACCARD_THRESHOLD,
         )
-        # cap the cache at ONE entry: stale sessions' frames are dead,
-        # and keeping another sf_dir's persisted index frames pinned in
-        # the live session's executor storage just accumulates memory
-        # (dropping the references lets the context cleaner reclaim the
-        # cached partitions)
+        path = tempfile.mkdtemp(prefix="cdc_jaccard_index_")
+        write_jaccard_index(index, path)
+        # the build's persisted sets frame has served its one write;
+        # release it so probes hold NO executor storage at all
+        index[1].unpersist()
+        # cap the cache at ONE entry: stale sessions' dirs are dead and
+        # another sf_dir's index would just shadow this one
         _JACCARD_INDEX_CACHE.clear()
-        _JACCARD_INDEX_CACHE[key] = index
+        _JACCARD_INDEX_CACHE[key] = path
 
     docs = load_table(spark, "documents", sf_dir)
     return incremental_jaccard_pairs_indexed(
-        index,
+        read_jaccard_index(spark, path),
         docs.where(F.col("doc_id") % 3 == 0),
         n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,

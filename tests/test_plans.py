@@ -493,3 +493,90 @@ def test_indexed_incremental_probe_never_rescans_corpus(spark, tmp_path):
     got = sorted(probe.collect())
     assert got == expect
     dd.release_cached_frames()
+
+
+def test_bucketed_index_probe_reads_only_matching_buckets(spark, tmp_path):
+    """The DURABLE index form (write_jaccard_index: parquet partitioned
+    by shingle/id bucket): a small batch probe must statically prune
+    every index scan down to the partition directories its own shingles
+    hash into — the plan shows PartitionFilters on each index scan, the
+    files actually read all live in matching bucket directories, and the
+    set of touched directories is a strict subset of the index. This is
+    the 100 TB contract: per-batch index I/O proportional to the batch's
+    bucket spread, never a full index scan."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    idx = dd.jaccard_prefix_index(corpus, n=3, threshold=0.8)
+    dd.write_jaccard_index(idx, str(tmp_path))
+    stored = dd.read_jaccard_index(spark, str(tmp_path))
+
+    # a SMALL standing batch — two new docs built from corpus text so
+    # some near-dup pairs exist; ids disjoint from the corpus
+    rows = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text").limit(2).collect()
+    )
+    batch = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text) for r in rows],
+        "doc_id long, text string",
+    )
+    probe = dd.incremental_jaccard_pairs_indexed(stored, batch, n=3, threshold=0.8)
+    got = sorted(map(tuple, probe.collect()))
+    # each cloned doc must pair with its source at J = 1.0
+    assert len(got) >= 2
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    index_scans = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and str(tmp_path) in line
+    ]
+    assert index_scans, "probe does not read the durable index"
+    unpruned = [
+        s[:160] for s in index_scans
+        if "PartitionFilters: [" not in s
+        or ("INSET" not in s and " IN (" not in s)
+    ]
+    assert not unpruned, f"index scans without bucket pruning: {unpruned}"
+
+    # the directories actually read are exactly the batch's buckets —
+    # and a strict subset of the index
+    buckets = {
+        r[0]
+        for r in dd.doc_shingles(batch, 3, "doc_id", "text")
+        .select(dd._sh_bucket("shingle", dd.JACCARD_SH_BUCKETS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    pruned_read = (
+        spark.read.parquet(str(tmp_path / "prefix"))
+        .where(F.col("sh_bucket").isin(list(buckets)))
+    )
+    touched = {
+        r[0]
+        for r in pruned_read.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched, "pruned probe read no index files"
+    assert all(
+        any(f"sh_bucket={b}/" in f for b in buckets) for f in touched
+    ), "probe read a non-matching bucket directory"
+    total_dirs = {
+        r[0]
+        for r in spark.read.parquet(str(tmp_path / "prefix"))
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) < len(total_dirs), (
+        "small batch touched every bucket — pruning had no effect"
+    )
+
+    # exactness vs the non-indexed incremental path
+    expect = sorted(
+        map(tuple,
+            dd.incremental_jaccard_pairs(corpus, batch, n=3, threshold=0.8)
+            .collect())
+    )
+    assert got == expect
+    dd.release_cached_frames()
