@@ -267,3 +267,131 @@ def layout_pruning_compare(
             6,
         ).alias("y_touch_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout EXECUTION — the rewrite jobs that consume the plans above
+# ---------------------------------------------------------------------------
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    bits: int = 8,
+    file_bits: int = 4,
+) -> None:
+    """Execute a :func:`zorder_layout_plan`: physically rewrite ``df``
+    into the planned Z-clustered layout at ``path``.
+
+    Each row's target file is the same quadtree-cell prefix the plan
+    computed (``file = zval >> 2*(bits-file_bits)``) — a MAP-ONLY
+    assignment, so the whole rewrite is one hash exchange on ``file_id``
+    (``repartition``; never a global sort / range exchange) followed by
+    a partitioned write. ``repartition`` on the partition column ⇒ each
+    directory is written by exactly one task ⇒ one file per planned
+    cell, whose parquet footer min/max over (x, y) ARE the plan's
+    per-file pruning stats. Conservation and realized stats are
+    oracle-checked by ``zorder_rewrite_check`` /
+    ``zorder_realized_pruning`` (queries_extras.py).
+    """
+    shift = 2 * (bits - file_bits)
+    if shift < 0:
+        raise ValueError("file_bits must be <= bits")
+    z = zorder_values(df, x_col, y_col, bits)
+    tagged = z.withColumn(
+        "file_id", F.shiftright("zval", shift).cast("long")
+    ).drop("zval")
+    (
+        tagged.repartition(F.col("file_id"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
+def compaction_rewrite(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+    path: str,
+) -> None:
+    """Execute a :func:`compaction_plan`: rewrite ``df`` into the
+    planned ~``target_bytes`` files at ``path``, one directory per
+    (group, file_seq) manifest entry.
+
+    The row→file assignment is the SAME running-sum window the plan
+    used (one shuffle on the group key, constant state per task), so
+    the written store realizes the manifest exactly — re-aggregating
+    the written files must reproduce the plan row-for-row, which is the
+    oracle-checked conservation invariant (``compaction_rewrite_check``:
+    per-file item counts, byte totals, and item ranges all conserved).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = df.withColumn(
+        "file_seq",
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("double")
+            / F.lit(float(int(target_bytes)))
+        ).cast("long"),
+    )
+    (
+        assigned.repartition(F.col(group_col), F.col("file_seq"))
+        .write.mode("overwrite")
+        .partitionBy(group_col, "file_seq")
+        .parquet(path)
+    )
+
+
+def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file pruning statistics read from the REAL parquet footers —
+    metadata only, zero row reads: ``(file, n_rows, <c>_min, <c>_max
+    per requested column)`` aggregated over each file's row groups.
+
+    This is the measurement side of the layout story: what a
+    stats-based reader (Delta/Iceberg data skipping, or Spark's own
+    row-group pruning) would actually see after a rewrite, as opposed
+    to the plan's predicted stats. The walk runs driver-side here
+    because a rewrite emits a BOUNDED file count (≤ 4**file_bits cells
+    / manifest entries — a metadata-scale listing, like any table
+    format's manifest read); at cluster scale the identical parse
+    distributes as a binaryFile scan of footers per executor.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        stats: dict[str, tuple] = {}
+        for c in cols:
+            if c not in idx:
+                raise ValueError(f"column {c!r} not in {f}")
+            mins, maxs = [], []
+            for r in range(md.num_row_groups):
+                s = md.row_group(r).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    raise ValueError(f"no min/max stats for {c!r} in {f}")
+                mins.append(s.min)
+                maxs.append(s.max)
+            stats[c] = (min(mins), max(maxs))
+        row = [f, md.num_rows]
+        for c in cols:
+            row.extend(stats[c])
+        rows.append(tuple(row))
+    schema = "file string, n_rows long"
+    for c in cols:
+        schema += f", {c}_min long, {c}_max long"
+    return spark.createDataFrame(rows, schema)

@@ -979,6 +979,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "zorder_rewrite_check",
+    "compaction_rewrite_check",
+    "zorder_realized_pruning",
     "fuzzy_name_matches",
     "event_funnel",
     "zorder_layout_plan",
@@ -1026,9 +1029,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_stateful_ae_tiling_check",
     "dup_ngram_coverage",
     "frequent_terms",
-    "bloom_decontamination_check",
-    "near_dup_clusters_lsh",
-    "fingerprint_near_dup_check",
 ]
 
 

