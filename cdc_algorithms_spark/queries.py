@@ -982,6 +982,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
+    "streaming_ingest_pipeline",
     "fuzzy_name_matches",
     "event_funnel",
     "zorder_layout_plan",
@@ -1028,7 +1029,6 @@ _VERIFY_WINDOW: list[str] = [
     "parallel_rabin_tiling_check",
     "streaming_stateful_ae_tiling_check",
     "dup_ngram_coverage",
-    "frequent_terms",
 ]
 
 

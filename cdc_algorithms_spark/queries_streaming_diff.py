@@ -268,3 +268,125 @@ def streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming ingest: dedup -> keep -> compaction manifest
+# ---------------------------------------------------------------------------
+# The composition showcase (streaming/ingest_pipeline.py): every
+# document flows through the continuous foreachBatch loop — band-index
+# probe, exact-verified near-dup pairs, greedy keep-first dedup, and
+# cross-batch bin-packed routing — and the converged manifest must
+# equal the BATCH composition in one SQL statement: compaction_plan
+# over "docs that are not the greater id of any exact J>=t pair".
+
+
+def _build_ingest_pipeline_oracle() -> str:
+    from cdc_algorithms_spark.queries_text import (
+        _shingles_cte,
+        _WORDS_CTE,
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+WITH {_WORDS_CTE}, {_shingles_cte(JACCARD_N)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dup AS (
+  SELECT DISTINCT id_b FROM p
+  JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+  WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+kept AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id NOT IN (SELECT id_b FROM dup)
+),
+cum AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM kept
+),
+assigned AS (
+  SELECT source,
+         CAST(FLOOR(CAST(before AS DOUBLE) / 4096.0) AS BIGINT) AS file_seq,
+         doc_id, n_chars
+  FROM cum
+)
+SELECT source AS "group", file_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_item,
+       MAX(doc_id) AS last_item
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("streaming_ingest_pipeline", _build_ingest_pipeline_oracle())
+def q_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous ingest loop end-to-end
+    (streaming/ingest_pipeline.py): documents arrive in three
+    id-ordered micro-batch stages through ONE foreachBatch pipeline
+    that probes/extends the near-dup band index, keeps each batch's
+    non-duplicate docs (greedy keep-first — exact under the id-ordered
+    arrival contract), and routes the kept docs into the cross-batch
+    compaction manifest. The converged manifest equals the batch
+    composition: compaction_plan over the exact keep set (the oracle's
+    single SQL statement), for any micro-batching within the
+    contract."""
+    import shutil
+    import tempfile
+
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+    )
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    c1, c2 = docs.agg(
+        F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+    ).first()
+    stages = [
+        docs.where(F.col("doc_id") <= c1),
+        docs.where((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.where(F.col("doc_id") > c2),
+    ]
+    workdir = tempfile.mkdtemp(prefix="cdc_ingest_store_")
+    try:
+        manifest = run_streaming_ingest_pipeline(
+            spark,
+            stages,
+            workdir,
+            n=JACCARD_N,
+            num_hashes=32,
+            bands=8,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket=LSH_MAX_BUCKET,
+            target_bytes=4096,
+        )
+        result = manifest.groupBy(
+            F.col("source").alias("group"), F.col("file_seq")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_item"),
+            F.max("doc_id").alias("last_item"),
+        )
+        rows = result.collect()  # small manifest; outlives the tempdir
+        schema = result.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

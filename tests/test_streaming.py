@@ -698,3 +698,73 @@ def test_near_dup_batch_replay_is_idempotent(spark, tmp_path):
     near_dup_batch(spark, batch, index_dir, docs_dir, pairs_dir, 0, n=3)
     assert state() == first, "replay changed pairs/index/store"
     release_cached_frames()
+
+
+def test_streaming_ingest_pipeline_converges_and_is_batching_invariant(
+    spark, tmp_path
+):
+    """The end-to-end ingest loop (dedup -> keep -> compaction routing)
+    must converge to the batch composition — compaction_plan over the
+    exact keep set ("not the greater id of any J>=0.8 pair") — and must
+    do so identically for 1-stage and 3-stage id-ordered micro-batching."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        ngram_jaccard_pairs,
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.operators.layout import compaction_plan
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+
+    def run(stages, wd):
+        out = run_streaming_ingest_pipeline(
+            spark, stages, str(tmp_path / wd), n=3, num_hashes=32,
+            bands=8, threshold=0.8, target_bytes=4096,
+        )
+        return sorted(
+            (r.source, r.file_seq, r.doc_id, r.n_chars) for r in out.collect()
+        )
+
+    c1, c2 = docs.agg(
+        F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+    ).first()
+    three = run(
+        [
+            docs.where(F.col("doc_id") <= c1),
+            docs.where((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+            docs.where(F.col("doc_id") > c2),
+        ],
+        "w3",
+    )
+    one = run([docs], "w1")
+    assert three == one
+
+    # batch composition: exact pairs -> keep-first -> compaction plan
+    dropped = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    assert kept.count() < docs.count(), "no duplicates dropped — fixture drift"
+    plan = sorted(
+        (r.group, r.file_seq, r.n_items, r.total_bytes, r.first_item, r.last_item)
+        for r in compaction_plan(kept, "source", "doc_id", "n_chars", 4096)
+        .collect()
+    )
+    got = {}
+    for src, seq, doc, n in three:
+        k = (src, seq)
+        cur = got.get(k)
+        got[k] = (
+            (cur[0] + 1, cur[1] + n, min(cur[2], doc), max(cur[3], doc))
+            if cur
+            else (1, n, doc, doc)
+        )
+    streamed = sorted((k[0], k[1], *v) for k, v in got.items())
+    assert streamed == plan
+    release_cached_frames()
