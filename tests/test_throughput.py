@@ -39,11 +39,12 @@ def test_chunker_throughput_floor(algo, floor_mbps):
 
 @pytest.mark.parametrize(
     "algo,floor_mbps",
-    [("ae", 400.0), ("rabin", 200.0), ("fastcdc", 400.0)],
+    [("ae", 400.0), ("rabin", 300.0), ("fastcdc", 400.0)],
 )
 def test_native_kernel_throughput_floor(algo, floor_mbps):
     """Floors for the compiled scan path (chunkers/native.py; measured
-    AE ~1.4, Rabin ~0.65, FastCDC ~1.5 GB/s on random 256 MiB) — 2-3×
+    AE ~1.4, Rabin ~0.9 (r06 one-imul-per-4-bytes rewrite, was ~0.65),
+    FastCDC ~1.5 GB/s on random 256 MiB) — 2-3×
     headroom for scheduler noise. Skipped where no system compiler
     exists (the numpy floors above still gate the fallback)."""
     from cdc_algorithms_spark.chunkers import native
