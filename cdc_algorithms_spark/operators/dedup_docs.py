@@ -148,9 +148,26 @@ def doc_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, shingle) rows, distinct per doc — the inverted-index base."""
-    return _shingle_arrays(docs, n, id_col, text_col).select(
-        "doc_id", F.explode("__sh").alias("shingle")
+    """(doc_id, shingle) rows, distinct per doc — the inverted-index base.
+
+    The explode lives in the SAME projection that builds the shingle
+    array (directly over the bound ``__ws`` word column), not in a
+    third select over a bound ``__sh``: with the extra projection,
+    Catalyst collapses the once-referenced ``__sh`` alias INTO the
+    Generate and the whole shingle transform re-evaluates per emitted
+    row — O(words²) work per document (measured 10× on 300-word docs;
+    the corpus-scale run in tools/corpus_scale_run.py is what exposed
+    it)."""
+    from cdc_algorithms_spark.functions.text import shingles_of_words, words
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words(text_col).alias("__ws"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_words(F.col("__ws"), n))
+        ).alias("shingle"),
     )
 
 
