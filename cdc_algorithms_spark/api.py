@@ -564,3 +564,73 @@ def stream_compact(items_stream: DataFrame, group_col: str, order_col: str,
     return stateful_compaction(
         items_stream, group_col, order_col, size_col, target_bytes
     )
+
+
+def zorder_rewrite(df: DataFrame, x_col: str, y_col: str, path: str, **kw) -> None:
+    """Execute a Z-order layout plan: physically rewrite ``df`` into one
+    parquet file per quadtree cell at ``path`` (operators/layout.py;
+    map-only assignment + one hash exchange, never a global sort)."""
+    from cdc_algorithms_spark.operators.layout import zorder_rewrite as _zr
+
+    _zr(df, x_col, y_col, path, **kw)
+
+
+def compact_rewrite(df: DataFrame, group_col: str, order_col: str,
+                    size_col: str, target_bytes: int, path: str) -> None:
+    """Execute a compaction plan: rewrite ``df`` into the planned
+    ~target_bytes files, one directory per manifest entry
+    (operators/layout.py::compaction_rewrite)."""
+    from cdc_algorithms_spark.operators.layout import compaction_rewrite as _cr
+
+    _cr(df, group_col, order_col, size_col, target_bytes, path)
+
+
+def footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file pruning statistics from the REAL parquet footers —
+    metadata only (operators/layout.py::parquet_footer_stats)."""
+    from cdc_algorithms_spark.operators.layout import parquet_footer_stats
+
+    return parquet_footer_stats(spark, path, cols)
+
+
+def build_near_dup_index(corpus: DataFrame, path: str, **kw) -> None:
+    """Write the durable exact-Jaccard corpus index (shingle-bucketed
+    parquet; operators/dedup_docs.py::jaccard_prefix_index +
+    write_jaccard_index). Batches probe it with :func:`probe_near_dup_index`
+    reading only their own shingle buckets."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        jaccard_prefix_index,
+        write_jaccard_index,
+    )
+
+    n = kw.pop("n", 3)
+    threshold = kw.pop("threshold", 0.8)
+    index = jaccard_prefix_index(corpus, n=n, threshold=threshold, **kw)
+    write_jaccard_index(index, path)
+    index[1].unpersist()
+
+
+def probe_near_dup_index(spark, path: str, batch: DataFrame, **kw) -> DataFrame:
+    """Exact near-dup pairs touching ``batch`` against a
+    :func:`build_near_dup_index` store — every index read statically
+    pruned to the batch's own shingle buckets
+    (operators/dedup_docs.py::incremental_jaccard_pairs_indexed)."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs_indexed,
+        read_jaccard_index,
+    )
+
+    return incremental_jaccard_pairs_indexed(
+        read_jaccard_index(spark, path), batch, **kw
+    )
+
+
+def stream_ingest_pipeline(spark, batch_stages, workdir: str, **kw) -> DataFrame:
+    """End-to-end streaming ingest: near-dup dedup -> greedy keep-first
+    -> cross-batch compaction manifest, one foreachBatch loop
+    (streaming/ingest_pipeline.py::run_streaming_ingest_pipeline)."""
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    return run_streaming_ingest_pipeline(spark, batch_stages, workdir, **kw)

@@ -149,3 +149,33 @@ def test_split_verbs(spark):
     # fall back to the 80/10/10 default
     with pytest.raises(ValueError):
         api.split(docs, fractions=[])
+
+
+def test_layout_and_index_verbs(spark, tmp_path):
+    """The r06 execution verbs: rewrite + footer stats round-trip, and
+    the durable near-dup index build/probe pair."""
+    docs = load_table(spark, "documents", SF)
+    pts = docs.select(
+        F.col("doc_id").alias("x"), F.col("n_chars").alias("y")
+    )
+    api.zorder_rewrite(pts, "x", "y", str(tmp_path / "z"), bits=6, file_bits=2)
+    stats = api.footer_stats(spark, str(tmp_path / "z"), ["x", "y"])
+    assert stats.count() > 0
+    assert stats.agg(F.sum("n_rows")).first()[0] == pts.count()
+
+    api.compact_rewrite(docs, "source", "doc_id", "n_chars", 4096,
+                        str(tmp_path / "c"))
+    assert spark.read.parquet(str(tmp_path / "c")).count() == docs.count()
+
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    api.build_near_dup_index(corpus, str(tmp_path / "idx"))
+    pairs = api.probe_near_dup_index(spark, str(tmp_path / "idx"), batch)
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs,
+        release_cached_frames,
+    )
+    want = sorted(map(tuple,
+        incremental_jaccard_pairs(corpus, batch).collect()))
+    assert sorted(map(tuple, pairs.collect())) == want
+    release_cached_frames()
