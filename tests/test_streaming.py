@@ -768,3 +768,60 @@ def test_streaming_ingest_pipeline_converges_and_is_batching_invariant(
     streamed = sorted((k[0], k[1], *v) for k, v in got.items())
     assert streamed == plan
     release_cached_frames()
+
+
+def test_ingest_pipeline_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an ingest micro-batch with the same batch_id (the
+    at-least-once recovery path) must leave pairs, manifest, band index
+    and doc store byte-identical — the epoch-keyed overwrite contract.
+    In particular the carried compaction totals must not double-count
+    the replayed batch's own first attempt."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        minhash_band_index,
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        ingest_pipeline_batch,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    first = docs.where(F.col("doc_id") % 3 == 0)
+    second = docs.where(F.col("doc_id") % 3 == 1)
+    dirs = {n: str(tmp_path / n) for n in ("idx", "docs", "pairs", "man")}
+    import os
+
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    empty = first.select("doc_id", "text").limit(0)
+    minhash_band_index(empty, 3, 32, 8).write.parquet(dirs["idx"] + "/seed")
+    empty.write.parquet(dirs["docs"] + "/seed")
+
+    def run(batch, bid):
+        ingest_pipeline_batch(
+            spark, batch, dirs["idx"], dirs["docs"], dirs["pairs"],
+            dirs["man"], bid, n=3, threshold=0.8, target_bytes=4096,
+        )
+
+    def state():
+        man = sorted(
+            map(tuple, spark.read.parquet(dirs["man"] + "/*").collect())
+        )
+        pairs = sorted(
+            map(tuple, spark.read.parquet(dirs["pairs"] + "/*").collect())
+        )
+        return (
+            man,
+            pairs,
+            spark.read.parquet(dirs["idx"] + "/*").count(),
+            spark.read.parquet(dirs["docs"] + "/*").count(),
+        )
+
+    run(first, 0)
+    run(second, 1)
+    want = state()
+    assert want[1], "no pairs found across batches — fixture drift"
+    run(second, 1)  # replay the LAST batch
+    assert state() == want, "replay changed manifest/pairs/index/store"
+    release_cached_frames()
