@@ -115,6 +115,7 @@ def main() -> None:
     ap.add_argument("--avg-tokens", type=int, default=700)
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--keep-corpus", action="store_true")
     ap.add_argument("--corpus-dir", default=None)
     args = ap.parse_args()
@@ -124,7 +125,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", str(args.cpus * 4))
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
