@@ -395,3 +395,83 @@ def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
     for c in cols:
         schema += f", {c}_min long, {c}_max long"
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# k-dimensional Z-order (the 2-D functions above are the common case;
+# real tables cluster on 3-4 dims — e.g. (tenant, day, metric))
+# ---------------------------------------------------------------------------
+
+
+def _interleave_nd(scaled: list[Column], bits: int) -> Column:
+    """Morton-interleave k ``bits``-wide values; dim 0 takes the highest
+    bit of each k-group (matches :func:`_interleave` at k=2). Pure
+    bitwise Column arithmetic — k*bits shift-adds, whole-stage codegen."""
+    k = len(scaled)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, k * b + (k - 1 - j))
+    return z
+
+
+def zorder_values_nd(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
+    """Append ``zval`` — the Morton code of the k normalized integer
+    dimensions. Same 1-row broadcast normalizer shape as
+    :func:`zorder_values`; k is arbitrary (every added dimension costs
+    ``bits`` shift-adds per row, nothing else)."""
+    if not cols:
+        raise ValueError("need at least one dimension")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"__{c}_lo"))
+        aggs.append(F.max(c).cast("long").alias(f"__{c}_hi"))
+    mm = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(mm))
+    scaled = [
+        _scaled(
+            F.col(c).cast("long"),
+            F.col(f"__{c}_lo"),
+            F.col(f"__{c}_hi"),
+            bits,
+        )
+        for c in cols
+    ]
+    drop = [f"__{c}_{s}" for c in cols for s in ("lo", "hi")]
+    return out.withColumn("zval", _interleave_nd(scaled, bits)).drop(*drop)
+
+
+def zorder_layout_plan_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 6,
+    file_bits: int = 2,
+) -> DataFrame:
+    """k-D :func:`zorder_layout_plan`: target file = top ``k*file_bits``
+    bits of the k-way Morton code (a 2**k-ary hypercube cell), assigned
+    MAP-ONLY; output = per-file count plus min/max/span of EVERY
+    dimension — bounded spans in all k dims are the multi-predicate
+    pruning case for Z-ordering over a 1-D sort."""
+    shift = len(cols) * (bits - file_bits)
+    if shift < 0:
+        raise ValueError("file_bits must be <= bits")
+    z = zorder_values_nd(df, cols, bits)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    spans = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"{c}_min"))
+        aggs.append(F.max(c).cast("long").alias(f"{c}_max"))
+        spans.append(
+            (F.col(f"{c}_max") - F.col(f"{c}_min") + 1)
+            .cast("long")
+            .alias(f"{c}_span")
+        )
+    return (
+        z.withColumn("file_id", F.shiftright("zval", shift).cast("long"))
+        .groupBy("file_id")
+        .agg(*aggs)
+        .select("file_id", "n_rows",
+                *[f"{c}_{s}" for c in cols for s in ("min", "max")],
+                *spans)
+    )

@@ -983,6 +983,7 @@ _VERIFY_WINDOW: list[str] = [
     "compaction_rewrite_check",
     "zorder_realized_pruning",
     "streaming_ingest_pipeline",
+    "zorder3_layout_plan",
     "fuzzy_name_matches",
     "event_funnel",
     "zorder_layout_plan",
@@ -1028,7 +1029,6 @@ _VERIFY_WINDOW: list[str] = [
     "fastcdc_tiling_check",
     "parallel_rabin_tiling_check",
     "streaming_stateful_ae_tiling_check",
-    "dup_ngram_coverage",
 ]
 
 

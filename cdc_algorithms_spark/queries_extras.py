@@ -1220,3 +1220,81 @@ def q_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("y_touch_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-D Z-order layout plan over events (user x day x value band)
+# ---------------------------------------------------------------------------
+
+_Z3_BITS = 6
+_Z3_FILE_BITS = 2
+
+
+def _interleave_nd_sql(dims: list[str], bits: int) -> str:
+    k = len(dims)
+    terms = []
+    for b in range(bits):
+        for j, d in enumerate(dims):
+            terms.append(f"((({d} >> {b}) & 1) * {1 << (k * b + (k - 1 - j))})")
+    return " + ".join(terms)
+
+
+_ZORDER3_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS y,
+           CAST(FLOOR(value) AS BIGINT) AS z
+    FROM events
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi,
+           MIN(z) AS zlo, MAX(z) AS zhi
+    FROM pts
+),
+sc AS (
+    SELECT x, y, z,
+           {_scaled_sql('x', 'xlo', 'xhi', _Z3_BITS)} AS sx,
+           {_scaled_sql('y', 'ylo', 'yhi', _Z3_BITS)} AS sy,
+           {_scaled_sql('z', 'zlo', 'zhi', _Z3_BITS)} AS sz
+    FROM pts, mm
+),
+zv AS (
+    SELECT x, y, z,
+           ({_interleave_nd_sql(['sx', 'sy', 'sz'], _Z3_BITS)}) AS zval
+    FROM sc
+)
+SELECT CAST(zval >> {3 * (_Z3_BITS - _Z3_FILE_BITS)} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+       CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS x_span,
+       CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS y_span,
+       CAST(MAX(z) - MIN(z) + 1 AS BIGINT) AS z_span
+FROM zv GROUP BY 1
+"""
+
+
+@register("zorder3_layout_plan", _ZORDER3_ORACLE)
+def q_zorder3_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout planning in THREE dimensions (operators/layout.py::
+    zorder_layout_plan_nd): events cluster on (user, day, value band),
+    target file = top bits of the 3-way Morton code — an octree cell —
+    assigned map-only like the 2-D case. Every added dimension costs
+    ``bits`` shift-adds per row and nothing else; the payoff is bounded
+    per-file spans in ALL THREE dims (the multi-predicate pruning
+    case). Oracle mirrors the scaled grid + 3-way interleave
+    bit-for-bit."""
+    from cdc_algorithms_spark.operators.layout import zorder_layout_plan_nd
+
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select(
+        F.col("user_id").alias("x"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        ).cast("long").alias("y"),
+        F.floor("value").cast("long").alias("z"),
+    )
+    return zorder_layout_plan_nd(
+        pts, ["x", "y", "z"], bits=_Z3_BITS, file_bits=_Z3_FILE_BITS
+    )

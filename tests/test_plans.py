@@ -687,3 +687,37 @@ def test_compaction_rewrite_conserves_manifest(spark, tmp_path):
         spark.read.parquet(store).agg(F.bit_xor(F.xxhash64("doc_id", "text"))).first()[0]
     )
     assert src_sig == out_sig
+
+
+def test_zorder_nd_reduces_to_2d_and_stays_sort_free(spark):
+    """The k-D Morton generalization must agree bit-for-bit with the
+    pinned 2-D interleave at k=2, and the 3-D plan must keep the 2-D
+    plan's shape: map-only assignment, no sort or range exchange, one
+    data shuffle (the file aggregate) plus the 1-row normalizer."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import layout as L
+
+    pts = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            F.col("user_id").alias("x"),
+            F.floor("value").cast("long").alias("y"),
+            (F.col("event_id") % 100).alias("z"),
+        )
+    )
+    two = L.zorder_values(pts, "x", "y", 8).select("x", "y", "z", "zval")
+    nd = L.zorder_values_nd(pts, ["x", "y"], 8).select("x", "y", "z", "zval")
+    assert two.exceptAll(nd).count() == 0 and nd.exceptAll(two).count() == 0
+
+    plan3 = L.zorder_layout_plan_nd(pts, ["x", "y", "z"], bits=6, file_bits=2)
+    txt = P.physical_plan(plan3, "simple")
+    assert "rangepartitioning" not in txt.lower()
+    assert "Sort" not in txt
+    assert P.exchange_count(plan3) == 2  # 1-row normalizer + file aggregate
+    assert P.python_eval_count(plan3) == 0
+    rows = plan3.collect()
+    assert sum(r.n_rows for r in rows) == pts.count()
+    assert 0 < len(rows) <= 4 ** (3 * 2) and all(
+        r.x_span > 0 and r.y_span > 0 and r.z_span > 0 for r in rows
+    )
