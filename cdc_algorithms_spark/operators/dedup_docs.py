@@ -515,7 +515,7 @@ def incremental_jaccard_pairs_indexed(
             )
             .distinct()
             .collect()
-        ]
+        ] or [-1]  # empty batch: a never-matching filter, not isin()
         if "sh_bucket" in df_index.columns:
             df_index = df_index.where(
                 F.col("sh_bucket").isin(buckets)
@@ -580,7 +580,7 @@ def incremental_jaccard_pairs_indexed(
             )
             .distinct()
             .collect()
-        ]
+        ] or [-1]  # no candidates: a never-matching filter, not isin()
         sets_index = sets_index.where(
             F.col("id_bucket").isin(id_bs)
         ).drop("id_bucket")

@@ -423,6 +423,13 @@ def zorder_values_nd(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame
     ``bits`` shift-adds per row, nothing else)."""
     if not cols:
         raise ValueError("need at least one dimension")
+    if len(cols) * bits > 62:
+        # zval is a signed 64-bit long; the top bit of each k-group for
+        # dim 0 must never reach the sign bit
+        raise ValueError(
+            f"{len(cols)} dims x {bits} bits = {len(cols) * bits} zval "
+            "bits > 62 — lower bits or drop a dimension"
+        )
     aggs = []
     for c in cols:
         aggs.append(F.min(c).cast("long").alias(f"__{c}_lo"))
