@@ -355,7 +355,7 @@ def topk_similar(
     **kw,
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector. method ∈ {"brute",
-    "lsh", "ivf"} (operators/similarity.py)."""
+    "lsh", "ivf", "ivf-pq"} (operators/similarity.py)."""
     from cdc_algorithms_spark.operators import similarity as S
 
     if method == "brute":
@@ -364,6 +364,8 @@ def topk_similar(
         return S.lsh_topk(queries, corpus, k=k, **kw)
     if method == "ivf":
         return S.ivf_topk(queries, corpus, k=k, **kw)
+    if method == "ivf-pq":
+        return S.pq_topk(queries, corpus, k=k, **kw)
     raise ValueError(f"unknown ANN method {method!r}")
 
 

@@ -388,3 +388,156 @@ def semantic_dedup(
         dedup_cell,
         "vec_id long, cluster int, keep boolean, dup_of long, dup_cosine double",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the 100 TB memory path)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subspaces of ``dim/m`` dims, each clustered independently
+    with the same deterministic Lloyd machinery as the coarse IVF
+    (:func:`kmeans_centroids` over the sliced sub-vectors). Driver
+    footprint is the m x ksub x (dim/m) codebook matrix — a few KB —
+    while every data-side step stays a DataFrame expression."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        subframe = corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding"),
+        )
+        books.append(
+            kmeans_centroids(subframe, ksub, sub, iters, "vec_id",
+                             "embedding", seed + j)
+        )
+    return books
+
+
+def _pq_code(vec_col, books: list[list[list[float]]], sub: int):
+    """array<long> of 1-based nearest-codeword ids, one per subspace —
+    the m-byte sketch that replaces the full vector in the scoring
+    join. Pure expression (m x ksub literal distance terms)."""
+    return F.array(*[
+        _nearest_cell(F.slice(vec_col, j * sub + 1, sub), bk)
+        for j, bk in enumerate(books)
+    ])
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    nlist: int = 16,
+    nprobe: int = 4,
+    rerank: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition a billion-vector
+    corpus needs: coarse IVF cells bound WHICH corpus rows a query
+    meets (equi-join on cell id, as :func:`ivf_topk`), and within the
+    probed cells distance comes from the asymmetric-distance (ADC)
+    lookup over the PQ codes — the scoring join CARRIES only the m-byte
+    code column, never vectors. (Encoding reads the vectors once, here
+    inline; a standing 100 TB index persists the (vec_id, cell, code)
+    frame so query batches touch ~1/256th of the embedding bytes plus
+    the re-rank candidates.)
+    The ``rerank * k`` best ADC candidates then re-rank EXACTLY by
+    cosine against the true vectors (a candidate-proportional join),
+    which restores most of the quantization loss.
+
+    Every stage is a Catalyst expression: codebook training collects
+    only m x ksub x dim/m floats; per query the m x ksub distance table
+    is an array-of-arrays column; the ADC sum is m unrolled
+    element_at lookups inside whole-stage codegen.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cents = kmeans_centroids(corpus, nlist, dim, iters, corpus_id, vec_col, seed)
+    if not cents:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, rank bigint, vec_id bigint, cosine double"
+        )
+    books = pq_codebooks(corpus, dim, m, ksub, iters, corpus_id, vec_col, seed)
+    # corpus side of the scoring join: cell + code ONLY (no vectors)
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+        _pq_code(F.col(vec_col), books, sub).alias("code"),
+    )
+    # per-query ADC table: dt[j][c] = sqdist(query subvector j, codeword c)
+    dt = F.array(*[
+        F.array(*[
+            _sq_dist_to(F.slice(F.col("qv"), j * sub + 1, sub), books[j][ci])
+            for ci in range(len(books[j]))
+        ])
+        for j in range(m)
+    ])
+    cell_dists = F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in cents])
+    probes = F.expr(
+        "slice(transform(array_sort(transform(__d, (d, i) -> "
+        "named_struct('d', d, 'i', i))), s -> cast(s.i + 1 as bigint)), "
+        f"1, {nprobe})"
+    )
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        dt.alias("dt"),
+        cell_dists.alias("__d"),
+    ).select("query_id", "qv", "dt", F.explode(probes).alias("cell"))
+    from functools import reduce
+    from operator import add
+
+    adc = reduce(add, [
+        F.element_at(
+            F.element_at("dt", j + 1),
+            F.element_at("code", j + 1).cast("int"),
+        )
+        for j in range(m)
+    ])
+    scored = F.broadcast(q).join(c, "cell").select(
+        "query_id", "qv", "vec_id", adc.alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .where(F.col("__r") <= rerank * k)
+        .select("query_id", "qv", "vec_id")
+    )
+    # exact re-rank: only the surviving candidates ever read vectors
+    vecs = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    rer = cand.join(vecs, "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -984,6 +984,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_realized_pruning",
     "streaming_ingest_pipeline",
     "zorder3_layout_plan",
+    "ann_pq_recall",
     "fuzzy_name_matches",
     "event_funnel",
     "zorder_layout_plan",
@@ -1028,7 +1029,6 @@ _VERIFY_WINDOW: list[str] = [
     "rabin_tiling_check",
     "fastcdc_tiling_check",
     "parallel_rabin_tiling_check",
-    "streaming_stateful_ae_tiling_check",
 ]
 
 

@@ -634,6 +634,28 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_PQ_RECALL_FLOOR = 0.5
+
+
+@register("ann_pq_recall", _ann_recall_oracle(ANN_PQ_RECALL_FLOOR))
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF-PQ ANN (operators/similarity.py::pq_topk — coarse
+    cells bound the join, product-quantized ADC scores it WITHOUT
+    reading vectors, exact cosine re-ranks the survivors) vs
+    DuckDB-recomputed brute-force top-k; measured recall ≈0.63–0.68 at
+    sf0.001–0.01, floor 0.5."""
+    from cdc_algorithms_spark.operators.similarity import pq_topk
+
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, e: pq_topk(
+            q, e, k=ANN_K, dim=64, m=8, ksub=16, nlist=16, nprobe=6, rerank=6
+        ),
+        ANN_PQ_RECALL_FLOOR,
+    )
+
+
 # --- UDTF surface: chunking as a SQL lateral table function ----------------
 
 _UDTF_CHUNKS_ORACLE = """

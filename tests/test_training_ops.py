@@ -286,6 +286,7 @@ def test_ann_recall_queries(spark, sf_dir):
         brute_force_topk,
         ivf_topk,
         lsh_topk,
+        pq_topk,
     )
     from cdc_algorithms_spark.queries_text import ANN_K, ANN_QUERIES
     from cdc_algorithms_spark.sources.registry import load_table
@@ -303,6 +304,8 @@ def test_ann_recall_queries(spark, sf_dir):
     for approx_fn, floor in [
         (lambda: lsh_topk(queries, emb, k=ANN_K, dim=64, bits=4), 0.3),
         (lambda: ivf_topk(queries, emb, k=ANN_K, dim=64, nlist=16, nprobe=4), 0.3),
+        (lambda: pq_topk(queries, emb, k=ANN_K, dim=64, m=8, ksub=16,
+                         nlist=16, nprobe=6, rerank=6), 0.5),
     ]:
         hits = {
             (r.query_id, r.vec_id)
@@ -311,7 +314,7 @@ def test_ann_recall_queries(spark, sf_dir):
         recall = len(exact & hits) / len(exact)
         assert recall >= floor, f"recall {recall} < {floor}"
 
-    for name in ["ann_lsh_recall", "ann_ivf_recall"]:
+    for name in ["ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall"]:
         row = reg.SPARK_QUERIES[name](spark, sf_dir).collect()[0]
         assert row["n_exact"] == ANN_K * ANN_QUERIES
         assert row["recall_ok"], f"{name} below its floor {row['recall_floor']}"
