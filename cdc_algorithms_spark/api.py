@@ -616,7 +616,13 @@ def probe_near_dup_index(spark, path: str, batch: DataFrame, **kw) -> DataFrame:
     """Exact near-dup pairs touching ``batch`` against a
     :func:`build_near_dup_index` store — every index read statically
     pruned to the batch's own shingle buckets
-    (operators/dedup_docs.py::incremental_jaccard_pairs_indexed)."""
+    (operators/dedup_docs.py::incremental_jaccard_pairs_indexed).
+
+    The probe persists three batch-scoped frames (shingles, ordered
+    sets, candidates) that executors hold until released. A standing
+    pipeline calling this per micro-batch MUST call
+    :func:`release_probe_frames` after materializing each result, or
+    batch-scoped storage accumulates across batches."""
     from cdc_algorithms_spark.operators.dedup_docs import (
         incremental_jaccard_pairs_indexed,
         read_jaccard_index,
@@ -625,6 +631,16 @@ def probe_near_dup_index(spark, path: str, batch: DataFrame, **kw) -> DataFrame:
     return incremental_jaccard_pairs_indexed(
         read_jaccard_index(spark, path), batch, **kw
     )
+
+
+def release_probe_frames() -> int:
+    """Unpersist every batch-scoped frame the near-dup probe family has
+    persisted and clear the registry; returns the count released. Call
+    after the consuming action of each :func:`probe_near_dup_index`
+    batch (earlier just forces recomputation)."""
+    from cdc_algorithms_spark.operators.dedup_docs import release_cached_frames
+
+    return release_cached_frames()
 
 
 def stream_ingest_pipeline(spark, batch_stages, workdir: str, **kw) -> DataFrame:

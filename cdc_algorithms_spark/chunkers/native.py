@@ -107,18 +107,19 @@ long ae_scan(const uint8_t *data, long n, long window_size,
    golden-cut- and property-pinned): the per-byte loop is phase-split
    (warm-up before the window fills / before min_size: no leave
    subtraction, no mask test — no per-byte branches at all), and the
-   hot cuttable phase advances TWO bytes per iteration. The rolling
-   identity composes:
+   hot cuttable phase advances FOUR bytes per iteration. The rolling
+   identity composes, for step j in 1..4:
 
-       h1 = h*a + c1 - l1*a^w
-       h2 = h*a^2 + c1*a + c2 - l1*a^(w+1) - l2*a^w
+       h_j = h*a^j + sum_{i=1..j} c_i*a^(j-i) - sum_{i=1..j} l_i*a^(w+j-i)
 
-   so h2's dependency chain is ONE 32-bit multiply (by the constant
-   a^2) plus independent table adds — the c1*a, l1*a^(w+1), l2*a^w
-   terms come from 256-entry tables built per call — and h1 (needed
-   because the FIRST passing position wins) computes off the critical
-   chain. Halving the chained multiplies is what takes the scan from
-   ~0.74 to >~1.4 GB/s on this box. */
+   so h4's dependency chain is ONE 32-bit multiply (by the constant
+   a^4, carried into the next iteration) plus independent table adds —
+   the c_i*a^k and l_i*a^(w+k) terms come from the 256-entry
+   mul_a{,2,3} / pow_w{1,2,3} tables built per call — and h1..h3
+   (needed because the FIRST passing position wins) compute off the
+   critical chain. Quartering the chained multiplies is what takes the
+   scan from ~0.74 to ~0.9+ GB/s on this box (load/uop bound past
+   that, not multiply bound). */
 long rabin_scan(const uint8_t *data, long n, const uint32_t *pow_table,
                 uint32_t alpha, uint32_t seed, uint32_t mask,
                 long min_size, long max_size, long window_size,

@@ -350,6 +350,19 @@ def compaction_rewrite(
     )
 
 
+# parquet physical type -> Spark SQL type for footer min/max columns.
+# Statistics decode to Python values of the matching kind; BOOLEAN /
+# BYTE_ARRAY-of-non-UTF8 / FIXED_LEN / INT96 stats are deliberately
+# unsupported (min/max over them is not a pruning predicate here).
+_FOOTER_STAT_TYPES = {
+    "INT32": "long",
+    "INT64": "long",
+    "FLOAT": "double",
+    "DOUBLE": "double",
+    "BYTE_ARRAY": "string",
+}
+
+
 def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
     """Per-file pruning statistics read from the REAL parquet footers —
     metadata only, zero row reads: ``(file, n_rows, <c>_min, <c>_max
@@ -369,6 +382,7 @@ def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
     import pyarrow.parquet as pq
 
     rows = []
+    col_types: dict[str, str] = {}
     for f in sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True)):
         md = pq.ParquetFile(f).metadata
         idx = {
@@ -379,13 +393,38 @@ def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
         for c in cols:
             if c not in idx:
                 raise ValueError(f"column {c!r} not in {f}")
+            phys = md.row_group(0).column(idx[c]).physical_type
+            spark_t = _FOOTER_STAT_TYPES.get(phys)
+            if spark_t is None:
+                raise ValueError(
+                    f"column {c!r} has parquet physical type {phys}; "
+                    "footer min/max stats are supported for "
+                    f"{sorted(_FOOTER_STAT_TYPES)} only"
+                )
+            prev = col_types.setdefault(c, spark_t)
+            if prev != spark_t:
+                raise ValueError(
+                    f"column {c!r} has mixed physical types across files "
+                    f"({prev} vs {spark_t})"
+                )
             mins, maxs = [], []
             for r in range(md.num_row_groups):
                 s = md.row_group(r).column(idx[c]).statistics
                 if s is None or not s.has_min_max:
                     raise ValueError(f"no min/max stats for {c!r} in {f}")
-                mins.append(s.min)
-                maxs.append(s.max)
+                lo, hi = s.min, s.max
+                if spark_t == "string":
+                    # pyarrow returns str for UTF8-annotated BYTE_ARRAY,
+                    # bytes for raw binary — only the former orders like
+                    # a SQL string predicate would
+                    if isinstance(lo, bytes) or isinstance(hi, bytes):
+                        raise ValueError(
+                            f"column {c!r} is raw binary (no UTF8 "
+                            "annotation); its byte-wise min/max is not "
+                            "a string pruning stat"
+                        )
+                mins.append(lo)
+                maxs.append(hi)
             stats[c] = (min(mins), max(maxs))
         row = [f, md.num_rows]
         for c in cols:
@@ -393,7 +432,8 @@ def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
         rows.append(tuple(row))
     schema = "file string, n_rows long"
     for c in cols:
-        schema += f", {c}_min long, {c}_max long"
+        t = col_types.get(c, "long")  # no files: type is moot, default
+        schema += f", {c}_min {t}, {c}_max {t}"
     return spark.createDataFrame(rows, schema)
 
 
