@@ -369,6 +369,32 @@ def topk_similar(
     raise ValueError(f"unknown ANN method {method!r}")
 
 
+def build_ann_index(corpus: DataFrame, path: str, **kw) -> None:
+    """Train + persist the durable IVF-PQ index ONCE (model = coarse
+    centroids + PQ codebooks; codes = cell-partitioned (vec_id, code)
+    parquet; operators/similarity.py::write_pq_index). Query batches
+    probe it training-free with :func:`probe_ann_index`."""
+    from cdc_algorithms_spark.operators.similarity import write_pq_index
+
+    write_pq_index(corpus, path, **kw)
+
+
+def probe_ann_index(
+    spark, path: str, queries: DataFrame, vectors: DataFrame, k: int = 10, **kw
+) -> DataFrame:
+    """Training-free IVF-PQ top-k against a :func:`build_ann_index`
+    store — no Lloyd, no corpus encode; the codes read is statically
+    pruned to the probed cells and ``vectors`` (the caller's
+    id-addressable vector table) is read candidate-proportionally for
+    the exact re-rank (operators/similarity.py::pq_topk_indexed)."""
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_topk_indexed,
+        read_pq_index,
+    )
+
+    return pq_topk_indexed(queries, read_pq_index(spark, path), vectors, k=k, **kw)
+
+
 def clusters(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
     """Semantic k-means grouping of an embedding corpus →
     (cluster, n_members, avg_sq_dist). The curation-side companion of

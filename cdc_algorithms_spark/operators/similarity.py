@@ -459,9 +459,9 @@ def pq_topk(
     probed cells distance comes from the asymmetric-distance (ADC)
     lookup over the PQ codes — the scoring join CARRIES only the m-byte
     code column, never vectors. (Encoding reads the vectors once, here
-    inline; a standing 100 TB index persists the (vec_id, cell, code)
-    frame so query batches touch ~1/256th of the embedding bytes plus
-    the re-rank candidates.)
+    inline — the one-shot/ad-hoc form; a standing pipeline trains and
+    encodes ONCE via :func:`write_pq_index` and probes with the
+    training-free :func:`pq_topk_indexed`.)
     The ``rerank * k`` best ADC candidates then re-rank EXACTLY by
     cosine against the true vectors (a candidate-proportional join),
     which restores most of the quantization loss.
@@ -486,7 +486,29 @@ def pq_topk(
         _nearest_cell(F.col(vec_col), cents).alias("cell"),
         _pq_code(F.col(vec_col), books, sub).alias("code"),
     )
-    # per-query ADC table: dt[j][c] = sqdist(query subvector j, codeword c)
+    vecs = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    q = _pq_query_probes(queries, cents, books, sub, nprobe, query_id, vec_col)
+    return _pq_score(q, c, vecs, k, rerank, m)
+
+
+def _pq_query_probes(
+    queries: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    sub: int,
+    nprobe: int,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Query side of the IVF-PQ probe: ``(query_id, qv, dt, cell)`` with
+    one row per (query, probed cell). ``dt[j][c]`` is the per-query ADC
+    table — sqdist(query subvector j, codeword c) — computed ONCE per
+    query as an array-of-arrays column; probed cells are the ``nprobe``
+    nearest coarse centroids. Pure expressions over literal matrices."""
+    m = len(books)
     dt = F.array(*[
         F.array(*[
             _sq_dist_to(F.slice(F.col("qv"), j * sub + 1, sub), books[j][ci])
@@ -500,12 +522,23 @@ def pq_topk(
         "named_struct('d', d, 'i', i))), s -> cast(s.i + 1 as bigint)), "
         f"1, {nprobe})"
     )
-    q = queries.select(
+    return queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
         dt.alias("dt"),
         cell_dists.alias("__d"),
     ).select("query_id", "qv", "dt", F.explode(probes).alias("cell"))
+
+
+def _pq_score(
+    q: DataFrame, codes: DataFrame, vecs: DataFrame, k: int, rerank: int, m: int
+) -> DataFrame:
+    """ADC scoring + exact re-rank, shared verbatim by the inline
+    (:func:`pq_topk`) and durable-index (:func:`pq_topk_indexed`) paths
+    so the two are bit-identical by construction. ``q`` comes from
+    :func:`_pq_query_probes`; ``codes`` is ``(vec_id, cell, code)``;
+    ``vecs`` is ``(vec_id, cv)`` and is only read candidate-
+    proportionally in the re-rank join."""
     from functools import reduce
     from operator import add
 
@@ -516,7 +549,7 @@ def pq_topk(
         )
         for j in range(m)
     ])
-    scored = F.broadcast(q).join(c, "cell").select(
+    scored = F.broadcast(q).join(codes, "cell").select(
         "query_id", "qv", "vec_id", adc.alias("adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
@@ -526,10 +559,6 @@ def pq_topk(
         .select("query_id", "qv", "vec_id")
     )
     # exact re-rank: only the surviving candidates ever read vectors
-    vecs = corpus.select(
-        F.col(corpus_id).cast("long").alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-    )
     rer = cand.join(vecs, "vec_id").select(
         "query_id",
         "vec_id",
@@ -541,3 +570,139 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Durable IVF-PQ index: train + encode ONCE, probe training-free forever
+# ---------------------------------------------------------------------------
+
+
+class PqIndex:
+    """A loaded durable IVF-PQ index: the tiny trained model (coarse
+    centroids + m codebooks + params — k·dim driver floats) and the
+    lazy cell-partitioned ``(vec_id, cell, code)`` codes frame."""
+
+    def __init__(self, cents, books, dim, m, ksub, codes):
+        self.cents = cents
+        self.books = books
+        self.dim = int(dim)
+        self.m = int(m)
+        self.ksub = int(ksub)
+        self.codes = codes
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    nlist: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the IVF-PQ model and persist BOTH halves of the standing
+    index — the one-time cost a 100 TB ANN service pays once, so query
+    batches never run Lloyd again (mirrors the durable near-dup index,
+    dedup_docs.py::write_jaccard_index):
+
+    * ``{path}/model``: ONE row — coarse centroids (nlist x dim), the m
+      product-quantization codebooks (m x ksub x dim/m), and the params
+      a probe must match. A few KB regardless of corpus size.
+    * ``{path}/codes``: ``(vec_id, code)`` parquet PARTITIONED BY the
+      coarse ``cell`` — a query batch reads only the cell directories
+      its probes touch (PartitionFilters, pinned in tests/test_plans.py)
+      and each row carries the m-byte code, never the vector. At 1B+
+      vectors raise ``nlist`` (finer pruning, same plan shape);
+      ``repartition("cell")`` keeps it one writer task per directory.
+
+    Vectors themselves are NOT duplicated into the index: the exact
+    re-rank reads them candidate-proportionally from the caller's
+    vector table (any id-addressable store).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cents = kmeans_centroids(corpus, nlist, dim, iters, corpus_id, vec_col, seed)
+    if not cents:
+        raise ValueError("cannot index an empty corpus")
+    books = pq_codebooks(corpus, dim, m, ksub, iters, corpus_id, vec_col, seed)
+    spark = corpus.sparkSession
+    model = spark.createDataFrame(
+        [(dim, m, ksub, cents, books)],
+        "dim int, m int, ksub int, "
+        "centroids array<array<double>>, books array<array<array<double>>>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    (
+        corpus.select(
+            F.col(corpus_id).cast("long").alias("vec_id"),
+            _nearest_cell(F.col(vec_col), cents).alias("cell"),
+            _pq_code(F.col(vec_col), books, sub).alias("code"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def read_pq_index(spark, path: str) -> PqIndex:
+    """Load a :func:`write_pq_index` store. The model row (centroids +
+    codebooks) is collected — it is k·dim floats by construction; the
+    codes frame stays lazy with its ``cell`` partition column, which is
+    what :func:`pq_topk_indexed` statically prunes on."""
+    row = spark.read.parquet(f"{path}/model").collect()[0]
+    cents = [list(map(float, c)) for c in row["centroids"]]
+    books = [[list(map(float, cw)) for cw in bk] for bk in row["books"]]
+    codes = spark.read.parquet(f"{path}/codes")
+    return PqIndex(cents, books, row["dim"], row["m"], row["ksub"], codes)
+
+
+def pq_topk_indexed(
+    queries: DataFrame,
+    index: PqIndex,
+    vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINING-FREE IVF-PQ top-k against a durable
+    :func:`write_pq_index` store — the standing-pipeline probe: no
+    Lloyd iteration, no corpus encode, no corpus-wide scan. The probe
+
+    1. computes each query's ADC table and ``nprobe`` nearest cells
+       from the PERSISTED model (pure expressions over literal
+       matrices — zero Spark jobs beyond the reads),
+    2. collects the query batch's ≤ nlist distinct probed cells (the
+       only driver transfer, bounded by nlist never the batch) and
+       statically prunes the codes read to those partition directories
+       (``PartitionFilters: cell IN (…)`` — pinned in
+       tests/test_plans.py),
+    3. ADC-scores the equi-join on cell over m-byte codes, and
+    4. exactly re-ranks the ``rerank*k`` survivors against ``vectors``
+       (the caller's id-addressable vector table) —
+       candidate-proportional reads only.
+
+    Results are bit-identical to :func:`pq_topk` with the same train
+    params (same model, same scoring core — pinned in tests).
+    """
+    sub = index.dim // index.m
+    q = _pq_query_probes(
+        queries, index.cents, index.books, sub, nprobe, query_id, vec_col
+    )
+    # the probed-cell set: recomputed from the (small) query side rather
+    # than persisting q — the probe expression is literal math over one
+    # query scan, cheaper than holding executor storage per batch
+    cells = [r[0] for r in q.select("cell").distinct().collect()] or [-1]
+    codes = index.codes.where(F.col("cell").isin(cells))
+    vecs = vectors.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    return _pq_score(q, codes, vecs, k, rerank, index.m)

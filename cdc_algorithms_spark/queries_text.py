@@ -636,22 +636,50 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_PQ_RECALL_FLOOR = 0.5
 
+# One DURABLE IVF-PQ index per (session, corpus dir) — same contract as
+# _JACCARD_INDEX_CACHE below: training + encoding are the written-ONCE
+# side of the standing-ANN-service shape (similarity.py::write_pq_index);
+# every call after the first measures the TRAINING-FREE probe, which is
+# the operator's cost model. Keyed on applicationId so a new session
+# never trusts another's temp dir.
+_PQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
 
 @register("ann_pq_recall", _ann_recall_oracle(ANN_PQ_RECALL_FLOOR))
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of IVF-PQ ANN (operators/similarity.py::pq_topk — coarse
-    cells bound the join, product-quantized ADC scores it WITHOUT
-    reading vectors, exact cosine re-ranks the survivors) vs
-    DuckDB-recomputed brute-force top-k; measured recall ≈0.63–0.68 at
-    sf0.001–0.01, floor 0.5."""
-    from cdc_algorithms_spark.operators.similarity import pq_topk
+    """recall@k of IVF-PQ ANN through the DURABLE-index path
+    (operators/similarity.py::write_pq_index → read_pq_index →
+    pq_topk_indexed): the model (coarse centroids + PQ codebooks) and
+    the cell-partitioned (vec_id, cell, code) frame are persisted ONCE
+    per (session, corpus); each probe is training-free — no Lloyd, no
+    corpus encode — reading only the probed cells' partition
+    directories (plan-pinned in tests/test_plans.py) plus candidate-
+    proportional vectors for the exact re-rank. Results are
+    bit-identical to the inline pq_topk with the same train params, so
+    the measured recall is unchanged: ≈0.63–0.68 at sf0.001–0.01,
+    floor 0.5; oracle = DuckDB-recomputed brute-force top-k."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_topk_indexed,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PQ_INDEX_CACHE.get(key)
+    if path is None:
+        emb = load_table(spark, "embeddings", sf_dir)
+        path = tempfile.mkdtemp(prefix="cdc_pq_index_")
+        write_pq_index(emb, path, dim=64, m=8, ksub=16, nlist=16)
+        _PQ_INDEX_CACHE.clear()
+        _PQ_INDEX_CACHE[key] = path
+    index = read_pq_index(spark, path)
 
     return _ann_recall(
         spark,
         sf_dir,
-        lambda q, e: pq_topk(
-            q, e, k=ANN_K, dim=64, m=8, ksub=16, nlist=16, nprobe=6, rerank=6
-        ),
+        lambda q, e: pq_topk_indexed(q, index, e, k=ANN_K, nprobe=6, rerank=6),
         ANN_PQ_RECALL_FLOOR,
     )
 

@@ -721,3 +721,78 @@ def test_zorder_nd_reduces_to_2d_and_stays_sort_free(spark):
     assert 0 < len(rows) <= 4 ** (3 * 2) and all(
         r.x_span > 0 and r.y_span > 0 and r.z_span > 0 for r in rows
     )
+
+
+def test_pq_index_probe_is_training_free_and_cell_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """The durable IVF-PQ probe (similarity.py::pq_topk_indexed) is the
+    standing-ANN-service contract: after write_pq_index, a query batch
+    must (a) run ZERO training — no Lloyd iterations, no codebook fit
+    (both are monkeypatched to raise here), (b) statically prune the
+    codes read to the batch's probed cells (PartitionFilters on the
+    cell-partitioned parquet; the files actually read all live in
+    probed-cell directories), and (c) return results BIT-IDENTICAL to
+    the inline pq_topk with the same train params."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    params = dict(dim=64, m=4, ksub=8, nlist=8)
+    inline = sorted(
+        map(tuple,
+            S.pq_topk(queries, emb, k=5, nprobe=2, rerank=3, iters=1,
+                      **params).collect())
+    )
+
+    store = str(tmp_path / "pq")
+    S.write_pq_index(emb, store, iters=1, **params)
+    index = S.read_pq_index(spark, store)
+
+    def _no_training(*a, **kw):
+        raise AssertionError("probe ran training")
+
+    monkeypatch.setattr(S, "kmeans_centroids", _no_training)
+    monkeypatch.setattr(S, "pq_codebooks", _no_training)
+    probe = S.pq_topk_indexed(queries, index, emb, k=5, nprobe=2, rerank=3)
+    got = sorted(map(tuple, probe.collect()))
+    assert got == inline and len(got) == 3 * 5
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and store in line
+    ]
+    assert code_scans, "probe does not read the durable codes"
+    unpruned = [
+        s[:160] for s in code_scans
+        if "PartitionFilters: [" not in s
+        or ("INSET" not in s and " IN (" not in s)
+    ]
+    assert not unpruned, f"codes scans without cell pruning: {unpruned}"
+
+    # files actually read live only in probed-cell directories, and the
+    # batch (3 queries x nprobe=2) probes at most 6 of the 8 cells
+    sub = index.dim // index.m
+    probed = {
+        r[0]
+        for r in S._pq_query_probes(
+            queries, index.cents, index.books, sub, 2, "query_id", "embedding"
+        ).select("cell").distinct().collect()
+    }
+    assert len(probed) <= 6
+    touched = {
+        r[0]
+        for r in index.codes.where(F.col("cell").isin(list(probed)))
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert touched and all(
+        any(f"cell={c}/" in f for c in probed) for f in touched
+    ), "probe read a non-probed cell directory"
