@@ -672,7 +672,10 @@ def release_probe_frames() -> int:
 def stream_ingest_pipeline(spark, batch_stages, workdir: str, **kw) -> DataFrame:
     """End-to-end streaming ingest: near-dup dedup -> greedy keep-first
     -> cross-batch compaction manifest, one foreachBatch loop
-    (streaming/ingest_pipeline.py::run_streaming_ingest_pipeline)."""
+    (streaming/ingest_pipeline.py::run_streaming_ingest_pipeline).
+    The id-ordered arrival contract is ENFORCED by a max-id watermark:
+    out-of-order docs are quarantined (pass return_quarantine=True to
+    get them back) or, with on_late='error', halt the stream."""
     from cdc_algorithms_spark.streaming.ingest_pipeline import (
         run_streaming_ingest_pipeline,
     )

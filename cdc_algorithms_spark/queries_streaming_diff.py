@@ -390,3 +390,166 @@ def q_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Arrival-contract enforcement: out-of-order ingest is DETECTED, not silent
+# ---------------------------------------------------------------------------
+# The ingest loop's keep-first rule is exact under id-ordered arrival;
+# r07 turns that contract into an enforced invariant — a max-id
+# watermark per batch quarantines late documents deterministically.
+# This check DELIBERATELY violates the contract (a deterministic slice
+# of each stage is delayed into the next) and requires the full
+# disposition of every document — kept (with its compaction routing),
+# dropped (near-dup of a smaller accepted id), or quarantined — to
+# equal one SQL statement: the watermark algebra (a late doc is one
+# below the max id of any earlier stage), then the batch composition
+# over exactly the accepted set.
+
+
+def _build_ingest_disorder_oracle() -> str:
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+
+    nm1 = JACCARD_N - 1
+    return rf"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+staged AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text,
+         LEAST((d.doc_id * 3) // (m + 1)
+               + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END, 2) AS stg
+  FROM documents d, mx
+),
+quar AS (
+  SELECT s.doc_id FROM staged s
+  WHERE s.stg > 0
+    AND s.doc_id < (SELECT MAX(p.doc_id) FROM staged p WHERE p.stg < s.stg)
+),
+acc AS (
+  SELECT * FROM staged WHERE doc_id NOT IN (SELECT doc_id FROM quar)
+),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM acc
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+{nm1}], ' ') AS shingle
+  FROM w, UNNEST(range(1, greatest(len(words) - {nm1}, 1) + 1)) AS t(i)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dup AS (
+  SELECT DISTINCT id_b FROM p
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+kept AS (
+  SELECT doc_id, source, n_chars FROM acc
+  WHERE doc_id NOT IN (SELECT id_b FROM dup)
+),
+cum AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM kept
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'kept' AS status, source,
+       CAST(FLOOR(CAST(before AS DOUBLE) / 4096.0) AS BIGINT) AS file_seq
+FROM cum
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'quarantined', source, CAST(NULL AS BIGINT)
+FROM staged WHERE doc_id IN (SELECT doc_id FROM quar)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'dropped', source, CAST(NULL AS BIGINT)
+FROM acc WHERE doc_id IN (SELECT id_b FROM dup)
+"""
+
+
+@register("streaming_ingest_disorder_check", _build_ingest_disorder_oracle())
+def q_streaming_ingest_disorder_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-contract ENFORCEMENT end-to-end
+    (streaming/ingest_pipeline.py): documents arrive in three stages
+    with a DELIBERATE bounded disorder — ids with doc_id % 7 == 3 are
+    delayed one stage — and the pipeline's max-id watermark quarantines
+    every late document instead of letting it silently break the
+    greedy-keep equivalence. The result is the full disposition of
+    every document: kept (with its converged compaction file_seq),
+    dropped (near-dup of a smaller accepted id), or quarantined. The
+    oracle derives the same disposition in one SQL statement — the
+    watermark algebra reduces to 'late iff below the max id of any
+    earlier stage' because the max arrived id is always accepted — so
+    the quarantined set is accounted for exactly, and the manifest
+    equals the batch composition over exactly the accepted docs."""
+    import shutil
+    import tempfile
+
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+    )
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    staged = docs.withColumn(
+        "__stg",
+        F.least(
+            F.expr(f"(doc_id * 3) DIV ({int(mx)} + 1)")
+            + F.when(F.col("doc_id") % 7 == 3, F.lit(1)).otherwise(F.lit(0)),
+            F.lit(2),
+        ),
+    )
+    stages = [staged.where(F.col("__stg") == i).drop("__stg") for i in range(3)]
+    workdir = tempfile.mkdtemp(prefix="cdc_ingest_disorder_")
+    try:
+        manifest, quarantine = run_streaming_ingest_pipeline(
+            spark,
+            stages,
+            workdir,
+            n=JACCARD_N,
+            num_hashes=32,
+            bands=8,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket=LSH_MAX_BUCKET,
+            target_bytes=4096,
+            return_quarantine=True,
+        )
+        kept = manifest.select(
+            "doc_id", F.lit("kept").alias("status"), "source", "file_seq"
+        )
+        quar = quarantine.select(
+            "doc_id",
+            F.lit("quarantined").alias("status"),
+            "source",
+            F.lit(None).cast("long").alias("file_seq"),
+        )
+        settled = kept.unionByName(quar)
+        dropped = (
+            docs.join(settled.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit("dropped").alias("status"),
+                "source",
+                F.lit(None).cast("long").alias("file_seq"),
+            )
+        )
+        result = settled.unionByName(dropped)
+        rows = result.collect()  # doc-count-sized; outlives the tempdir
+        schema = result.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

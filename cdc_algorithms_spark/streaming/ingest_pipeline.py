@@ -29,6 +29,21 @@ any exact J≥t pair", and the converged manifest equals
 plain SQL statement over the source table, regardless of how the
 stream was micro-batched (within the id-ordered stage contract).
 
+**The contract is ENFORCED, not assumed** (r07): each batch carries a
+max-id watermark (one tiny row per epoch in ``wm_dir``; the carried
+value is the max over previous epochs — a ≤#batches-row read, never a
+corpus scan). A batch document at or below the watermark is OUT OF
+ORDER — it is quarantined to ``quarantine_dir`` (with the watermark it
+violated) instead of silently breaking the greedy-keep equivalence,
+the same bounded-disorder-repaired-deterministically idea as the
+reference's seam rule (ae.rs:33,74: a chunker never trusts unordered
+input either — segment seams are re-derived, not assumed). Accepted
+docs are therefore id-ordered across batches BY CONSTRUCTION, so the
+convergence oracle holds over exactly the accepted set, and the
+quarantine store accounts for every set-aside document (re-ingest =
+feed them back as a new, now-in-order stage). ``on_late="error"``
+turns detection into a hard failure for pipelines that prefer to halt.
+
 Scale posture: per-batch work is candidate-proportional (band-index
 probe, semi-joined verification) plus one ≤#sources-row totals read;
 nothing corpus-sized shuffles per batch. All stores are epoch-keyed
@@ -63,12 +78,21 @@ def ingest_pipeline_batch(
     threshold: float = 0.8,
     max_bucket: int | None = None,
     target_bytes: int = 4096,
+    wm_dir: str | None = None,
+    quarantine_dir: str | None = None,
+    on_late: str = "quarantine",
 ) -> None:
     """Settle one micro-batch of (doc_id, text, source, n_chars) rows —
-    IDEMPOTENT per ``batch_id``: probe the band index for near-dup
-    pairs, keep the batch docs that pair with no smaller id, route the
-    kept docs into the cross-batch compaction manifest, then extend the
-    index and doc store. Every write lands under this batch's epoch
+    IDEMPOTENT per ``batch_id``: enforce the id-ordered arrival
+    contract against the carried max-id watermark (when ``wm_dir`` is
+    given — :func:`run_streaming_ingest_pipeline` always gives it),
+    probe the band index for near-dup pairs over the in-order docs,
+    keep the batch docs that pair with no smaller id, route the kept
+    docs into the cross-batch compaction manifest, then extend the
+    index and doc store. Out-of-order docs go to ``quarantine_dir``
+    (``on_late="quarantine"``) or raise (``on_late="error"``); they
+    extend NOTHING — re-ingesting them later as their own stage is the
+    deterministic repair. Every write lands under this batch's epoch
     subdirectory; every read excludes it at the PATH level (replay
     safety, see streaming/sync.py::sync_batch)."""
     from cdc_algorithms_spark.operators.dedup_docs import (
@@ -76,6 +100,8 @@ def ingest_pipeline_batch(
         minhash_band_index,
     )
 
+    if on_late not in ("quarantine", "error"):
+        raise ValueError(f"on_late must be 'quarantine' or 'error', got {on_late!r}")
     me = f"batch_{batch_id}"
     index = spark.read.parquet(
         *_list_store_subdirs(spark, index_dir, exclude=me)
@@ -89,6 +115,38 @@ def ingest_pipeline_batch(
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+    if wm_dir is not None:
+        # carried watermark: max settled id over previous epochs — one
+        # row per epoch, so this read is #batches-bounded metadata, and
+        # on replay the epoch's own row is path-excluded like any store
+        wm_dirs = _list_store_subdirs(spark, wm_dir, exclude=me)
+        if wm_dirs:
+            carried_wm = (
+                spark.read.parquet(*wm_dirs).agg(F.max("max_id")).first()[0]
+            )
+        else:
+            carried_wm = None
+        wm = -1 if carried_wm is None else int(carried_wm)
+        late = batch.where(F.col("doc_id") <= F.lit(wm))
+        batch = batch.where(F.col("doc_id") > F.lit(wm))
+        if on_late == "error":
+            n_late = late.count()
+            if n_late:
+                raise ValueError(
+                    f"arrival-contract violation in batch {batch_id}: "
+                    f"{n_late} doc(s) at or below watermark {wm}"
+                )
+        if quarantine_dir is not None:
+            # settled even when empty: replay must overwrite a previous
+            # attempt's quarantine rows, never leave them stale
+            late.withColumn("violated_wm", F.lit(wm).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(quarantine_dir, me))
+        # this epoch's watermark row: max accepted id, or the carried
+        # value when the whole batch was late/empty
+        batch.agg(
+            F.coalesce(F.max("doc_id"), F.lit(wm)).cast("long").alias("max_id")
+        ).write.mode("overwrite").parquet(os.path.join(wm_dir, me))
     pairs = incremental_minhash_pairs(
         corpus,
         batch.select("doc_id", "text"),
@@ -161,15 +219,23 @@ def run_streaming_ingest_pipeline(
     threshold: float = 0.8,
     max_bucket: int | None = None,
     target_bytes: int = 4096,
-) -> DataFrame:
+    on_late: str = "quarantine",
+    return_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Stream the stages' (doc_id, text, source, n_chars) documents
     through :func:`ingest_pipeline_batch` (empty seed — EVERYTHING is
     ingested through the loop) and return the converged doc-level
-    manifest rows ``(source, file_seq, doc_id, n_chars)``.
+    manifest rows ``(source, file_seq, doc_id, n_chars)`` — plus, with
+    ``return_quarantine=True``, the quarantined rows ``(doc_id, text,
+    source, n_chars, violated_wm)``.
 
-    Stages must be doc_id-ordered (every id in stage k smaller than
+    Stages should be doc_id-ordered (every id in stage k smaller than
     every id in stage k+1) — the arrival-order contract under which the
-    greedy keep-first rule converges to the batch keep set.
+    greedy keep-first rule converges to the batch keep set. The
+    contract is ENFORCED per batch against the carried max-id
+    watermark: out-of-order docs are quarantined (default) or raise
+    (``on_late="error"``), so the manifest always equals the batch
+    composition over exactly the accepted docs, violation or not.
     """
     if not batch_stages:
         raise ValueError("need at least one batch stage")
@@ -177,7 +243,10 @@ def run_streaming_ingest_pipeline(
     docs_dir = os.path.join(workdir, "docs")
     pairs_dir = os.path.join(workdir, "pairs")
     manifest_dir = os.path.join(workdir, "manifest")
-    for d in (index_dir, docs_dir, pairs_dir, manifest_dir):
+    wm_dir = os.path.join(workdir, "watermark")
+    quarantine_dir = os.path.join(workdir, "quarantine")
+    for d in (index_dir, docs_dir, pairs_dir, manifest_dir, wm_dir,
+              quarantine_dir):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
     # empty seeds with the store schemas: the first batch probes an
@@ -203,7 +272,8 @@ def run_streaming_ingest_pipeline(
                     spark, b, index_dir, docs_dir, pairs_dir, manifest_dir,
                     bid, n=n, num_hashes=num_hashes, bands=bands,
                     threshold=threshold, max_bucket=max_bucket,
-                    target_bytes=target_bytes,
+                    target_bytes=target_bytes, wm_dir=wm_dir,
+                    quarantine_dir=quarantine_dir, on_late=on_late,
                 )
             )
             .outputMode("append")
@@ -220,4 +290,7 @@ def run_streaming_ingest_pipeline(
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
 
-    return spark.read.parquet(os.path.join(manifest_dir, "*"))
+    manifest = spark.read.parquet(os.path.join(manifest_dir, "*"))
+    if return_quarantine:
+        return manifest, spark.read.parquet(os.path.join(quarantine_dir, "*"))
+    return manifest

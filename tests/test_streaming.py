@@ -787,9 +787,15 @@ def test_ingest_pipeline_batch_replay_is_idempotent(spark, tmp_path):
     docs = load_table(spark, "documents", SF_DIR).select(
         "doc_id", "text", "source", "n_chars"
     )
-    first = docs.where(F.col("doc_id") % 3 == 0)
-    second = docs.where(F.col("doc_id") % 3 == 1)
-    dirs = {n: str(tmp_path / n) for n in ("idx", "docs", "pairs", "man")}
+    # stage by id RANGE (not % 3) so the watermark guard sees in-order
+    # arrival; a late doc would be quarantined, which is its own test
+    c = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    first = docs.where(F.col("doc_id") <= c)
+    second = docs.where(F.col("doc_id") > c)
+    dirs = {
+        n: str(tmp_path / n)
+        for n in ("idx", "docs", "pairs", "man", "wm", "quar")
+    }
     import os
 
     for d in dirs.values():
@@ -802,6 +808,7 @@ def test_ingest_pipeline_batch_replay_is_idempotent(spark, tmp_path):
         ingest_pipeline_batch(
             spark, batch, dirs["idx"], dirs["docs"], dirs["pairs"],
             dirs["man"], bid, n=3, threshold=0.8, target_bytes=4096,
+            wm_dir=dirs["wm"], quarantine_dir=dirs["quar"],
         )
 
     def state():
@@ -811,11 +818,16 @@ def test_ingest_pipeline_batch_replay_is_idempotent(spark, tmp_path):
         pairs = sorted(
             map(tuple, spark.read.parquet(dirs["pairs"] + "/*").collect())
         )
+        wm = sorted(
+            map(tuple, spark.read.parquet(dirs["wm"] + "/*").collect())
+        )
         return (
             man,
             pairs,
+            wm,
             spark.read.parquet(dirs["idx"] + "/*").count(),
             spark.read.parquet(dirs["docs"] + "/*").count(),
+            spark.read.parquet(dirs["quar"] + "/*").count(),
         )
 
     run(first, 0)
@@ -825,3 +837,99 @@ def test_ingest_pipeline_batch_replay_is_idempotent(spark, tmp_path):
     run(second, 1)  # replay the LAST batch
     assert state() == want, "replay changed manifest/pairs/index/store"
     release_cached_frames()
+
+
+def test_ingest_watermark_quarantines_late_docs_exactly(spark, tmp_path):
+    """The arrival-contract guard: a deliberately disordered stage
+    split must quarantine EXACTLY the docs that arrive at or below the
+    carried max-id watermark (= below the max id of any earlier stage),
+    the manifest must equal an in-order run over the accepted docs
+    alone, and a fully in-order run must quarantine nothing."""
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    staged = docs.withColumn(
+        "__stg",
+        F.least(
+            F.expr(f"(doc_id * 3) DIV ({int(mx)} + 1)")
+            + F.when(F.col("doc_id") % 7 == 3, F.lit(1)).otherwise(F.lit(0)),
+            F.lit(2),
+        ),
+    )
+    stages = [staged.where(F.col("__stg") == i).drop("__stg") for i in range(3)]
+    manifest, quarantine = run_streaming_ingest_pipeline(
+        spark, stages, str(tmp_path / "disorder"), n=3, num_hashes=32,
+        bands=8, threshold=0.8, target_bytes=4096, return_quarantine=True,
+    )
+    got_quar = sorted(r.doc_id for r in quarantine.select("doc_id").collect())
+
+    # expected late set from the watermark algebra: below the max id of
+    # any earlier stage (the max arrived id is always accepted)
+    stage_max = {
+        r["__stg"]: r["m"]
+        for r in staged.groupBy("__stg").agg(F.max("doc_id").alias("m")).collect()
+    }
+    expect_quar = sorted(
+        r.doc_id
+        for r in staged.collect()
+        if r["__stg"] > 0
+        and r.doc_id < max(stage_max[s] for s in range(r["__stg"]))
+    )
+    assert got_quar == expect_quar and got_quar, "quarantine set mismatch"
+    # every quarantined row records the watermark it violated
+    assert all(
+        r.doc_id <= r.violated_wm for r in quarantine.collect()
+    )
+
+    # manifest == in-order run over the accepted docs alone
+    accepted = docs.join(
+        quarantine.select("doc_id"), "doc_id", "left_anti"
+    )
+    ordered = run_streaming_ingest_pipeline(
+        spark, [accepted], str(tmp_path / "ordered"), n=3, num_hashes=32,
+        bands=8, threshold=0.8, target_bytes=4096,
+    )
+    assert sorted(map(tuple, manifest.collect())) == sorted(
+        map(tuple, ordered.collect())
+    )
+
+    # a fully in-order run quarantines nothing
+    c = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    _, q2 = run_streaming_ingest_pipeline(
+        spark,
+        [docs.where(F.col("doc_id") <= c), docs.where(F.col("doc_id") > c)],
+        str(tmp_path / "inorder"), n=3, num_hashes=32, bands=8,
+        threshold=0.8, target_bytes=4096, return_quarantine=True,
+    )
+    assert q2.count() == 0
+
+
+def test_ingest_on_late_error_halts_on_contract_violation(spark, tmp_path):
+    """on_late='error': the guard turns a contract violation into a
+    hard failure instead of a silent wrong answer — the second stage
+    here re-sends ids below the first stage's max."""
+    import pytest
+
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    c = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    out_of_order = [
+        docs.where(F.col("doc_id") > c),   # large ids first
+        docs.where(F.col("doc_id") <= c),  # then the smaller ids: LATE
+    ]
+    with pytest.raises(Exception, match="arrival-contract violation"):
+        run_streaming_ingest_pipeline(
+            spark, out_of_order, str(tmp_path / "halt"), n=3,
+            num_hashes=32, bands=8, threshold=0.8, target_bytes=4096,
+            on_late="error",
+        )
