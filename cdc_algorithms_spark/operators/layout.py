@@ -311,6 +311,40 @@ def zorder_rewrite(
     )
 
 
+def zorder_rewrite_nd(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 6,
+    file_bits: int = 2,
+) -> None:
+    """Execute a :func:`zorder_layout_plan_nd`: physically rewrite
+    ``df`` into the planned k-dimensional Z-clustered layout at
+    ``path`` — the 3-D/k-D generalization of :func:`zorder_rewrite`
+    with the identical plan shape: target file = top ``k*file_bits``
+    bits of the k-way Morton code (a 2**k-ary hypercube cell), assigned
+    MAP-ONLY, so the whole rewrite is ONE hash exchange on ``file_id``
+    (never a global sort / range exchange) followed by a partitioned
+    write with one task — hence one file — per planned cell. The
+    written footers' min/max over EVERY dimension are the plan's
+    per-file pruning stats; conservation and realized stats are
+    oracle-checked by ``zorder3_rewrite_check`` /
+    ``zorder3_realized_pruning`` (queries_extras.py)."""
+    shift = len(cols) * (bits - file_bits)
+    if bits < file_bits:
+        raise ValueError("file_bits must be <= bits")
+    z = zorder_values_nd(df, cols, bits)
+    tagged = z.withColumn(
+        "file_id", F.shiftright("zval", shift).cast("long")
+    ).drop("zval")
+    (
+        tagged.repartition(F.col("file_id"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
 def compaction_rewrite(
     df: DataFrame,
     group_col: str,
