@@ -397,6 +397,82 @@ _FOOTER_STAT_TYPES = {
 }
 
 
+def _footer_types(f: str, cols: list[str]) -> dict[str, str]:
+    """Spark SQL type per requested column, derived from ONE file's
+    parquet footer (raises on unsupported physical types)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f).metadata
+    idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    }
+    out: dict[str, str] = {}
+    for c in cols:
+        if c not in idx:
+            raise ValueError(f"column {c!r} not in {f}")
+        phys = md.row_group(0).column(idx[c]).physical_type
+        spark_t = _FOOTER_STAT_TYPES.get(phys)
+        if spark_t is None:
+            raise ValueError(
+                f"column {c!r} has parquet physical type {phys}; "
+                "footer min/max stats are supported for "
+                f"{sorted(_FOOTER_STAT_TYPES)} only"
+            )
+        out[c] = spark_t
+    return out
+
+
+def _footer_stats_row(f: str, cols: list[str], col_types: dict[str, str]) -> tuple:
+    """Parse ONE parquet footer into a ``(file, n_rows, <c>_min,
+    <c>_max, ...)`` tuple — shared verbatim by the driver-side walk and
+    the distributed variant so their outputs are identical by
+    construction. Metadata only: pyarrow reads the footer bytes, never
+    a data page."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f).metadata
+    idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    }
+    types_here = _footer_types(f, cols)
+    row = [f, md.num_rows]
+    for c in cols:
+        if types_here[c] != col_types[c]:
+            raise ValueError(
+                f"column {c!r} has mixed physical types across files "
+                f"({col_types[c]} vs {types_here[c]})"
+            )
+        mins, maxs = [], []
+        for r in range(md.num_row_groups):
+            s = md.row_group(r).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                raise ValueError(f"no min/max stats for {c!r} in {f}")
+            lo, hi = s.min, s.max
+            if col_types[c] == "string":
+                # pyarrow returns str for UTF8-annotated BYTE_ARRAY,
+                # bytes for raw binary — only the former orders like
+                # a SQL string predicate would
+                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                    raise ValueError(
+                        f"column {c!r} is raw binary (no UTF8 "
+                        "annotation); its byte-wise min/max is not "
+                        "a string pruning stat"
+                    )
+            mins.append(lo)
+            maxs.append(hi)
+        row.extend((min(mins), max(maxs)))
+    return tuple(row)
+
+
+def _footer_schema(cols: list[str], col_types: dict[str, str]) -> str:
+    schema = "file string, n_rows long"
+    for c in cols:
+        schema += f", {c}_min {col_types[c]}, {c}_max {col_types[c]}"
+    return schema
+
+
 def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
     """Per-file pruning statistics read from the REAL parquet footers —
     metadata only, zero row reads: ``(file, n_rows, <c>_min, <c>_max
@@ -408,67 +484,71 @@ def parquet_footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
     to the plan's predicted stats. The walk runs driver-side here
     because a rewrite emits a BOUNDED file count (≤ 4**file_bits cells
     / manifest entries — a metadata-scale listing, like any table
-    format's manifest read); at cluster scale the identical parse
-    distributes as a binaryFile scan of footers per executor.
+    format's manifest read); for unbounded file counts use
+    :func:`parquet_footer_stats_distributed`, which parses the same
+    footers executor-side.
     """
     import glob as _glob
 
-    import pyarrow.parquet as pq
+    files = sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    col_types = _footer_types(files[0], cols) if files else {c: "long" for c in cols}
+    rows = [_footer_stats_row(f, cols, col_types) for f in files]
+    return spark.createDataFrame(rows, _footer_schema(cols, col_types))
 
-    rows = []
-    col_types: dict[str, str] = {}
-    for f in sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True)):
-        md = pq.ParquetFile(f).metadata
-        idx = {
-            md.row_group(0).column(i).path_in_schema: i
-            for i in range(md.row_group(0).num_columns)
-        }
-        stats: dict[str, tuple] = {}
-        for c in cols:
-            if c not in idx:
-                raise ValueError(f"column {c!r} not in {f}")
-            phys = md.row_group(0).column(idx[c]).physical_type
-            spark_t = _FOOTER_STAT_TYPES.get(phys)
-            if spark_t is None:
-                raise ValueError(
-                    f"column {c!r} has parquet physical type {phys}; "
-                    "footer min/max stats are supported for "
-                    f"{sorted(_FOOTER_STAT_TYPES)} only"
+
+def parquet_footer_stats_distributed(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """:func:`parquet_footer_stats` for UNBOUNDED file counts: the file
+    listing distributes over executors and each parses its shard of
+    footers with the SAME row parser as the driver-side walk (outputs
+    are pinned identical in tests/test_extras.py). Still metadata
+    only — pyarrow reads each file's footer bytes, never a data page —
+    so the job moves O(#files) footer parses to the cluster while the
+    driver handles only the path listing (itself a filesystem-metadata
+    call) and the k-file result.
+
+    One driver-side footer is read up front to fix the result schema —
+    the same single-footer cost any reader pays to plan a scan."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/*")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files: list[str] = []
+    stack = [jvm.org.apache.hadoop.fs.Path(path)]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif st.getPath().getName().endswith(".parquet"):
+                u = st.getPath().toUri()
+                # pyarrow opens plain paths for the local scheme; other
+                # schemes (hdfs/s3a) keep their URI form for fsspec
+                files.append(
+                    u.getPath() if (u.getScheme() in (None, "file")) else str(u)
                 )
-            prev = col_types.setdefault(c, spark_t)
-            if prev != spark_t:
-                raise ValueError(
-                    f"column {c!r} has mixed physical types across files "
-                    f"({prev} vs {spark_t})"
-                )
-            mins, maxs = [], []
-            for r in range(md.num_row_groups):
-                s = md.row_group(r).column(idx[c]).statistics
-                if s is None or not s.has_min_max:
-                    raise ValueError(f"no min/max stats for {c!r} in {f}")
-                lo, hi = s.min, s.max
-                if spark_t == "string":
-                    # pyarrow returns str for UTF8-annotated BYTE_ARRAY,
-                    # bytes for raw binary — only the former orders like
-                    # a SQL string predicate would
-                    if isinstance(lo, bytes) or isinstance(hi, bytes):
-                        raise ValueError(
-                            f"column {c!r} is raw binary (no UTF8 "
-                            "annotation); its byte-wise min/max is not "
-                            "a string pruning stat"
-                        )
-                mins.append(lo)
-                maxs.append(hi)
-            stats[c] = (min(mins), max(maxs))
-        row = [f, md.num_rows]
-        for c in cols:
-            row.extend(stats[c])
-        rows.append(tuple(row))
-    schema = "file string, n_rows long"
-    for c in cols:
-        t = col_types.get(c, "long")  # no files: type is moot, default
-        schema += f", {c}_min {t}, {c}_max {t}"
-    return spark.createDataFrame(rows, schema)
+    files.sort()
+    col_types = _footer_types(files[0], cols) if files else {c: "long" for c in cols}
+    schema = _footer_schema(cols, col_types)
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    def parse(iterator):
+        import pandas as pd
+
+        names = ["file", "n_rows"] + [
+            f"{c}_{s}" for c in cols for s in ("min", "max")
+        ]
+        for pdf in iterator:
+            rows = [
+                _footer_stats_row(f, cols, col_types) for f in pdf["file"]
+            ]
+            yield pd.DataFrame(rows, columns=names)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), spark.sparkContext.defaultParallelism))
+    return listing.mapInPandas(parse, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -1193,10 +1193,17 @@ def q_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fractions from the source table via the plan arithmetic —
     equality proves the written footer statistics deliver exactly the
     pruning the plan promised (the stats a Delta/Iceberg-style reader
-    or Spark's row-group pruning would skip on)."""
-    from cdc_algorithms_spark.operators.layout import parquet_footer_stats
+    or Spark's row-group pruning would skip on). r07: the footers parse
+    through the DISTRIBUTED variant (parquet_footer_stats_distributed —
+    the path listing fans out to executors, each parses its shard with
+    the same row parser as the driver walk), the form an unbounded file
+    count needs; output identity to the driver walk is pinned in
+    tests/test_extras.py."""
+    from cdc_algorithms_spark.operators.layout import (
+        parquet_footer_stats_distributed,
+    )
 
-    stats = parquet_footer_stats(
+    stats = parquet_footer_stats_distributed(
         spark, _zorder_store(spark, sf_dir), ["x", "y"]
     )
     span = lambda lo, hi: F.col(hi) - F.col(lo) + F.lit(1)  # noqa: E731

@@ -522,3 +522,33 @@ def test_curriculum_rank_is_bucketed_not_global_sort(spark):
     # single-task sort materializes the corpus order
     parts = P.window_partition_columns(df)
     assert any(len(cols) >= 2 for cols in parts)
+
+
+def test_distributed_footer_stats_identical_to_driver_walk(spark, tmp_path):
+    """parquet_footer_stats_distributed (executor-side footer parsing
+    for unbounded file counts) must return EXACTLY the driver-side
+    walk's rows — same files, same n_rows, same typed min/max — on a
+    multi-file store with long, double, and string stat columns."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import layout as L
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.col("source").alias("src"),
+        (F.col("n_chars") * 1.5).alias("score"),
+    )
+    store = str(tmp_path / "store")
+    (
+        docs.withColumn("b", F.pmod("doc_id", F.lit(7)))
+        .repartition("b")
+        .write.partitionBy("b")
+        .parquet(store)
+    )
+    cols = ["doc_id", "score", "src"]
+    drv = L.parquet_footer_stats(spark, store, cols)
+    dist = L.parquet_footer_stats_distributed(spark, store, cols)
+    assert drv.schema == dist.schema
+    a = sorted(map(tuple, drv.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert len(a) >= 7 and a == b
