@@ -132,10 +132,17 @@ def kmeans_centroids(
     # so the empty-cell backfill below never indexes past the init list
     k = min(k, len(cents))
     for _ in range(iters):
+        # two selects on purpose: a column that SITS NEXT TO an explode
+        # in one projection lands in the Project ABOVE the Generate and
+        # re-evaluates per EMITTED row — dim× the work for the
+        # nearest-cell expression (same Generate trap as
+        # dedup_docs.doc_shingles; measured 30x at 50k vectors x 64
+        # cells). Pre-projecting binds the cell id BELOW the Generate,
+        # once per input row.
         assigned = corpus.select(
             _nearest_cell(F.col(vec_col), cents).alias("cell"),
-            F.posexplode(vec_col).alias("d", "x"),
-        )
+            F.col(vec_col).alias("__v"),
+        ).select("cell", F.posexplode("__v").alias("d", "x"))
         means = (
             assigned.groupBy("cell", "d")
             .agg(F.avg("x").alias("m"))
@@ -162,6 +169,7 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only within the query's ``nprobe``
     nearest centroid cells.
@@ -171,8 +179,15 @@ def ivf_topk(
     so each corpus row meets only the queries probing its cell —
     O(|Q|·|C|·nprobe/nlist) expected work, and the cell assignment can
     be persisted/bucketed once and reused across query batches.
+    Pass pre-trained ``cents`` (e.g. from :func:`kmeans_centroids`) to
+    skip the inline Lloyd — the standing-pipeline form that amortizes
+    training across query batches (tools/ann_scale_run.py times the
+    two phases separately this way).
     """
-    cents = kmeans_centroids(corpus, nlist, dim, iters, corpus_id, vec_col, seed)
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, nlist, dim, iters, corpus_id, vec_col, seed
+        )
     if not cents:  # empty corpus -> no neighbors, typed-empty result
         return queries.sparkSession.createDataFrame(
             [], "query_id bigint, rank bigint, vec_id bigint, cosine double"

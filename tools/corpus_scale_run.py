@@ -24,10 +24,26 @@ Token stream is a power-law draw over a 50k vocabulary, ~`avg_tokens`
 tokens/doc (lognormal-ish spread), ~6 chars/token ⇒ ~`avg_tokens*7`
 bytes/doc.
 
+Adversarial skew mode (``--boilerplate N``, r07): appends N EXTRA docs
+(ids ``docs .. docs+N-1``) that are all ~99.5%-identical mutations of
+ONE out-of-range template — a single mega-cluster whose every band
+bucket holds ~N rows, the worst case the ``max_bucket`` cap exists
+for. The run then additionally reports how many buckets the cap
+dropped, that the candidate join stayed bounded (nowhere near the
+N²/2 ≈ 5G pairs an uncapped join would emit at N=100k), and that
+planted recall over the REGULAR corpus is unchanged — boilerplate
+shingles are disjoint from the organic vocabulary's n-grams in
+aggregate, so its capped buckets never contained organic candidates.
+The documented trade-off also gets measured: pairs INSIDE the capped
+mega-cluster are lost to LSH (report ``boiler_pairs_found``) — the
+standing mitigation is that content this duplicated is exactly what
+exact-hash / fingerprint dedup upstream catches first.
+
 Usage::
 
     python tools/corpus_scale_run.py --docs 500000 --avg-tokens 700
     python tools/corpus_scale_run.py --docs 2000000 --keep-corpus
+    python tools/corpus_scale_run.py --docs 2000000 --boilerplate 100000
 """
 
 from __future__ import annotations
@@ -53,8 +69,13 @@ VOCAB = 50_000
 MUTATE = 0.02
 
 
-def build_corpus_df(spark, n_docs: int, avg_tokens: int, partitions: int):
-    """Lazy generator frame: (doc_id, text, source, n_chars)."""
+def build_corpus_df(
+    spark, n_docs: int, avg_tokens: int, partitions: int, boilerplate: int = 0
+):
+    """Lazy generator frame: (doc_id, text, source, n_chars). With
+    ``boilerplate`` > 0, ids ``n_docs .. n_docs+boilerplate-1`` are
+    0.5%-mutated clones of one out-of-range template — a single
+    mega-cluster for the skew-cap stress."""
     from pyspark.sql import functions as F
 
     def gen(batches):
@@ -70,23 +91,26 @@ def build_corpus_df(spark, n_docs: int, avg_tokens: int, partitions: int):
             idx = (rng.random(length) ** 3.0 * VOCAB).astype(np.int64)
             return idx
 
+        def mutate(idx: "np.ndarray", doc_id: int, rate: float) -> "np.ndarray":
+            rng = np.random.default_rng([SEED, doc_id, 1])
+            k = max(1, int(rate * idx.size))
+            where = rng.choice(idx.size, size=k, replace=False)
+            idx = idx.copy()
+            idx[where] = (rng.random(k) ** 3.0 * VOCAB).astype(np.int64)
+            return idx
+
         for pdf in batches:
             out_text, out_src, out_len, ids = [], [], [], []
             for doc_id in pdf["id"].to_numpy():
                 doc_id = int(doc_id)
-                pos = doc_id % 10
-                if pos >= 8:  # clone of the decade base, 2% mutated
-                    base = doc_id - pos
-                    idx = tokens_of(base)
-                    rng = np.random.default_rng([SEED, doc_id, 1])
-                    k = max(1, int(MUTATE * idx.size))
-                    where = rng.choice(idx.size, size=k, replace=False)
-                    idx = idx.copy()
-                    idx[where] = (rng.random(k) ** 3.0 * VOCAB).astype(
-                        np.int64
-                    )
+                if doc_id >= n_docs:  # boilerplate: one mega-cluster
+                    idx = mutate(tokens_of(10**12), doc_id, 0.005)
                 else:
-                    idx = tokens_of(doc_id)
+                    pos = doc_id % 10
+                    if pos >= 8:  # clone of the decade base, 2% mutated
+                        idx = mutate(tokens_of(doc_id - pos), doc_id, MUTATE)
+                    else:
+                        idx = tokens_of(doc_id)
                 text = " ".join(vocab[idx])
                 ids.append(doc_id)
                 out_text.append(text)
@@ -102,7 +126,7 @@ def build_corpus_df(spark, n_docs: int, avg_tokens: int, partitions: int):
             )
 
     return (
-        spark.range(n_docs, numPartitions=partitions)
+        spark.range(n_docs + boilerplate, numPartitions=partitions)
         .mapInPandas(
             gen, "doc_id long, text string, source string, n_chars long"
         )
@@ -118,6 +142,7 @@ def main() -> None:
     ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--keep-corpus", action="store_true")
     ap.add_argument("--corpus-dir", default=None)
+    ap.add_argument("--boilerplate", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -140,13 +165,15 @@ def main() -> None:
         "avg_tokens": args.avg_tokens,
         "max_bucket": MAX_BUCKET,
         "bands": f"{BANDS}x{NUM_HASHES // BANDS}",
+        "boilerplate": args.boilerplate,
     }
 
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="cdc_corpus_")
     try:
         t0 = time.monotonic()
         build_corpus_df(
-            spark, args.docs, args.avg_tokens, args.partitions
+            spark, args.docs, args.avg_tokens, args.partitions,
+            boilerplate=args.boilerplate,
         ).write.mode("overwrite").parquet(corpus_dir)
         report["gen_write_s"] = round(time.monotonic() - t0, 1)
         docs = spark.read.parquet(corpus_dir)
@@ -233,6 +260,23 @@ def main() -> None:
         report["planted_found"] = found
         report["planted_recall"] = round(found / max(1, n_planted), 4)
         report["recall_s"] = round(time.monotonic() - t0, 1)
+
+        if args.boilerplate:
+            # mega-cluster accounting: how bounded did the cap keep the
+            # candidate join, and what survived INSIDE the cluster
+            nb = args.docs
+            report["boiler_candidates"] = candidates.where(
+                (F.col("id_a") >= nb) & (F.col("id_b") >= nb)
+            ).count()
+            report["boiler_pairs_found"] = verified.where(
+                (F.col("id_a") >= nb) & (F.col("id_b") >= nb)
+            ).count()
+            report["boiler_pairs_possible"] = (
+                args.boilerplate * (args.boilerplate - 1) // 2
+            )
+            report["cross_candidates"] = candidates.where(
+                (F.col("id_a") >= nb) != (F.col("id_b") >= nb)
+            ).count()
 
         # --- components + keep-one + manifest rollup ------------------------
         t0 = time.monotonic()
