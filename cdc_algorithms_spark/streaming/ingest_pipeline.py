@@ -40,9 +40,14 @@ reference's seam rule (ae.rs:33,74: a chunker never trusts unordered
 input either — segment seams are re-derived, not assumed). Accepted
 docs are therefore id-ordered across batches BY CONSTRUCTION, so the
 convergence oracle holds over exactly the accepted set, and the
-quarantine store accounts for every set-aside document (re-ingest =
-feed them back as a new, now-in-order stage). ``on_late="error"``
-turns detection into a hard failure for pipelines that prefer to halt.
+quarantine store accounts for every set-aside document. Re-admission:
+a quarantined id is below the watermark FOREVER, so it re-enters under
+a FRESH id above the current watermark (arrival-time identity — the
+keep-first rule then stays exact with respect to actual arrival order,
+with the late doc taking the LOWER priority its late arrival earned),
+or through an offline batch recompute over corpus ∪ quarantine.
+``on_late="error"`` turns detection into a hard failure for pipelines
+that prefer to halt.
 
 Scale posture: per-batch work is candidate-proportional (band-index
 probe, semi-joined verification) plus one ≤#sources-row totals read;
@@ -91,8 +96,9 @@ def ingest_pipeline_batch(
     docs into the cross-batch compaction manifest, then extend the
     index and doc store. Out-of-order docs go to ``quarantine_dir``
     (``on_late="quarantine"``) or raise (``on_late="error"``); they
-    extend NOTHING — re-ingesting them later as their own stage is the
-    deterministic repair. Every write lands under this batch's epoch
+    extend NOTHING — re-admission happens under a fresh above-watermark
+    id or an offline batch recompute (see the module docstring).
+    Every write lands under this batch's epoch
     subdirectory; every read excludes it at the PATH level (replay
     safety, see streaming/sync.py::sync_batch)."""
     from cdc_algorithms_spark.operators.dedup_docs import (

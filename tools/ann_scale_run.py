@@ -20,10 +20,16 @@ each scale point:
 
 Corpus design: vector ``i`` is 64 uniform draws from a counter-based
 rng keyed ``[SEED, i]`` — deterministic per id, independent of
-partitioning. Query ``j`` targets corpus id ``t_j = j * (n//q)`` and
-equals that vector plus ``eps``-scaled noise (cosine to its twin
-≈ 1 - eps^2/2 ≈ 0.997, far above the ~0.66 max-random-cosine tail at
-1M vectors), so top-1 ground truth is exact by construction.
+partitioning. Query ``j`` targets BASE id ``t_j = j * (n//q)``; the
+base's next ``TWINS`` ids (``t_j+1 .. t_j+TWINS``) are planted
+perturbations of the base vector, and the query is another
+perturbation — so each query has a KNOWN true neighbor set of size
+TWINS+1, all at cosine ≈ 1 - eps^2/2 ≈ 0.997, far above the ~0.66
+max-random-cosine tail at 1M vectors. Planted recall@k is measured
+against that set; agreement with brute force beyond it is ALSO
+reported but is a weak signal by design — on a uniform corpus, ranks
+past the planted set are statistical ties (cosine gaps ~1e-3) where
+"the" exact neighbor is an arbitrary choice among equals.
 
 Usage::
 
@@ -47,23 +53,35 @@ sys.path.insert(0, ROOT)
 SEED = 20260815
 DIM = 64
 EPS = 0.08
+TWINS = 4  # planted near-neighbors per query target, besides the base
 
 
-def build_vectors_df(spark, n: int, partitions: int):
-    """Lazy generator frame: (vec_id, embedding array<double>)."""
+def build_vectors_df(spark, n: int, partitions: int, step: int = 0):
+    """Lazy generator frame: (vec_id, embedding array<double>). With
+    ``step`` > 0, ids ``b+1 .. b+TWINS`` for each base ``b`` (multiple
+    of step) are eps-perturbed twins of the base vector."""
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
+        def vec_of(i: int) -> "np.ndarray":
+            return np.random.default_rng([SEED, i]).uniform(-1.0, 1.0, DIM)
+
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            vecs = [
-                np.random.default_rng([SEED, int(i)])
-                .uniform(-1.0, 1.0, DIM)
-                .tolist()
-                for i in ids
-            ]
+            vecs = []
+            for i in ids:
+                i = int(i)
+                pos = i % step if step else 0
+                if step and 1 <= pos <= TWINS:
+                    base = vec_of(i - pos)
+                    noise = np.random.default_rng([SEED, 3, i]).uniform(
+                        -1.0, 1.0, DIM
+                    )
+                    vecs.append((base + EPS * noise).tolist())
+                else:
+                    vecs.append(vec_of(i).tolist())
             yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
 
     return spark.range(n, numPartitions=partitions).mapInPandas(
@@ -72,7 +90,8 @@ def build_vectors_df(spark, n: int, partitions: int):
 
 
 def build_queries(spark, n: int, n_queries: int):
-    """(query_id, target_id, embedding): corpus vector t_j + eps*noise."""
+    """(query_id, target_id, embedding): corpus base vector + eps*noise;
+    the true neighbor set of query j is {t_j, t_j+1, .., t_j+TWINS}."""
     import numpy as np
 
     rows = []
@@ -131,8 +150,9 @@ def main() -> None:
     corpus_dir = tempfile.mkdtemp(prefix="cdc_ann_corpus_")
     index_dir = tempfile.mkdtemp(prefix="cdc_ann_pqindex_")
     try:
+        step = args.n // args.queries
         t0 = time.monotonic()
-        build_vectors_df(spark, args.n, args.partitions).write.mode(
+        build_vectors_df(spark, args.n, args.partitions, step=step).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
         report["gen_write_s"] = round(time.monotonic() - t0, 1)
@@ -149,45 +169,46 @@ def main() -> None:
 
         queries = build_queries(spark, args.n, args.queries).persist()
         queries.count()
-        truth = {r.query_id: r.target_id for r in
-                 queries.select("query_id", "target_id").collect()}
+        ps = TWINS + 1  # planted-set size per query
+        truth = {
+            r.query_id: set(range(r.target_id, min(r.target_id + ps, args.n)))
+            for r in queries.select("query_id", "target_id").collect()
+        }
         q = queries.select("query_id", "embedding")
         q_sub = q.where(F.col("query_id") < args.brute_queries)
 
-        def planted_recall(topk_df) -> float:
-            got = {
-                r.query_id: r.vec_id
-                for r in topk_df.where(F.col("rank") == 1)
-                .select("query_id", "vec_id")
-                .collect()
-            }
-            hit = sum(1 for qq, t in truth.items() if got.get(qq) == t)
-            return round(hit / len(truth), 4)
-
         results: dict[str, set] = {}
 
-        def run(name, fn, queries_df, recall_base=True):
-            t = time.monotonic()
-            df = fn(queries_df)
-            out = df.select("query_id", "rank", "vec_id").collect()
-            wall = round(time.monotonic() - t, 1)
-            report[f"{name}_probe_s"] = wall
-            if recall_base:
-                got1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
-                hit = sum(
-                    1
-                    for qq, t_ in truth.items()
-                    if qq in got1 and got1[qq] == t_
-                )
-                n_seen = len({r.query_id for r in out})
-                report[f"{name}_planted_recall@1"] = round(
-                    hit / max(1, n_seen), 4
-                )
+        def score(name, out):
+            got1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+            qids = {r.query_id for r in out}
+            report[f"{name}_planted_recall@1"] = round(
+                sum(1 for qq in qids if got1.get(qq) in truth[qq])
+                / max(1, len(qids)),
+                4,
+            )
+            # recall@ps against the full planted neighbor set
+            by_q: dict[int, set] = {}
+            for r in out:
+                if r.rank <= ps:
+                    by_q.setdefault(r.query_id, set()).add(r.vec_id)
+            report[f"{name}_planted_recall@{ps}"] = round(
+                sum(len(v & truth[qq]) / len(truth[qq])
+                    for qq, v in by_q.items())
+                / max(1, len(by_q)),
+                4,
+            )
             results[name] = {
                 (r.query_id, r.vec_id)
                 for r in out
                 if r.query_id < args.brute_queries
             }
+
+        def run(name, fn, queries_df):
+            t = time.monotonic()
+            out = fn(queries_df).select("query_id", "rank", "vec_id").collect()
+            report[f"{name}_probe_s"] = round(time.monotonic() - t, 1)
+            score(name, out)
 
         # --- exact baseline on the query subset -----------------------------
         t0 = time.monotonic()
@@ -195,12 +216,7 @@ def main() -> None:
         brute_rows = brute.select("query_id", "rank", "vec_id").collect()
         report["brute_probe_s"] = round(time.monotonic() - t0, 1)
         report["brute_queries"] = args.brute_queries
-        brute1 = {r.query_id: r.vec_id for r in brute_rows if r.rank == 1}
-        report["brute_planted_recall@1"] = round(
-            sum(1 for qq, v in brute1.items() if truth[qq] == v)
-            / max(1, len(brute1)),
-            4,
-        )
+        score("brute", brute_rows)
         brute_set = {(r.query_id, r.vec_id) for r in brute_rows}
 
         # --- LSH --------------------------------------------------------------
@@ -245,6 +261,8 @@ def main() -> None:
 
         # --- recall@k vs exact on the subset ----------------------------------
         for name, got in results.items():
+            if name == "brute":
+                continue
             report[f"{name}_recall@{args.k}_vs_brute"] = round(
                 len(got & brute_set) / max(1, len(brute_set)), 4
             )
