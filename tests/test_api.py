@@ -179,3 +179,35 @@ def test_layout_and_index_verbs(spark, tmp_path):
         incremental_jaccard_pairs(corpus, batch).collect()))
     assert sorted(map(tuple, pairs.collect())) == want
     release_cached_frames()
+
+
+def test_ann_index_verbs(spark, tmp_path):
+    """The r07 durable-ANN verbs: build_ann_index + probe_ann_index
+    equal the inline ivf-pq method bit-for-bit, and
+    release_probe_frames reclaims the near-dup probe's batch storage."""
+    emb = load_table(spark, "embeddings", SF).where(F.col("vec_id") < 400)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, m=4, ksub=8, nlist=8, iters=1)
+    inline = sorted(map(tuple, api.topk_similar(
+        queries, emb, k=5, method="ivf-pq", nprobe=2, rerank=3, **kw
+    ).collect()))
+    api.build_ann_index(emb, str(tmp_path / "pq"), **kw)
+    probed = sorted(map(tuple, api.probe_ann_index(
+        spark, str(tmp_path / "pq"), queries, emb, k=5, nprobe=2, rerank=3
+    ).collect()))
+    assert probed == inline and len(probed) == 15
+
+    # release_probe_frames: returns the number of batch-scoped frames
+    # the near-dup probe persisted (>=1 after a probe ran)
+    docs = load_table(spark, "documents", SF)
+    api.build_near_dup_index(
+        docs.where(F.col("doc_id") % 3 != 0), str(tmp_path / "nd")
+    )
+    api.probe_near_dup_index(
+        spark, str(tmp_path / "nd"),
+        docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+    ).count()
+    assert api.release_probe_frames() >= 1
+    assert api.release_probe_frames() == 0
