@@ -809,6 +809,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "ann_bruteforce_topk",
     "ann_ivf_recall",
     "ann_lsh_recall",
+    "ann_pq_recall",
     "anomaly_runs",
     "asof_last_view_before_purchase",
     "benchmark_decontamination",
@@ -826,6 +827,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "chunk_version_matrix_fixed",
     "cluster_safe_split_check",
     "compaction_plan",
+    "compaction_rewrite_check",
     "curation_pipeline",
     "curriculum_order",
     "customer_balance_quartiles",
@@ -941,6 +943,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_event_funnel",
     "streaming_event_type_counts",
     "streaming_ingest_novelty",
+    "streaming_ingest_pipeline",
     "streaming_near_dup_index",
     "streaming_novel_chunks_by_lang",
     "streaming_purchases_by_nation",
@@ -968,8 +971,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "value_band_range_join",
     "value_outliers",
     "viewers_never_purchased",
+    "zorder3_layout_plan",
     "zorder_layout_plan",
     "zorder_pruning_gain",
+    "zorder_realized_pruning",
+    "zorder_rewrite_check",
 })
 
 # The driver-verification window: the 50 oracle-backed queries the
@@ -979,6 +985,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "streaming_ingest_disorder_check",
+    "zorder3_rewrite_check",
+    "zorder3_realized_pruning",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1026,9 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "sync_plan_budgeted_fixed",
     "ae_tiling_check",
     "parallel_ae_tiling_check",
-    "rabin_tiling_check",
-    "fastcdc_tiling_check",
-    "parallel_rabin_tiling_check",
 ]
 
 
