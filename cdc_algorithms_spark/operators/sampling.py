@@ -1,0 +1,157 @@
+"""PPS systematic sampling: weight-proportional draws in exact integer math.
+
+Training-data mixtures are REALIZED by sampling: "draw k documents with
+probability proportional to size (tokens/bytes)" is the step that turns
+a mixture plan (operators/mixture.py) into an actual corpus subset. The
+textbook method — exponential/Gumbel keys ``u^(1/w)`` (Efraimidis &
+Spirakis 2006) — needs ``ln``/``pow``, whose last-ulp behaviour differs
+across engines, so the draw would not be oracle-reproducible. Systematic
+PPS sampling (Madow 1949) gets the same first-order inclusion
+probabilities with INTEGER-ONLY arithmetic:
+
+1. order the corpus pseudorandomly (the ``operators/shuffle.py`` LCG —
+   already oracle-exact) and prefix-sum the weights along that order,
+   so each row owns the half-open interval ``[cum_before, cum_before+w)``
+   of the total-weight line ``[0, W)``;
+2. lay ``k`` evenly spaced thresholds ``t_j = floor((j*M + r) * W / (k*M))``
+   (``r`` = seed-derived phase on a ``M = 2**20`` ring) across ``[0, W)``;
+3. a row is picked once per threshold inside its interval —
+   ``n_picks = cnt(cum_before + w) - cnt(cum_before)`` where
+   ``cnt(x) = clamp(ceil((x*k*M - r*W) / (M*W)), 0, k)`` counts
+   thresholds below ``x`` (exact: ``floor(a/b) < x  ⟺  a < x*b``).
+
+Every quantity is a BIGINT and every division is integer division, so
+DuckDB replays the draw bit-for-bit (the ``pps_sample_docs`` oracle).
+Guarantees (pinned in tests/test_sampling.py): total picks == k exactly
+(the counts telescope to ``cnt(W) - cnt(0) = k``), and each row's
+``n_picks`` is ``floor(w*k/W)`` or ``floor(w*k/W) + 1`` — the systematic
+-sampling inclusion bound (``cnt(x)`` sits in ``[x*k/W, x*k/W + 1)``, so
+the difference over a length-``w`` interval lies in ``(w*k/W - 1,
+w*k/W + 1)``).
+
+Scale shape: one bounded two-phase prefix sum (operators/prefix.py — no
+whole-corpus window partition), then a MAP-ONLY threshold count per row;
+driver traffic is one 1-row aggregate (W, id bounds). Weights above
+``W/k`` yield multiplicity > 1 — the standard PPS semantics; callers
+wanting distinct rows cap weights first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.prefix import bounded_running_sum
+from cdc_algorithms_spark.operators.shuffle import (
+    _LCG_A,
+    _LCG_C,
+    _LCG_M,
+    shuffle_key,
+)
+
+# phase ring for the threshold offset; small so k*M*W stays far from 2**63
+PHASE_M = 1 << 20
+# ord = shuffle_key << 31 | id needs ids below 2**31 to stay unique
+_ID_LIMIT = 1 << 31
+
+
+def sample_phase(seed: int) -> int:
+    """Deterministic threshold phase in [0, PHASE_M) from the seed — one
+    LCG round so nearby seeds don't give nearby phases."""
+    return ((seed * _LCG_A + _LCG_C) % _LCG_M) % PHASE_M
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Draw ``k`` weight-proportional picks from ``df`` (module doc).
+
+    Returns the picked rows only: ``(id, w, cum_before, n_picks)`` with
+    ``n_picks >= 1`` and ``sum(n_picks) == k`` exactly. Deterministic in
+    (corpus, seed); rows with non-positive weight are never picked.
+
+    Raises if any id is outside [0, 2**31) (the order key packs
+    ``shuffle_key << 31 | id``) or if ``W * k * PHASE_M >= 2**61``
+    (the threshold count must stay overflow-free BIGINT math; rescale
+    weights — inclusion probabilities only depend on weight ratios).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    keyed = base.withColumn(
+        "__ord",
+        F.shiftleft(shuffle_key("id", seed), 31) + F.col("id"),
+    )
+    bounds = keyed.agg(
+        F.sum("w").alias("W"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    if bounds["W"] is None:  # empty corpus: empty sample
+        return keyed.select(
+            "id",
+            "w",
+            F.lit(0).cast("long").alias("cum_before"),
+            F.lit(0).cast("long").alias("n_picks"),
+        ).where(F.lit(False))
+    total_w = int(bounds["W"])
+    if bounds["lo"] < 0 or bounds["hi"] >= _ID_LIMIT:
+        raise ValueError("ids must lie in [0, 2**31) for the packed order key")
+    if total_w * k * PHASE_M >= 1 << 61:
+        raise ValueError(
+            "W * k * PHASE_M must stay below 2**61 — rescale the weights"
+        )
+    r = sample_phase(seed)
+    km = k * PHASE_M  # threshold numerator scale
+    d = PHASE_M * total_w  # threshold count denominator
+    rw = r * total_w
+    run = bounded_running_sum(
+        keyed, [], "__ord", "w", bucket=1 << 52, out_col="__cum"
+    ).withColumn("cum_before", (F.col("__cum") - F.col("w")).cast("long"))
+
+    # cnt(x) = clamp(ceil((x*km - rw)/d), 0, k), thresholds strictly
+    # below x. `(p + d - 1) DIV d` is exact ceil for p > 0; for p <= 0
+    # the true count is 0 and truncating/floor division both land at
+    # <= 0 there, so the GREATEST(0, …) clamp makes Spark's DIV
+    # (truncate) and DuckDB's // (floor) agree everywhere.
+    run = (
+        run.withColumn("__p", F.col("cum_before") * F.lit(km) - F.lit(rw))
+        .withColumn(
+            "__q",
+            (F.col("cum_before") + F.col("w")) * F.lit(km) - F.lit(rw),
+        )
+        .withColumn(
+            "__cnt_lo",
+            F.least(
+                F.lit(k).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(__p + {d - 1}) DIV {d}"),
+                ),
+            ),
+        )
+        .withColumn(
+            "__cnt_hi",
+            F.least(
+                F.lit(k).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(__q + {d - 1}) DIV {d}"),
+                ),
+            ),
+        )
+    )
+    return (
+        run.withColumn(
+            "n_picks", (F.col("__cnt_hi") - F.col("__cnt_lo")).cast("long")
+        )
+        .where(F.col("n_picks") > 0)
+        .select("id", "w", "cum_before", "n_picks")
+    )

@@ -1421,3 +1421,65 @@ def q_zorder3_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac("y").alias("y_touch_frac"),
         frac("z").alias("z_touch_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling: weight-proportional corpus draws, integer-exact
+# ---------------------------------------------------------------------------
+
+_PPS_K = 200
+_PPS_SEED = 7
+# phase on the 2**20 ring, one LCG round over the seed (sampling.py)
+_PPS_R = ((_PPS_SEED * 1103515245 + 12345) % (1 << 31)) % (1 << 20)
+_PPS_M = 1 << 20
+
+_PPS_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id AS id, n_chars AS w,
+           ((((doc_id % 2147483648) * 1103515245 + 12345 + {_PPS_SEED})
+             % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS skey
+    FROM documents WHERE n_chars > 0
+),
+cum AS (
+    SELECT id, w,
+           COALESCE(SUM(w) OVER (
+               ORDER BY skey * 2147483648 + id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+    FROM keyed
+),
+tot AS (SELECT SUM(w) AS tw FROM keyed),
+sel AS (
+    SELECT id, w, cum_before,
+           LEAST({_PPS_K}, GREATEST(0,
+               ((cum_before + w) * {_PPS_K * _PPS_M} - {_PPS_R} * tw
+                + {_PPS_M} * tw - 1) // ({_PPS_M} * tw)))
+         - LEAST({_PPS_K}, GREATEST(0,
+               (cum_before * {_PPS_K * _PPS_M} - {_PPS_R} * tw
+                + {_PPS_M} * tw - 1) // ({_PPS_M} * tw)))
+           AS n_picks
+    FROM cum, tot
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(w AS BIGINT) AS w,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(n_picks AS BIGINT) AS n_picks
+FROM sel WHERE n_picks > 0
+"""
+
+
+@register("pps_sample_docs", _PPS_ORACLE)
+def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sample of the documents table
+    (weight = n_chars, k = 200): the draw that REALIZES a mixture plan
+    as an actual corpus subset. Integer-only arithmetic end to end
+    (operators/sampling.py — LCG order key, two-phase prefix sum,
+    threshold counting), so DuckDB replays every pick exactly:
+    sum(n_picks) == k and each row's multiplicity is floor(w*k/W) or
+    floor(w*k/W)+1, the systematic-PPS inclusion bound."""
+    from cdc_algorithms_spark.operators.sampling import pps_systematic_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pps_systematic_sample(
+        docs, "n_chars", _PPS_K, id_col="doc_id", seed=_PPS_SEED
+    )
