@@ -309,6 +309,10 @@ def zorder_rewrite(
         .partitionBy("file_id")
         .parquet(path)
     )
+    # persist the layout contract (frozen bounds + bit widths) so
+    # zorder_append can assign batch rows to the SAME cell grid; one
+    # extra tiny aggregate next to a full rewrite
+    write_zorder_meta(df, x_col, y_col, path, bits, file_bits)
 
 
 def zorder_rewrite_nd(
@@ -636,3 +640,155 @@ def zorder_layout_plan_nd(
                 *[f"{c}_{s}" for c in cols for s in ("min", "max")],
                 *spans)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental layout maintenance: append into a frozen Z-layout, detect
+# fragmentation, compact ONLY the fragmented cells (the OPTIMIZE loop a
+# standing 100 TB table runs nightly — never a full-table rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _meta_path(path: str) -> str:
+    # sibling of the store, NOT inside it: the store's own readers (and
+    # parquet_footer_stats' recursive glob) must never see the meta file
+    return f"{path}_meta"
+
+
+def write_zorder_meta(
+    df: DataFrame, x_col: str, y_col: str, path: str, bits: int, file_bits: int
+) -> None:
+    """Persist the layout contract of a Z-ordered store: the
+    normalization bounds and bit widths that define the cell grid.
+    Appends MUST reuse these frozen bounds — re-deriving bounds from
+    base+batch would shift every cell boundary and silently invalidate
+    the existing files' cell assignment. One tiny row at
+    ``{path}_meta``, the analogue of a table format's layout metadata."""
+    (
+        df.agg(
+            F.lit(x_col).alias("x_col"),
+            F.lit(y_col).alias("y_col"),
+            F.min(x_col).cast("long").alias("x_lo"),
+            F.max(x_col).cast("long").alias("x_hi"),
+            F.min(y_col).cast("long").alias("y_lo"),
+            F.max(y_col).cast("long").alias("y_hi"),
+            F.lit(int(bits)).alias("bits"),
+            F.lit(int(file_bits)).alias("file_bits"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_meta_path(path))
+    )
+
+
+def zorder_append(batch: DataFrame, path: str) -> None:
+    """Append a batch into an EXISTING :func:`zorder_rewrite` store
+    without touching the resident files — the incremental ingest path.
+
+    Cell assignment uses the store's FROZEN meta bounds (collected: one
+    8-field row), so every batch row lands in the same quadtree cell a
+    full rewrite over base ∪ batch would give it, except rows OUTSIDE
+    the frozen bounds: their scaled coordinates clamp to the grid edge,
+    so they land in boundary cells. Pruning stays CORRECT regardless —
+    footer min/max are computed from actual values — only the boundary
+    cells' spans widen; when drift accumulates, the periodic answer is
+    a re-plan (new rewrite), exactly like any table format's clustering
+    decay. The write is map-only + one hash exchange, appending one new
+    file per touched cell directory (it never rewrites resident files —
+    that is :func:`zorder_compact_cells`' job, after
+    :func:`layout_maintenance_plan` flags the fragmented cells).
+    """
+    spark = batch.sparkSession
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    bits, file_bits = int(meta["bits"]), int(meta["file_bits"])
+    top = (1 << bits) - 1
+    clamp = lambda s: F.least(  # noqa: E731
+        F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), s)
+    )
+    sx = clamp(
+        _scaled(
+            F.col(meta["x_col"]).cast("long"),
+            F.lit(int(meta["x_lo"])),
+            F.lit(int(meta["x_hi"])),
+            bits,
+        )
+    )
+    sy = clamp(
+        _scaled(
+            F.col(meta["y_col"]).cast("long"),
+            F.lit(int(meta["y_lo"])),
+            F.lit(int(meta["y_hi"])),
+            bits,
+        )
+    )
+    shift = 2 * (bits - file_bits)
+    tagged = batch.withColumn(
+        "file_id",
+        F.shiftright(_interleave(sx, sy, bits), shift).cast("long"),
+    )
+    (
+        tagged.repartition(F.col("file_id"))
+        .write.mode("append")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
+def layout_maintenance_plan(spark, path: str, max_files: int = 1) -> DataFrame:
+    """Per-cell fragmentation report of a Z-ordered store:
+    ``(file_id, n_files, n_rows, needs_compaction)`` — the work-list an
+    OPTIMIZE job consumes. Distributed: cells come from the partition
+    column and file identity from the ``_metadata.file_path`` hidden
+    column, so the scan reads no data column at all (column pruning
+    keeps it a row-existence pass) and no driver-side listing happens.
+    A cell needs compaction when appends left it with more than
+    ``max_files`` physical files."""
+    store = spark.read.parquet(path).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("_metadata.file_path").alias("__f"),
+    )
+    return (
+        store.groupBy("file_id")
+        .agg(
+            F.countDistinct("__f").cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .withColumn("needs_compaction", F.col("n_files") > max_files)
+    )
+
+
+def zorder_compact_cells(spark, path: str, cells: list[int]) -> None:
+    """Rewrite ONLY the given fragmented cells back to one file each —
+    the targeted half of the OPTIMIZE loop; resident single-file cells
+    are never read or touched, so the cost is fragmented-data-
+    proportional, not table-proportional.
+
+    The compacted cells are staged to a sibling temp directory (a
+    direct self-overwrite would have the job read the files it is
+    deleting), then swapped in with per-directory filesystem renames —
+    a metadata-only operation bounded by ``len(cells)``, the same
+    commit shape as a table format's atomic manifest swap."""
+    if not cells:
+        return
+    cells = [int(c) for c in cells]
+    tmp = f"{path}__compact_tmp"
+    (
+        spark.read.parquet(path)
+        .where(F.col("file_id").isin(cells))
+        .repartition(F.col("file_id"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for cell in cells:
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/file_id={cell}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/file_id={cell}")
+        if not fs.exists(src):
+            continue  # a flagged cell may have zero rows after filters
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed for cell {cell}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)

@@ -1483,3 +1483,159 @@ def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         docs, "n_chars", _PPS_K, id_col="doc_id", seed=_PPS_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental layout maintenance: frozen-bounds append + targeted compaction
+# ---------------------------------------------------------------------------
+
+_ZA_SPLIT = 1827  # base = orders before day 1827 (~76%), batch = the rest
+
+# Frozen-bounds assignment of base ∪ batch: bounds come from the BASE
+# subset only (the store's persisted meta), scaled coords clamp to the
+# grid edge — exactly what zorder_append executes.
+_ZORDER_APPEND_CELLS = f"""
+pts AS (
+    SELECT o_custkey AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS y
+    FROM orders
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+    FROM pts WHERE y < {_ZA_SPLIT}
+),
+sc AS (
+    SELECT x, y, (y < {_ZA_SPLIT}) AS is_base,
+           LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('x', 'xlo', 'xhi', _Z_BITS)})) AS sx,
+           LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('y', 'ylo', 'yhi', _Z_BITS)})) AS sy
+    FROM pts, mm
+),
+z AS (
+    SELECT x, y, is_base,
+           CAST(({_interleave_sql('sx', 'sy', _Z_BITS)})
+                >> {2 * (_Z_BITS - _Z_FILE_BITS)} AS BIGINT) AS file_id
+    FROM sc
+)
+"""
+
+_ZORDER_APPEND_ORACLE = f"""
+WITH {_ZORDER_APPEND_CELLS}
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+def _zorder_append_store(spark: SparkSession, sf_dir: str) -> str:
+    """Base rewrite + one frozen-bounds append, cached per session."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import (
+        zorder_append,
+        zorder_rewrite,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder_append")
+    path = _LAYOUT_STORE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cdc_zorder_append_store_")
+        pts = _order_points(spark, sf_dir)
+        zorder_rewrite(
+            pts.where(F.col("y") < _ZA_SPLIT), "x", "y", path,
+            bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+        )
+        zorder_append(pts.where(F.col("y") >= _ZA_SPLIT), path)
+        _LAYOUT_STORE_CACHE[key] = path
+    return path
+
+
+@register("zorder_append_check", _ZORDER_APPEND_ORACLE)
+def q_zorder_append_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest into a frozen Z-layout, verified
+    (operators/layout.py::zorder_append): orders before day 1827 are
+    physically rewritten as the base store, the rest APPENDED using the
+    store's persisted meta bounds — never re-deriving the grid, never
+    touching resident files. This re-aggregates the written store; the
+    oracle computes the same per-cell stats from the source table under
+    the frozen-bounds + edge-clamp rule, so equality proves every
+    appended row landed in the exact cell a rewrite over base ∪ batch
+    (at frozen bounds) would choose, out-of-range rows clamp to
+    boundary cells, and nothing was lost or duplicated."""
+    store = spark.read.parquet(_zorder_append_store(spark, sf_dir))
+    return store.groupBy(
+        F.col("file_id").cast("long").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+    )
+
+
+_ZORDER_MAINT_ORACLE = f"""
+WITH {_ZORDER_APPEND_CELLS}
+SELECT file_id,
+       CAST(COUNT(DISTINCT CASE WHEN is_base THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_files_before,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (COUNT(CASE WHEN is_base THEN 1 END) > 0
+        AND COUNT(CASE WHEN NOT is_base THEN 1 END) > 0) AS flagged,
+       CAST(1 AS BIGINT) AS n_files_after
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_maintenance_check", _ZORDER_MAINT_ORACLE)
+def q_zorder_maintenance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental OPTIMIZE loop, verified end-to-end
+    (operators/layout.py::layout_maintenance_plan +
+    zorder_compact_cells): a fresh base-rewrite + append (built per
+    call — the loop MUTATES the store, so the check never reuses a
+    cached one), then the maintenance plan flags the cells the append
+    fragmented (base file + appended file), ONLY those cells are
+    compacted back to one file via staged rename, and the store is
+    re-listed. Oracle: a cell has 2 files before exactly when base and
+    batch both touched it; 1 file after for every cell; row counts are
+    conserved through compaction. Resident single-file cells are never
+    rewritten — the driver traffic is the ≤ 4**file_bits-row plan."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import (
+        layout_maintenance_plan,
+        zorder_append,
+        zorder_compact_cells,
+        zorder_rewrite,
+    )
+
+    path = tempfile.mkdtemp(prefix="cdc_zorder_maint_")
+    pts = _order_points(spark, sf_dir)
+    zorder_rewrite(
+        pts.where(F.col("y") < _ZA_SPLIT), "x", "y", path,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    zorder_append(pts.where(F.col("y") >= _ZA_SPLIT), path)
+    # the plan IS the OPTIMIZE work-list: ≤ 4**file_bits rows, so
+    # collecting it is the job's normal (bounded) driver traffic. It
+    # must NOT stay persisted across the compaction — the post-compact
+    # re-listing builds the identical logical plan, and Spark's cache
+    # manager would serve the stale pre-compact data for it.
+    before_rows = layout_maintenance_plan(spark, path).collect()
+    flagged = [r["file_id"] for r in before_rows if r["needs_compaction"]]
+    zorder_compact_cells(spark, path, flagged)
+    after = layout_maintenance_plan(spark, path)
+    before = spark.createDataFrame(
+        [
+            (r["file_id"], r["n_files"], r["n_rows"], r["needs_compaction"])
+            for r in before_rows
+        ],
+        "file_id long, n_files_before long, n_rows long, flagged boolean",
+    )
+    return before.join(
+        after.select("file_id", F.col("n_files").alias("n_files_after")),
+        "file_id",
+    )

@@ -1,0 +1,164 @@
+"""Incremental Z-layout maintenance (operators/layout.py: zorder_append,
+layout_maintenance_plan, zorder_compact_cells).
+
+Oracle comparisons plus the structural contracts: frozen-bounds cell
+assignment with edge clamping, conservation through targeted
+compaction, untouched cells' files never rewritten, and the
+metadata-only shape of the maintenance plan scan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.layout import (
+    layout_maintenance_plan,
+    zorder_append,
+    zorder_compact_cells,
+    zorder_rewrite,
+)
+from cdc_algorithms_spark.queries_extras import (
+    _ZA_SPLIT,
+    _Z_BITS,
+    _Z_FILE_BITS,
+    _order_points,
+)
+
+from tests.conftest import SF_DIR, SF_DIR_MID
+from tests.oracle import compare_with_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["zorder_append_check", "zorder_maintenance_check"]
+)
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_layout_queries_match_oracle(spark, name, sf):
+    compare_with_oracle(spark, name, sf)
+
+
+def _split_store(spark, tmpdir: str) -> str:
+    pts = _order_points(spark, SF_DIR)
+    zorder_rewrite(
+        pts.where(F.col("y") < _ZA_SPLIT), "x", "y", tmpdir,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    zorder_append(pts.where(F.col("y") >= _ZA_SPLIT), tmpdir)
+    return tmpdir
+
+
+def test_compaction_conserves_content(spark):
+    path = _split_store(spark, tempfile.mkdtemp(prefix="t_zm_cons_"))
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("xmin"),
+                F.max("x").alias("xmax"),
+                F.min("y").alias("ymin"),
+                F.max("y").alias("ymax"),
+            )
+            .collect()
+        )
+
+    before = snapshot()
+    flagged = [
+        r["file_id"]
+        for r in layout_maintenance_plan(spark, path)
+        .where("needs_compaction")
+        .collect()
+    ]
+    assert flagged, "the append must fragment at least one cell"
+    zorder_compact_cells(spark, path, flagged)
+    assert snapshot() == before
+    assert (
+        layout_maintenance_plan(spark, path).where("needs_compaction").count()
+        == 0
+    )
+
+
+def test_out_of_range_rows_clamp_to_edge_cells(spark):
+    """Appended rows with y beyond the frozen y_hi scale past the grid
+    and must clamp: their cells' y-nibble is all ones, i.e.
+    file_id & 0b01010101 == 0b01010101 (y holds the low bit of each
+    interleaved pair)."""
+    path = tempfile.mkdtemp(prefix="t_zm_clamp_")
+    pts = _order_points(spark, SF_DIR)
+    zorder_rewrite(
+        pts.where(F.col("y") < _ZA_SPLIT), "x", "y", path,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    beyond = pts.where(F.col("y") >= _ZA_SPLIT).withColumn(
+        "y", F.col("y") + F.lit(100000)
+    )
+    zorder_append(beyond, path)
+    y_mask = sum(1 << (2 * b) for b in range(_Z_FILE_BITS))  # 0b01010101
+    appended = spark.read.parquet(path).where(F.col("y") >= _ZA_SPLIT)
+    n_bad = appended.where(
+        F.col("file_id").bitwiseAND(F.lit(y_mask)) != y_mask
+    ).count()
+    assert n_bad == 0 and appended.count() > 0
+
+
+def test_append_requires_meta(spark):
+    path = tempfile.mkdtemp(prefix="t_zm_nometa_")
+    pts = _order_points(spark, SF_DIR).limit(10)
+    with pytest.raises(Exception):  # missing {path}_meta store
+        zorder_append(pts, path)
+
+
+def test_compact_empty_list_is_noop(spark):
+    path = _split_store(spark, tempfile.mkdtemp(prefix="t_zm_noop_"))
+    listing_before = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    zorder_compact_cells(spark, path, [])
+    listing_after = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert listing_before == listing_after
+
+
+def test_compact_leaves_untouched_cells_alone(spark):
+    path = _split_store(spark, tempfile.mkdtemp(prefix="t_zm_leave_"))
+    plan = layout_maintenance_plan(spark, path).collect()
+    flagged = [r["file_id"] for r in plan if r["needs_compaction"]]
+    untouched = [r["file_id"] for r in plan if not r["needs_compaction"]]
+    assert flagged and untouched
+
+    def files_of(cell):
+        d = f"{path}/file_id={cell}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {c: files_of(c) for c in untouched}
+    zorder_compact_cells(spark, path, flagged)
+    assert {c: files_of(c) for c in untouched} == before
+    assert all(len(files_of(c)) == 1 for c in flagged)
+
+
+def test_maintenance_plan_reads_no_data_columns(spark):
+    """The fragmentation report must stay metadata-shaped: the parquet
+    scan projects no data column (ReadSchema is empty — cells come from
+    the partition column, file identity from _metadata)."""
+    path = _split_store(spark, tempfile.mkdtemp(prefix="t_zm_meta_"))
+    plan = (
+        layout_maintenance_plan(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<>" in plan, plan
