@@ -395,6 +395,19 @@ def probe_ann_index(
     return pq_topk_indexed(queries, read_pq_index(spark, path), vectors, k=k, **kw)
 
 
+def extend_ann_index(spark, path: str, batch: DataFrame, epoch: int, **kw) -> None:
+    """Streaming-ingest half of the durable ANN index: encode a batch
+    of NEW vectors with the frozen persisted model (no retraining) and
+    append it as a cell-partitioned epoch delta — replay-idempotent per
+    epoch (operators/similarity.py::extend_pq_index; the foreachBatch
+    loop is streaming/ann_index.py::run_streaming_pq_index).
+    :func:`probe_ann_index` reads base + deltas with the same static
+    cell pruning."""
+    from cdc_algorithms_spark.operators.similarity import extend_pq_index
+
+    extend_pq_index(spark, path, batch, epoch, **kw)
+
+
 def clusters(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
     """Semantic k-means grouping of an embedding corpus →
     (cluster, n_members, avg_sq_dist). The curation-side companion of

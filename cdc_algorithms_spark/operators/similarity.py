@@ -664,16 +664,75 @@ def write_pq_index(
     )
 
 
+def _pq_delta_dirs(spark, path: str) -> list[str]:
+    """Epoch subdirectories under ``{path}/codes_delta`` (absent → [])."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/codes_delta")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    return sorted(
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+    )
+
+
 def read_pq_index(spark, path: str) -> PqIndex:
     """Load a :func:`write_pq_index` store. The model row (centroids +
     codebooks) is collected — it is k·dim floats by construction; the
     codes frame stays lazy with its ``cell`` partition column, which is
-    what :func:`pq_topk_indexed` statically prunes on."""
+    what :func:`pq_topk_indexed` statically prunes on. Codes are the
+    base encode UNION ALL any :func:`extend_pq_index` epoch deltas —
+    each delta is its own cell-partitioned store, so a probe's cell
+    filter pushes into every branch as a partition filter."""
     row = spark.read.parquet(f"{path}/model").collect()[0]
     cents = [list(map(float, c)) for c in row["centroids"]]
     books = [[list(map(float, cw)) for cw in bk] for bk in row["books"]]
     codes = spark.read.parquet(f"{path}/codes")
+    for d in _pq_delta_dirs(spark, path):
+        codes = codes.unionByName(spark.read.parquet(d))
     return PqIndex(cents, books, row["dim"], row["m"], row["ksub"], codes)
+
+
+def extend_pq_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    epoch: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch of new vectors to a durable :func:`write_pq_index`
+    store WITHOUT retraining — the streaming-ingest half of the
+    standing ANN service (mirrors the near-dup band index's epoch
+    stores, streaming/near_dup.py): the persisted model is loaded (a
+    few-KB row), the batch is encoded with it (nearest coarse cell +
+    m-byte PQ code — pure map-side expressions, no Lloyd, no corpus
+    read), and the codes land in ``{path}/codes_delta/epoch_<n>``,
+    cell-partitioned like the base store. Per-epoch OVERWRITE keeps
+    foreachBatch's at-least-once replay idempotent. Because encoding
+    depends only on the frozen model, the extended index is
+    bit-identical to encoding seed ∪ batches in one pass — streamed
+    probes equal one-shot probes (pinned in tests). Codebook drift
+    (a batch distribution the seed never saw) degrades recall, not
+    correctness — the periodic answer is a re-train + re-encode, the
+    same decay contract as layout re-planning."""
+    row = spark.read.parquet(f"{path}/model").collect()[0]
+    cents = [list(map(float, c)) for c in row["centroids"]]
+    books = [[list(map(float, cw)) for cw in bk] for bk in row["books"]]
+    sub = int(row["dim"]) // int(row["m"])
+    (
+        batch.select(
+            F.col(corpus_id).cast("long").alias("vec_id"),
+            _nearest_cell(F.col(vec_col), cents).alias("cell"),
+            _pq_code(F.col(vec_col), books, sub).alias("code"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes_delta/epoch_{int(epoch)}")
+    )
 
 
 def pq_topk_indexed(

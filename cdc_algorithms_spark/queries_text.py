@@ -684,6 +684,61 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One streamed PQ index per (session, corpus dir) — the build (seed
+# train + two streamed extension epochs) happens once; every call after
+# probes the durable store, same contract as _PQ_INDEX_CACHE.
+_PQ_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("streaming_pq_index", _ann_recall_oracle(ANN_PQ_RECALL_FLOOR))
+def q_streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k through a STREAM-MAINTAINED durable IVF-PQ index
+    (streaming/ann_index.py): the model trains once on a 2/3 seed
+    corpus, the remaining third arrives as two foreachBatch epochs that
+    are ENCODED with the frozen model and appended as cell-partitioned
+    deltas (operators/similarity.py::extend_pq_index) — no Lloyd, no
+    corpus re-read per batch. The probe then answers against seed ∪
+    streamed (base + delta scans, same static cell pruning). Encoding
+    is a pure function of the frozen model, so the streamed index is
+    bit-identical to a one-shot encode (pinned in
+    tests/test_ann_streaming.py); measured recall 0.62–0.67 at
+    sf0.001–0.01 (model saw only the seed), floor 0.5; oracle = DuckDB
+    -recomputed brute-force top-k over the FULL corpus."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_topk_indexed,
+        read_pq_index,
+    )
+    from cdc_algorithms_spark.streaming.ann_index import (
+        run_streaming_pq_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PQ_STREAM_CACHE.get(key)
+    if path is None:
+        emb = load_table(spark, "embeddings", sf_dir)
+        seed = emb.where(F.col("vec_id") % 3 != 0)
+        stages = [
+            emb.where(
+                (F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == par)
+            ).select("vec_id", "embedding")
+            for par in (0, 1)
+        ]
+        path = tempfile.mkdtemp(prefix="cdc_pq_stream_") + "/index"
+        run_streaming_pq_index(spark, seed, stages, path)
+        _PQ_STREAM_CACHE.clear()
+        _PQ_STREAM_CACHE[key] = path
+    index = read_pq_index(spark, path)
+
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, e: pq_topk_indexed(q, index, e, k=ANN_K, nprobe=6, rerank=6),
+        ANN_PQ_RECALL_FLOOR,
+    )
+
+
 # --- UDTF surface: chunking as a SQL lateral table function ----------------
 
 _UDTF_CHUNKS_ORACLE = """

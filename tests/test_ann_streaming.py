@@ -1,0 +1,172 @@
+"""Streaming maintenance of the durable IVF-PQ index
+(operators/similarity.py::extend_pq_index + streaming/ann_index.py).
+
+Pins the convergence contract (streamed == one-shot, batching-invariant
+— encoding is a pure function of the frozen model), replay idempotence
+of the epoch deltas, static cell pruning through base + delta scans,
+and the driver-check oracle at two SFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.similarity import (
+    extend_pq_index,
+    pq_topk_indexed,
+    read_pq_index,
+    write_pq_index,
+)
+from cdc_algorithms_spark.streaming.ann_index import run_streaming_pq_index
+
+from tests.conftest import SF_DIR
+from tests.oracle import compare_with_oracle
+
+
+def test_streaming_pq_index_matches_oracle(spark):
+    compare_with_oracle(spark, "streaming_pq_index", SF_DIR)
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(spark):
+    return _emb(spark).where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _probe_rows(spark, path):
+    idx = read_pq_index(spark, path)
+    return sorted(
+        tuple(r)
+        for r in pq_topk_indexed(
+            _queries(spark), idx, _emb(spark), k=5, nprobe=6, rerank=6
+        ).collect()
+    )
+
+
+def test_streamed_equals_one_shot_and_covers_all(spark, tmp_path):
+    """2-epoch streamed extension == single-epoch extension == the same
+    rows, bit-identical: encoding depends only on the frozen model, so
+    micro-batching cannot change the index contents."""
+    emb = _emb(spark)
+    seed = emb.where(F.col("vec_id") % 3 != 0)
+    rest = emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    stages = [
+        rest.where(F.col("vec_id") % 2 == 0),
+        rest.where(F.col("vec_id") % 2 == 1),
+    ]
+
+    streamed = str(tmp_path / "streamed")
+    run_streaming_pq_index(spark, seed, stages, streamed)
+    oneshot = str(tmp_path / "oneshot")
+    write_pq_index(seed, oneshot)
+    extend_pq_index(spark, oneshot, rest, epoch=0)
+
+    assert _probe_rows(spark, streamed) == _probe_rows(spark, oneshot)
+
+    # the extended index holds exactly one code per corpus vector
+    codes = read_pq_index(spark, streamed).codes
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+
+
+def test_extend_replay_is_idempotent(spark, tmp_path):
+    emb = _emb(spark)
+    seed = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_pq_index(seed, path)
+    extend_pq_index(spark, path, batch, epoch=1)
+    first = sorted(
+        tuple(r) for r in read_pq_index(spark, path).codes.collect()
+    )
+    extend_pq_index(spark, path, batch, epoch=1)  # at-least-once replay
+    assert (
+        sorted(tuple(r) for r in read_pq_index(spark, path).codes.collect())
+        == first
+    )
+
+
+def test_probe_prunes_base_and_delta_scans(spark, tmp_path):
+    """Every codes scan — base AND epoch deltas — must carry a cell
+    partition filter; the probe never reads a non-probed cell from any
+    generation of the index."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    extend_pq_index(
+        spark, path, emb.where(F.col("vec_id") % 3 == 0), epoch=0
+    )
+    idx = read_pq_index(spark, path)
+    probe = pq_topk_indexed(
+        _queries(spark), idx, emb, k=5, nprobe=2, rerank=4
+    )
+    probe.collect()
+    # formatted explain: per-scan sections with UNCLIPPED Location /
+    # PartitionFilters lines (toString truncates long paths mid-line)
+    from cdc_algorithms_spark import plans as P
+
+    plan = P.physical_plan(probe, "formatted")
+    sections = plan.split("\n\n")
+    code_scans = [
+        s
+        for s in sections
+        if "Scan parquet" in s and str(tmp_path) in s and "/codes" in s
+    ]
+    delta_scans = [s for s in code_scans if "codes_delta" in s]
+    assert delta_scans and len(code_scans) > len(delta_scans)
+    unpruned = [
+        s[:300]
+        for s in code_scans
+        if "PartitionFilters" not in s or "cell" not in s
+    ]
+    assert not unpruned, f"codes scans without cell pruning: {unpruned}"
+
+
+def test_extend_never_trains(spark, tmp_path, monkeypatch):
+    """The streaming extension must be training-free: Lloyd iteration
+    (kmeans_centroids / pq_codebooks) is monkeypatched to raise."""
+    from cdc_algorithms_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+
+    def boom(*a, **k):
+        raise AssertionError("training ran during extend/probe")
+
+    monkeypatch.setattr(sim, "kmeans_centroids", boom)
+    monkeypatch.setattr(sim, "pq_codebooks", boom)
+    extend_pq_index(
+        spark, path, emb.where(F.col("vec_id") % 3 == 0), epoch=0
+    )
+    idx = read_pq_index(spark, path)
+    assert (
+        pq_topk_indexed(_queries(spark), idx, emb, k=5).count() > 0
+    )
+
+
+def test_run_streaming_pq_index_validates_stages(spark, tmp_path):
+    with pytest.raises(ValueError, match="at least one batch stage"):
+        run_streaming_pq_index(
+            spark, _emb(spark), [], str(tmp_path / "idx")
+        )
+
+
+def test_epoch_dirs_are_cell_partitioned(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    extend_pq_index(
+        spark, path, emb.where(F.col("vec_id") % 3 == 0), epoch=4
+    )
+    delta = os.path.join(path, "codes_delta", "epoch_4")
+    assert os.path.isdir(delta)
+    assert any(d.startswith("cell=") for d in os.listdir(delta))
