@@ -988,6 +988,10 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_ingest_disorder_check",
     "zorder3_rewrite_check",
     "zorder3_realized_pruning",
+    "streaming_pq_index",
+    "pps_sample_docs",
+    "zorder_append_check",
+    "zorder_maintenance_check",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1031,10 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "incremental_minhash_pairs",
     "streaming_sketch_unique_estimate",
     "store_gc_plan_fixed",
-    "chunk_version_matrix_fixed",
-    "sync_plan_budgeted_fixed",
-    "ae_tiling_check",
-    "parallel_ae_tiling_check",
 ]
 
 
