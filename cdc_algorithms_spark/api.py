@@ -408,6 +408,17 @@ def extend_ann_index(spark, path: str, batch: DataFrame, epoch: int, **kw) -> No
     extend_pq_index(spark, path, batch, epoch, **kw)
 
 
+def compact_ann_index(spark, path: str) -> None:
+    """Fold a streamed ANN index's epoch deltas back into one base
+    codes store (operators/similarity.py::compact_pq_index) — probe
+    plans carry a scan branch per delta generation, so a standing
+    pipeline runs this periodically, like any table OPTIMIZE. Probe
+    results are bit-identical before and after."""
+    from cdc_algorithms_spark.operators.similarity import compact_pq_index
+
+    compact_pq_index(spark, path)
+
+
 def clusters(corpus: DataFrame, k: int = 8, dim: int = 64, **kw) -> DataFrame:
     """Semantic k-means grouping of an embedding corpus →
     (cluster, n_members, avg_sq_dist). The curation-side companion of

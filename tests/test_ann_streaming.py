@@ -153,6 +153,36 @@ def test_extend_never_trains(spark, tmp_path, monkeypatch):
     )
 
 
+def test_compact_pq_index_folds_deltas(spark, tmp_path):
+    """compact_pq_index merges every epoch delta into the base store:
+    probe results are bit-identical before/after, the codes row set is
+    unchanged, and the delta directory is gone (probe plans drop back
+    to one scan generation)."""
+    from cdc_algorithms_spark.operators.similarity import compact_pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    third = emb.where(F.col("vec_id") % 3 == 0)
+    extend_pq_index(spark, path, third.where(F.col("vec_id") % 2 == 0), 0)
+    extend_pq_index(spark, path, third.where(F.col("vec_id") % 2 == 1), 1)
+    before_rows = _probe_rows(spark, path)
+    before_codes = sorted(
+        tuple(r) for r in read_pq_index(spark, path).codes.collect()
+    )
+    compact_pq_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "codes_delta"))
+    assert not os.path.exists(os.path.join(path, "codes_old"))
+    assert (
+        sorted(tuple(r) for r in read_pq_index(spark, path).codes.collect())
+        == before_codes
+    )
+    assert _probe_rows(spark, path) == before_rows
+    # compacting a delta-free store is a no-op
+    compact_pq_index(spark, path)
+    assert _probe_rows(spark, path) == before_rows
+
+
 def test_run_streaming_pq_index_validates_stages(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one batch stage"):
         run_streaming_pq_index(
