@@ -705,3 +705,18 @@ def stream_ingest_pipeline(spark, batch_stages, workdir: str, **kw) -> DataFrame
     )
 
     return run_streaming_ingest_pipeline(spark, batch_stages, workdir, **kw)
+
+
+def drain_quarantine(spark, workdir: str) -> DataFrame:
+    """The deterministic repair for docs the ingest watermark set
+    aside: re-key each quarantined row to a fresh id above the current
+    watermark (arrival-time identity — late docs take the lower
+    priority their late arrival earned) and return the batch to feed
+    back into the stream as its next stage
+    (streaming/ingest_pipeline.py::requeue_quarantined; full drain
+    convergence pinned in tests/test_streaming.py)."""
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        requeue_quarantined,
+    )
+
+    return requeue_quarantined(spark, workdir)

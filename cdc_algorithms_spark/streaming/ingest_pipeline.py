@@ -300,3 +300,39 @@ def run_streaming_ingest_pipeline(
     if return_quarantine:
         return manifest, spark.read.parquet(os.path.join(quarantine_dir, "*"))
     return manifest
+
+
+def requeue_quarantined(spark: SparkSession, workdir: str) -> DataFrame:
+    """The documented deterministic repair for quarantined documents,
+    as an executable verb: re-key every quarantined row to a FRESH id
+    above the pipeline's current watermark so it re-enters the stream
+    as a valid next stage (arrival-time identity — the keep-first rule
+    stays exact with respect to actual arrival order, and the late doc
+    takes the LOWER priority its late arrival earned).
+
+    Returns ``(doc_id, text, source, n_chars, orig_doc_id)``: fresh ids
+    are ``watermark + dense rank`` over the quarantine ordered by the
+    original id, so the re-keying is deterministic and collision-free;
+    ``orig_doc_id`` is the lineage column. Feed the result to the
+    ingest stream as the next stage; after it settles the quarantine
+    has been fully re-admitted (pinned in tests/test_streaming.py).
+
+    Scale note: the quarantine is violation-sized by contract (a
+    healthy pipeline quarantines nothing), so the single-partition rank
+    window over it is bounded by the disorder, never the corpus.
+    """
+    q = spark.read.parquet(os.path.join(workdir, "quarantine", "*"))
+    wm_row = (
+        spark.read.parquet(os.path.join(workdir, "watermark", "*"))
+        .agg(F.max("max_id"))
+        .first()
+    )
+    wm = -1 if wm_row[0] is None else int(wm_row[0])
+    order = Window.orderBy("doc_id")
+    return q.select(
+        (F.lit(wm) + F.row_number().over(order)).cast("long").alias("doc_id"),
+        "text",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("doc_id").alias("orig_doc_id"),
+    )

@@ -933,3 +933,75 @@ def test_ingest_on_late_error_halts_on_contract_violation(spark, tmp_path):
             num_hashes=32, bands=8, threshold=0.8, target_bytes=4096,
             on_late="error",
         )
+
+
+def test_requeue_quarantined_drains_fully(spark, tmp_path):
+    """The deterministic quarantine repair: requeue_quarantined re-keys
+    every set-aside doc to a fresh id above the current watermark;
+    settling that as the next stage admits ALL of them (no second
+    quarantine), accounts for every one (kept in the manifest or
+    dropped with a verified near-dup pair), and the re-keying is
+    deterministic with full lineage."""
+    from cdc_algorithms_spark.streaming.ingest_pipeline import (
+        ingest_pipeline_batch,
+        requeue_quarantined,
+        run_streaming_ingest_pipeline,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    staged = docs.withColumn(
+        "__stg",
+        F.least(
+            F.expr(f"(doc_id * 3) DIV ({int(mx)} + 1)")
+            + F.when(F.col("doc_id") % 7 == 3, F.lit(1)).otherwise(F.lit(0)),
+            F.lit(2),
+        ),
+    )
+    stages = [staged.where(F.col("__stg") == i).drop("__stg") for i in range(3)]
+    work = str(tmp_path / "drain")
+    _, quarantine = run_streaming_ingest_pipeline(
+        spark, stages, work, n=3, num_hashes=32, bands=8,
+        threshold=0.8, target_bytes=4096, return_quarantine=True,
+    )
+    n_quar = quarantine.count()
+    assert n_quar > 0
+
+    requeued = requeue_quarantined(spark, work)
+    rows = requeued.collect()
+    # deterministic re-keying with lineage, all above the watermark
+    assert sorted(map(tuple, requeue_quarantined(spark, work).collect())) \
+        == sorted(map(tuple, rows))
+    wm = (
+        spark.read.parquet(f"{work}/watermark/*").agg(F.max("max_id")).first()[0]
+    )
+    assert len(rows) == n_quar
+    assert sorted(r.orig_doc_id for r in rows) == sorted(
+        r.doc_id for r in quarantine.collect()
+    )
+    assert all(r.doc_id > wm for r in rows)
+
+    # settle the drain as the next stage: nothing re-quarantines
+    ingest_pipeline_batch(
+        spark, requeued, f"{work}/band_index", f"{work}/docs",
+        f"{work}/pairs", f"{work}/manifest", 99, n=3, num_hashes=32,
+        bands=8, threshold=0.8, target_bytes=4096,
+        wm_dir=f"{work}/watermark", quarantine_dir=f"{work}/quarantine",
+    )
+    assert spark.read.parquet(f"{work}/quarantine/batch_99").count() == 0
+
+    # every drained doc is accounted for: kept in the manifest or
+    # dropped with a verified near-dup pair justifying the drop
+    drained_ids = {r.doc_id for r in rows}
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work}/manifest/batch_99").collect()
+    }
+    paired = set()
+    for r in spark.read.parquet(f"{work}/pairs/batch_99").collect():
+        paired.add(r.id_a)
+        paired.add(r.id_b)
+    assert drained_ids <= (kept | paired)
+    assert kept <= drained_ids
