@@ -155,3 +155,108 @@ def pps_systematic_sample(
         .where(F.col("n_picks") > 0)
         .select("id", "w", "cum_before", "n_picks")
     )
+
+
+def pps_systematic_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified PPS: an independent ``k``-pick systematic draw INSIDE
+    each group — the per-language (per-source) quota realization of a
+    mixture plan. Same integer-exact machinery as
+    :func:`pps_systematic_sample`, with each group's own weight line
+    [0, W_g) and its own seed-phased thresholds; the prefix sum
+    partitions by the group, so every window stays bounded.
+
+    Returns picked rows only: ``(group, id, w, cum_before, n_picks)``
+    with ``sum(n_picks) == k`` exactly PER GROUP (a group lighter than
+    its quota fills it with multiplicity — the standard PPS semantics
+    for an up-sampled stratum). Per-group totals ``W_g`` are collected
+    (one row per group — bounded by group cardinality, the same
+    ≤#groups driver traffic as mixture planning); ids and the largest
+    group's ``W_g * k * PHASE_M`` are guarded like the global form.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    keyed = base.withColumn(
+        "__ord",
+        F.shiftleft(shuffle_key("id", seed), 31) + F.col("id"),
+    )
+    bounds = keyed.agg(
+        F.max("w").alias("wmax"),  # only needed for the guard path
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    if bounds["wmax"] is None:
+        return keyed.select(
+            F.col("grp").alias("group"),
+            "id",
+            "w",
+            F.lit(0).cast("long").alias("cum_before"),
+            F.lit(0).cast("long").alias("n_picks"),
+        ).where(F.lit(False))
+    if bounds["lo"] < 0 or bounds["hi"] >= _ID_LIMIT:
+        raise ValueError("ids must lie in [0, 2**31) for the packed order key")
+    totals = keyed.groupBy("grp").agg(F.sum("w").alias("__W"))
+    wmax = max(r["__W"] for r in totals.collect())
+    if wmax * k * PHASE_M >= 1 << 61:
+        raise ValueError(
+            "max(W_g) * k * PHASE_M must stay below 2**61 — rescale weights"
+        )
+    r = sample_phase(seed)
+    km = k * PHASE_M
+    run = (
+        bounded_running_sum(
+            keyed, ["grp"], "__ord", "w", bucket=1 << 52, out_col="__cum"
+        )
+        .withColumn("cum_before", (F.col("__cum") - F.col("w")).cast("long"))
+        .join(F.broadcast(totals), "grp")
+        .withColumn("__d", (F.lit(PHASE_M) * F.col("__W")).cast("long"))
+        .withColumn(
+            "__p",
+            F.col("cum_before") * F.lit(km) - F.lit(r) * F.col("__W"),
+        )
+        .withColumn(
+            "__q",
+            (F.col("cum_before") + F.col("w")) * F.lit(km)
+            - F.lit(r) * F.col("__W"),
+        )
+        .withColumn(
+            "__cnt_lo",
+            F.least(
+                F.lit(k).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr("(__p + __d - 1) DIV __d"),
+                ),
+            ),
+        )
+        .withColumn(
+            "__cnt_hi",
+            F.least(
+                F.lit(k).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr("(__q + __d - 1) DIV __d"),
+                ),
+            ),
+        )
+    )
+    return (
+        run.withColumn(
+            "n_picks", (F.col("__cnt_hi") - F.col("__cnt_lo")).cast("long")
+        )
+        .where(F.col("n_picks") > 0)
+        .select(
+            F.col("grp").alias("group"), "id", "w", "cum_before", "n_picks"
+        )
+    )

@@ -1639,3 +1639,61 @@ def q_zorder_maintenance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         after.select("file_id", F.col("n_files").alias("n_files_after")),
         "file_id",
     )
+
+
+_PPSG_K = 60
+_PPSG_SEED = 11
+_PPSG_R = ((_PPSG_SEED * 1103515245 + 12345) % (1 << 31)) % (1 << 20)
+
+_PPSG_ORACLE = f"""
+WITH keyed AS (
+    SELECT lang AS grp, doc_id AS id, n_chars AS w,
+           ((((doc_id % 2147483648) * 1103515245 + 12345 + {_PPSG_SEED})
+             % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS skey
+    FROM documents WHERE n_chars > 0
+),
+cum AS (
+    SELECT grp, id, w,
+           COALESCE(SUM(w) OVER (
+               PARTITION BY grp
+               ORDER BY skey * 2147483648 + id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+    FROM keyed
+),
+tot AS (SELECT grp, SUM(w) AS tw FROM keyed GROUP BY grp),
+sel AS (
+    SELECT c.grp, id, w, cum_before,
+           LEAST({_PPSG_K}, GREATEST(0,
+               ((cum_before + w) * {_PPSG_K * _PPS_M} - {_PPSG_R} * tw
+                + {_PPS_M} * tw - 1) // ({_PPS_M} * tw)))
+         - LEAST({_PPSG_K}, GREATEST(0,
+               (cum_before * {_PPSG_K * _PPS_M} - {_PPSG_R} * tw
+                + {_PPS_M} * tw - 1) // ({_PPS_M} * tw)))
+           AS n_picks
+    FROM cum c JOIN tot t ON c.grp = t.grp
+)
+SELECT grp AS "group", CAST(id AS BIGINT) AS id, CAST(w AS BIGINT) AS w,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(n_picks AS BIGINT) AS n_picks
+FROM sel WHERE n_picks > 0
+"""
+
+
+@register("pps_sample_docs_by_lang", _PPSG_ORACLE)
+def q_pps_sample_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified PPS: an independent 60-pick weight-proportional draw
+    INSIDE each language — the per-language quota realization of a
+    mixture plan (operators/sampling.py::pps_systematic_sample_by_group:
+    per-group weight lines, group-partitioned bounded prefix sum,
+    BIGINT-only threshold counting). DuckDB replays every pick;
+    sum(n_picks) == 60 exactly per language."""
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pps_systematic_sample_by_group(
+        docs, "lang", "n_chars", _PPSG_K, id_col="doc_id", seed=_PPSG_SEED
+    )

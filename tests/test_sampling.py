@@ -143,3 +143,66 @@ def test_no_global_sort_in_plan(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__bkt" in line or "__g_bkt" in line, line
+
+
+# --- stratified (per-group) PPS ---------------------------------------------
+
+
+def test_pps_by_lang_matches_oracle(spark):
+    compare_with_oracle(spark, "pps_sample_docs_by_lang", SF_DIR)
+    compare_with_oracle(spark, "pps_sample_docs_by_lang", SF_DIR_MID)
+
+
+def test_group_quota_exact_per_group(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    k = 25
+    picked = pps_systematic_sample_by_group(docs, "lang", "n_chars", k, seed=3)
+    per_group = {
+        r["group"]: r["s"]
+        for r in picked.groupBy("group")
+        .agg(F.sum("n_picks").alias("s"))
+        .collect()
+    }
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(per_group) == langs
+    assert all(v == k for v in per_group.values())
+
+
+def test_group_multiplicity_within_inclusion_bound(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    k = 40
+    totals = {
+        r["lang"]: r["W"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("W")).collect()
+    }
+    picked = {
+        (r["group"], r["id"]): r["n_picks"]
+        for r in pps_systematic_sample_by_group(
+            docs, "lang", "n_chars", k, seed=5
+        ).collect()
+    }
+    for row in docs.select("lang", "doc_id", "n_chars").collect():
+        lo = (row["n_chars"] * k) // totals[row["lang"]]
+        got = picked.get((row["lang"], row["doc_id"]), 0)
+        assert got in (lo, lo + 1), (row["lang"], row["doc_id"], got, lo)
+
+
+def test_group_windows_stay_bounded(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    plan = pps_systematic_sample_by_group(
+        _docs(spark), "lang", "n_chars", 16, seed=2
+    )._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__bkt" in line or "__g_bkt" in line, line
