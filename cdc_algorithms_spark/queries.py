@@ -992,6 +992,7 @@ _VERIFY_WINDOW: list[str] = [
     "pps_sample_docs",
     "zorder_append_check",
     "zorder_maintenance_check",
+    "pps_sample_docs_by_lang",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "ann_ivf_recall",
     "incremental_minhash_pairs",
     "streaming_sketch_unique_estimate",
-    "store_gc_plan_fixed",
 ]
 
 
