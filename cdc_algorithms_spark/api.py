@@ -720,3 +720,36 @@ def drain_quarantine(spark, workdir: str) -> DataFrame:
     )
 
     return requeue_quarantined(spark, workdir)
+
+
+def quantile_sketch(
+    df: DataFrame, group_cols, value_col: str, lo: int, hi: int, **kw
+) -> DataFrame:
+    """Build mergeable fixed-grid histogram sketches — one small exact
+    row per group; persist them and answer any-subset percentile
+    questions later without re-reading the data
+    (operators/qsketch.py::histogram_sketch)."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch
+
+    return histogram_sketch(df, group_cols, value_col, lo, hi, **kw)
+
+
+def merge_quantile_sketches(sketches: DataFrame, group_cols=()) -> DataFrame:
+    """Element-wise merge of histogram-sketch rows to a coarser
+    grouping (or one global row) — touches only the sketch rows, and
+    equals a one-shot rebuild EXACTLY (pinned in tests/test_qsketch.py;
+    operators/qsketch.py::sketch_merge)."""
+    from cdc_algorithms_spark.operators.qsketch import sketch_merge
+
+    return sketch_merge(sketches, group_cols)
+
+
+def quantile_bounds(
+    sketches: DataFrame, lo: int, hi: int, buckets: int, **kw
+) -> DataFrame:
+    """Percentile bounds off sketch rows: the rank-ceil(q*n) order
+    statistic provably lies inside each reported [lo, hi] bucket
+    (operators/qsketch.py::sketch_quantiles)."""
+    from cdc_algorithms_spark.operators.qsketch import sketch_quantiles
+
+    return sketch_quantiles(sketches, lo, hi, buckets, **kw)

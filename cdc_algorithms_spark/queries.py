@@ -993,6 +993,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_append_check",
     "zorder_maintenance_check",
     "pps_sample_docs_by_lang",
+    "value_quantile_sketch",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "ann_lsh_recall",
     "ann_ivf_recall",
     "incremental_minhash_pairs",
-    "streaming_sketch_unique_estimate",
 ]
 
 

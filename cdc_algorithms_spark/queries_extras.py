@@ -1697,3 +1697,111 @@ def q_pps_sample_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample_by_group(
         docs, "lang", "n_chars", _PPSG_K, id_col="doc_id", seed=_PPSG_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches: any-subset percentile bounds, value-checked
+# ---------------------------------------------------------------------------
+
+_QS_LO = 0
+_QS_HI = 49151        # value in cents: [1, 49002] at every SF
+_QS_B = 64
+_QS_W = 768           # ceil((HI - LO + 1) / B)
+
+_QSKETCH_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+),
+bkt AS (
+    SELECT event_type,
+           LEAST({_QS_B - 1}, GREATEST(0, (v - {_QS_LO}) // {_QS_W})) AS b, v
+    FROM c
+),
+per_bt AS (SELECT event_type, b, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2),
+heads AS (
+    SELECT event_type, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+    FROM bkt GROUP BY 1
+),
+cum AS (
+    SELECT event_type, b,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cm
+    FROM per_bt
+),
+sel AS (
+    SELECT c.event_type,
+           MIN(CASE WHEN cm >= CEILING(0.5 * h.n) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= CEILING(0.9 * h.n) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= CEILING(0.99 * h.n) THEN b END) AS b99
+    FROM cum c JOIN heads h USING (event_type) GROUP BY 1
+),
+typed AS (
+    SELECT 'type:' || h.event_type AS scope, h.n, h.vmin, h.vmax,
+           s.b50, s.b90, s.b99
+    FROM heads h JOIN sel s USING (event_type)
+),
+g_heads AS (SELECT COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax FROM bkt),
+g_per_b AS (SELECT b, COUNT(*) AS cnt FROM bkt GROUP BY 1),
+g_cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cm FROM g_per_b),
+g_sel AS (
+    SELECT MIN(CASE WHEN cm >= CEILING(0.5 * h.n) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= CEILING(0.9 * h.n) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= CEILING(0.99 * h.n) THEN b END) AS b99
+    FROM g_cum, g_heads h GROUP BY h.n
+),
+unioned AS (
+    SELECT * FROM typed
+    UNION ALL
+    SELECT 'all' AS scope, h.n, h.vmin, h.vmax, s.b50, s.b90, s.b99
+    FROM g_heads h, g_sel s
+)
+SELECT scope, CAST(n AS BIGINT) AS n,
+       CAST(vmin AS BIGINT) AS v_min, CAST(vmax AS BIGINT) AS v_max,
+       CAST(GREATEST(vmin, {_QS_LO} + b50 * {_QS_W}) AS BIGINT) AS p50_lo,
+       CAST(LEAST(vmax, {_QS_LO} + (b50 + 1) * {_QS_W} - 1) AS BIGINT) AS p50_hi,
+       CAST(GREATEST(vmin, {_QS_LO} + b90 * {_QS_W}) AS BIGINT) AS p90_lo,
+       CAST(LEAST(vmax, {_QS_LO} + (b90 + 1) * {_QS_W} - 1) AS BIGINT) AS p90_hi,
+       CAST(GREATEST(vmin, {_QS_LO} + b99 * {_QS_W}) AS BIGINT) AS p99_lo,
+       CAST(LEAST(vmax, {_QS_LO} + (b99 + 1) * {_QS_W} - 1) AS BIGINT) AS p99_hi
+FROM unioned
+"""
+
+
+@register("value_quantile_sketch", _QSKETCH_ORACLE)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches, value-checked end to end
+    (operators/qsketch.py): per-event-type fixed-grid histograms of the
+    event value in cents (counts are EXACT integers), merged to a
+    global 'all' row by summing ONLY the sketch rows — the data is
+    never re-read — and p50/p90/p99 bounds walked off the exact
+    cumulative counts. Unlike the HLL tier (rows-only checks), the
+    whole sketch → merge → quantile pipeline replays bit-for-bit in
+    DuckDB. The true percentile provably lies inside every reported
+    [lo, hi] bucket."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch,
+        sketch_merge,
+        sketch_quantiles,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sk = histogram_sketch(
+        cents, ["event_type"], "cents", _QS_LO, _QS_HI, _QS_B
+    )
+    per_type = sketch_quantiles(
+        sk, _QS_LO, _QS_HI, _QS_B, keep_cols=["event_type"]
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    merged = sketch_merge(sk)
+    global_q = sketch_quantiles(merged, _QS_LO, _QS_HI, _QS_B).select(
+        F.lit("all").alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    return per_type.unionByName(global_q)
