@@ -753,3 +753,14 @@ def quantile_bounds(
     from cdc_algorithms_spark.operators.qsketch import sketch_quantiles
 
     return sketch_quantiles(sketches, lo, hi, buckets, **kw)
+
+
+def layout_drift(spark, path: str) -> DataFrame:
+    """Clustering-decay report for a Z-ordered store: per cell, the
+    value units spilling outside the cell's ideal grid rectangle —
+    zero after a fresh rewrite, positive exactly where frozen-bounds
+    appends clamped out-of-range rows. The measurable trigger for a
+    periodic re-plan (operators/layout.py::layout_drift_report)."""
+    from cdc_algorithms_spark.operators.layout import layout_drift_report
+
+    return layout_drift_report(spark, path)

@@ -792,3 +792,84 @@ def zorder_compact_cells(spark, path: str, cells: list[int]) -> None:
         if not fs.rename(src, dst):
             raise IOError(f"rename failed for cell {cell}")
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+def layout_drift_report(spark, path: str) -> DataFrame:
+    """Quantify clustering decay of a Z-ordered store — the measurable
+    trigger for the periodic re-plan that §20's append/compact loop
+    defers: per cell, how far the REALIZED value extents spill outside
+    the cell's ideal grid rectangle. A fresh rewrite reports zero
+    excess everywhere; frozen-bounds appends with out-of-range values
+    clamp into boundary cells and widen exactly those cells' realized
+    spans, degrading pruning there (footers stay truthful, so scans
+    stay correct — they just skip less).
+
+    Per cell: ``(file_id, n_rows, x_excess, y_excess, within_plan)``
+    where the excess is the count of value units outside the ideal
+    rectangle. The rectangle comes from inverting the scaled-grid map
+    (integer ceil arithmetic over the persisted meta bounds —
+    ``v ∈ [lo + ceil(s*R/M), lo + ceil((s+1)*R/M) - 1]`` for scaled
+    unit ``s``, ``R = hi-lo+1``, ``M = 2**bits``), so the whole report
+    replays in the DuckDB oracle (``zorder_drift_check``). One rollup
+    shuffle over the store; the arithmetic runs on the ≤ 4**file_bits
+    aggregated rows."""
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    bits, fb = int(meta["bits"]), int(meta["file_bits"])
+    m = 1 << bits
+    cu = 1 << (bits - fb)  # scaled units per cell side
+    rx = int(meta["x_hi"]) - int(meta["x_lo"]) + 1
+    ry = int(meta["y_hi"]) - int(meta["y_lo"]) + 1
+    per_cell = (
+        spark.read.parquet(path)
+        .groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(meta["x_col"]).cast("long").alias("__xmn"),
+            F.max(meta["x_col"]).cast("long").alias("__xmx"),
+            F.min(meta["y_col"]).cast("long").alias("__ymn"),
+            F.max(meta["y_col"]).cast("long").alias("__ymx"),
+        )
+    )
+    # de-interleave the cell id back to grid coordinates (x holds the
+    # high bit of each pair, matching _interleave)
+    cx = F.lit(0).cast("long")
+    cy = F.lit(0).cast("long")
+    for b in range(fb):
+        cx = cx + F.shiftleft(
+            F.shiftright("file_id", 2 * b + 1).bitwiseAND(F.lit(1)), b
+        )
+        cy = cy + F.shiftleft(
+            F.shiftright("file_id", 2 * b).bitwiseAND(F.lit(1)), b
+        )
+    cells = per_cell.withColumn("__cx", cx).withColumn("__cy", cy)
+
+    def ideal(lo: int, r: int, c: Column, edge: str) -> Column:
+        # lo + ceil(s*R/M) with s = c*cu (lo edge) or (c+1)*cu (hi edge)
+        s = (c + (1 if edge == "hi" else 0)) * F.lit(cu)
+        v = F.lit(lo) + F.floor((s * F.lit(r) + F.lit(m - 1)) / F.lit(m))
+        return (v - (1 if edge == "hi" else 0)).cast("long")
+
+    xlo, ylo = int(meta["x_lo"]), int(meta["y_lo"])
+    out = (
+        cells.withColumn("__ixl", ideal(xlo, rx, F.col("__cx"), "lo"))
+        .withColumn("__ixh", ideal(xlo, rx, F.col("__cx"), "hi"))
+        .withColumn("__iyl", ideal(ylo, ry, F.col("__cy"), "lo"))
+        .withColumn("__iyh", ideal(ylo, ry, F.col("__cy"), "hi"))
+        .select(
+            "file_id",
+            "n_rows",
+            (
+                F.greatest(F.lit(0), F.col("__ixl") - F.col("__xmn"))
+                + F.greatest(F.lit(0), F.col("__xmx") - F.col("__ixh"))
+            ).cast("long").alias("x_excess"),
+            (
+                F.greatest(F.lit(0), F.col("__iyl") - F.col("__ymn"))
+                + F.greatest(F.lit(0), F.col("__ymx") - F.col("__iyh"))
+            ).cast("long").alias("y_excess"),
+        )
+        .withColumn(
+            "within_plan",
+            (F.col("x_excess") == 0) & (F.col("y_excess") == 0),
+        )
+    )
+    return out

@@ -1805,3 +1805,69 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
     )
     return per_type.unionByName(global_q)
+
+
+# ---------------------------------------------------------------------------
+# Clustering-decay report: value spill outside each cell's ideal rectangle
+# ---------------------------------------------------------------------------
+
+def _deinterleave_sql(col: str, fb: int, which: int) -> str:
+    """cx (which=1, high bit of each pair) / cy (which=0) from a cell id."""
+    terms = [
+        f"((({col} >> {2 * b + which}) & 1) * {1 << b})" for b in range(fb)
+    ]
+    return " + ".join(terms)
+
+
+_Z_M = 1 << _Z_BITS
+_Z_CU = 1 << (_Z_BITS - _Z_FILE_BITS)
+
+_ZORDER_DRIFT_ORACLE = f"""
+WITH {_ZORDER_APPEND_CELLS},
+per_cell AS (
+    SELECT file_id, COUNT(*) AS n_rows,
+           MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx
+    FROM z GROUP BY 1
+),
+grid AS (
+    SELECT p.*, mm.xlo, mm.ylo,
+           (mm.xhi - mm.xlo + 1) AS rx, (mm.yhi - mm.ylo + 1) AS ry,
+           ({_deinterleave_sql('p.file_id', _Z_FILE_BITS, 1)}) AS cx,
+           ({_deinterleave_sql('p.file_id', _Z_FILE_BITS, 0)}) AS cy
+    FROM per_cell p, mm
+),
+ideal AS (
+    SELECT file_id, n_rows, xmn, xmx, ymn, ymx,
+           xlo + ((cx * {_Z_CU} * rx + {_Z_M - 1}) // {_Z_M}) AS ixl,
+           xlo + (((cx + 1) * {_Z_CU} * rx + {_Z_M - 1}) // {_Z_M}) - 1 AS ixh,
+           ylo + ((cy * {_Z_CU} * ry + {_Z_M - 1}) // {_Z_M}) AS iyl,
+           ylo + (((cy + 1) * {_Z_CU} * ry + {_Z_M - 1}) // {_Z_M}) - 1 AS iyh
+    FROM grid
+)
+SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) AS BIGINT)
+           AS x_excess,
+       CAST(GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) AS BIGINT)
+           AS y_excess,
+       (GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) = 0
+        AND GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) = 0)
+           AS within_plan
+FROM ideal
+"""
+
+
+@register("zorder_drift_check", _ZORDER_DRIFT_ORACLE)
+def q_zorder_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-decay measurement, verified (operators/layout.py::
+    layout_drift_report): on the appended store, every cell's realized
+    value extents are compared against the cell's IDEAL grid rectangle
+    (the scaled-map inverse, integer ceil arithmetic over the persisted
+    meta). The frozen-bounds append clamps out-of-range days into the
+    top y-band cells, so EXACTLY those boundary cells report y_excess >
+    0 and every untouched cell reports within_plan — the measurable
+    trigger for the periodic re-plan. Oracle replays the assignment,
+    the cell-id de-interleave, and the rectangle inversion bit-for-bit.
+    """
+    from cdc_algorithms_spark.operators.layout import layout_drift_report
+
+    return layout_drift_report(spark, _zorder_append_store(spark, sf_dir))

@@ -162,3 +162,47 @@ def test_maintenance_plan_reads_no_data_columns(spark):
         .toString()
     )
     assert "ReadSchema: struct<>" in plan, plan
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_drift_check_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "zorder_drift_check", sf)
+
+
+def test_fresh_rewrite_has_zero_drift(spark):
+    from cdc_algorithms_spark.operators.layout import layout_drift_report
+
+    path = tempfile.mkdtemp(prefix="t_zm_drift0_")
+    zorder_rewrite(
+        _order_points(spark, SF_DIR), "x", "y", path,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    rep = layout_drift_report(spark, path)
+    assert rep.where("NOT within_plan").count() == 0
+
+
+def test_append_drift_is_exactly_the_clamped_band(spark):
+    """Only cells that received clamped (out-of-range y) rows may show
+    y_excess; x stays within plan everywhere (batch x values are inside
+    the frozen x bounds)."""
+    from cdc_algorithms_spark.operators.layout import layout_drift_report
+
+    path = _split_store(spark, tempfile.mkdtemp(prefix="t_zm_drift_"))
+    rep = {r["file_id"]: r for r in layout_drift_report(spark, path).collect()}
+    # cells holding appended rows (y >= split): y-nibble all ones
+    y_mask = sum(1 << (2 * b) for b in range(_Z_FILE_BITS))
+    appended_cells = {
+        r["file_id"]
+        for r in spark.read.parquet(path)
+        .where(F.col("y") >= _ZA_SPLIT)
+        .select("file_id")
+        .distinct()
+        .collect()
+    }
+    for fid, r in rep.items():
+        assert r["x_excess"] == 0, (fid, r)
+        if fid not in appended_cells:
+            assert r["within_plan"], (fid, r)
+        else:
+            assert (fid & y_mask) == y_mask
+            assert r["y_excess"] > 0, (fid, r)
