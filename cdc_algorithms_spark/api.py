@@ -764,3 +764,15 @@ def layout_drift(spark, path: str) -> DataFrame:
     from cdc_algorithms_spark.operators.layout import layout_drift_report
 
     return layout_drift_report(spark, path)
+
+
+def compact_stream_store(spark, store_dir: str) -> int:
+    """Fold an epoch-keyed foreachBatch store (band index / doc store /
+    manifests / watermarks) into one seed directory — the maintenance
+    verb that stops per-batch directories accumulating into
+    10k-branch scans. Run with the stream stopped and its checkpoint
+    past every folded epoch
+    (streaming/sync.py::compact_epoch_store)."""
+    from cdc_algorithms_spark.streaming.sync import compact_epoch_store
+
+    return compact_epoch_store(spark, store_dir)

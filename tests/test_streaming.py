@@ -1005,3 +1005,74 @@ def test_requeue_quarantined_drains_fully(spark, tmp_path):
         paired.add(r.id_b)
     assert drained_ids <= (kept | paired)
     assert kept <= drained_ids
+
+
+def test_compact_epoch_store_folds_without_changing_answers(spark, tmp_path):
+    """compact_epoch_store folds seed + batch_* into one seed: row sets
+    identical, one directory afterward, and a NEW batch settled against
+    the compacted stores produces exactly the pairs the uncompacted
+    twin produces. Also pins the documented stale-replay hazard (the
+    reason the contract requires a stopped stream) and idempotence."""
+    import shutil as _sh
+
+    from cdc_algorithms_spark.streaming.near_dup import (
+        near_dup_batch,
+        run_streaming_near_dup_index,
+    )
+    from cdc_algorithms_spark.streaming.sync import compact_epoch_store
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    rest = docs.where(F.col("doc_id") % 3 == 0)
+    stages = [
+        rest.where(F.col("doc_id") % 2 == 0),
+        rest.where(F.col("doc_id") % 2 == 1),
+    ]
+    work = str(tmp_path / "nd")
+    run_streaming_near_dup_index(spark, corpus, stages, work)
+
+    index_dir, docs_dir = f"{work}/band_index", f"{work}/docs"
+    twin = str(tmp_path / "nd_twin")
+    _sh.copytree(work, twin)
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{index_dir}/*").collect()
+    )
+    folded = compact_epoch_store(spark, index_dir)
+    assert folded >= 3  # seed + 2 stage epochs
+    assert compact_epoch_store(spark, docs_dir) >= 3
+    import os as _os
+
+    assert _os.listdir(index_dir) == ["seed"]
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{index_dir}/seed").collect())
+        == before
+    )
+    # idempotent: nothing left to fold
+    assert compact_epoch_store(spark, index_dir) == 0
+
+    # a NEW batch settles identically against compacted vs twin stores
+    probe = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text) for r in corpus.limit(2).collect()],
+        "doc_id long, text string",
+    )
+    for w in (work, twin):
+        near_dup_batch(
+            spark, probe, f"{w}/band_index", f"{w}/docs", f"{w}/pairs", 77
+        )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{work}/pairs/batch_77").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{twin}/pairs/batch_77").collect()
+    )
+    assert got == want and got
+
+    # the documented stale-replay hazard: replaying a folded epoch
+    # re-adds rows the seed already holds — duplicates, which is WHY
+    # the contract requires the checkpoint to be past folded epochs
+    n_before = spark.read.parquet(f"{index_dir}/*").count()
+    near_dup_batch(
+        spark, stages[0], index_dir, f"{work}/docs", f"{work}/pairs", 1
+    )
+    assert spark.read.parquet(f"{index_dir}/*").count() > n_before
