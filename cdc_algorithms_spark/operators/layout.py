@@ -347,6 +347,9 @@ def zorder_rewrite_nd(
         .partitionBy("file_id")
         .parquet(path)
     )
+    # persist the k-D layout contract so zorder_append_nd can assign
+    # batch rows to the SAME hypercube grid
+    write_zorder_meta_nd(df, cols, path, bits, file_bits)
 
 
 def compaction_rewrite(
@@ -873,3 +876,68 @@ def layout_drift_report(spark, path: str) -> DataFrame:
         )
     )
     return out
+
+
+def write_zorder_meta_nd(
+    df: DataFrame, cols: list[str], path: str, bits: int, file_bits: int
+) -> None:
+    """k-D layout contract (:func:`write_zorder_meta` for
+    :func:`zorder_rewrite_nd` stores): one row of per-dimension frozen
+    bounds as arrays, at the sibling ``{path}_meta``."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"__{c}_lo"))
+        aggs.append(F.max(c).cast("long").alias(f"__{c}_hi"))
+    (
+        df.agg(*aggs)
+        .select(
+            F.array(*[F.lit(c) for c in cols]).alias("cols"),
+            F.array(*[F.col(f"__{c}_lo") for c in cols]).alias("los"),
+            F.array(*[F.col(f"__{c}_hi") for c in cols]).alias("his"),
+            F.lit(int(bits)).alias("bits"),
+            F.lit(int(file_bits)).alias("file_bits"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_meta_path(path))
+    )
+
+
+def zorder_append_nd(batch: DataFrame, path: str) -> None:
+    """:func:`zorder_append` for k-D stores: assign batch rows to the
+    EXISTING hypercube grid from the persisted meta (frozen bounds,
+    per-dimension edge clamping) and append one file per touched cell —
+    resident files untouched. :func:`layout_maintenance_plan` /
+    :func:`zorder_compact_cells` / :func:`parquet_footer_stats` are
+    dimension-agnostic (they key on ``file_id``), so the whole
+    OPTIMIZE loop works unchanged on top of this."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    cols = list(meta["cols"])
+    bits, fb = int(meta["bits"]), int(meta["file_bits"])
+    top = (1 << bits) - 1
+    scaled = []
+    for j, c in enumerate(cols):
+        s = _scaled(
+            F.col(c).cast("long"),
+            F.lit(int(meta["los"][j])),
+            F.lit(int(meta["his"][j])),
+            bits,
+        )
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(F.lit(0).cast("long"), s),
+            )
+        )
+    shift = len(cols) * (bits - fb)
+    tagged = batch.withColumn(
+        "file_id",
+        F.shiftright(_interleave_nd(scaled, bits), shift).cast("long"),
+    )
+    (
+        tagged.repartition(F.col("file_id"))
+        .write.mode("append")
+        .partitionBy("file_id")
+        .parquet(path)
+    )

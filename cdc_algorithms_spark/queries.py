@@ -995,6 +995,7 @@ _VERIFY_WINDOW: list[str] = [
     "pps_sample_docs_by_lang",
     "value_quantile_sketch",
     "zorder_drift_check",
+    "zorder3_append_check",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "minhash_lsh_pairs",
     "embedding_clusters",
     "ann_lsh_recall",
-    "ann_ivf_recall",
 ]
 
 

@@ -1871,3 +1871,88 @@ def q_zorder_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.layout import layout_drift_report
 
     return layout_drift_report(spark, _zorder_append_store(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 3-D incremental append: frozen octree grid + edge clamping
+# ---------------------------------------------------------------------------
+
+_Z3A_SPLIT = 10616  # base = events before day 10616 (~80%), batch = rest
+
+_ZORDER3_APPEND_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS y,
+           CAST(FLOOR(value) AS BIGINT) AS z
+    FROM events
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi,
+           MIN(z) AS zlo, MAX(z) AS zhi
+    FROM pts WHERE y < {_Z3A_SPLIT}
+),
+sc AS (
+    SELECT x, y, z,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('x', 'xlo', 'xhi', _Z3_BITS)})) AS sx,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('y', 'ylo', 'yhi', _Z3_BITS)})) AS sy,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('z', 'zlo', 'zhi', _Z3_BITS)})) AS sz
+    FROM pts, mm
+),
+zv AS (
+    SELECT x, y, z,
+           ({_interleave_nd_sql(['sx', 'sy', 'sz'], _Z3_BITS)}) AS zval
+    FROM sc
+)
+SELECT CAST(zval >> {3 * (_Z3_BITS - _Z3_FILE_BITS)} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max
+FROM zv GROUP BY 1
+"""
+
+
+@register("zorder3_append_check", _ZORDER3_APPEND_ORACLE)
+def q_zorder3_append_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest into a FROZEN 3-D octree layout, verified
+    (operators/layout.py::zorder_append_nd): events before day 10616
+    are rewritten as the base store (zorder_rewrite_nd now persists the
+    k-D layout contract), the rest APPENDED against the frozen
+    per-dimension bounds with edge clamping. Re-aggregating the written
+    store must equal the frozen-bounds assignment over base ∪ batch —
+    the k-D generalization of zorder_append_check, sharing the same
+    dimension-agnostic maintenance loop (layout_maintenance_plan /
+    zorder_compact_cells key on file_id alone)."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import (
+        zorder_append_nd,
+        zorder_rewrite_nd,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder3_append")
+    path = _LAYOUT_STORE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cdc_zorder3_append_store_")
+        pts = _event_points3(spark, sf_dir)
+        zorder_rewrite_nd(
+            pts.where(F.col("y") < _Z3A_SPLIT), ["x", "y", "z"], path,
+            bits=_Z3_BITS, file_bits=_Z3_FILE_BITS,
+        )
+        zorder_append_nd(pts.where(F.col("y") >= _Z3A_SPLIT), path)
+        _LAYOUT_STORE_CACHE[key] = path
+    store = spark.read.parquet(path)
+    return store.groupBy(
+        F.col("file_id").cast("long").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+        F.min("z").cast("long").alias("z_min"),
+        F.max("z").cast("long").alias("z_max"),
+    )

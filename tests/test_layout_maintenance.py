@@ -206,3 +206,54 @@ def test_append_drift_is_exactly_the_clamped_band(spark):
         else:
             assert (fid & y_mask) == y_mask
             assert r["y_excess"] > 0, (fid, r)
+
+
+# --- k-D (octree) append ------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_zorder3_append_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "zorder3_append_check", sf)
+
+
+def test_nd_append_feeds_the_same_maintenance_loop(spark):
+    """The OPTIMIZE loop is dimension-agnostic: on a 3-D store the
+    append fragments exactly the cells holding batch rows, targeted
+    compaction restores one file per cell, and content is conserved."""
+    from cdc_algorithms_spark.operators.layout import (
+        zorder_append_nd,
+        zorder_rewrite_nd,
+    )
+    from cdc_algorithms_spark.queries_extras import (
+        _Z3_BITS,
+        _Z3_FILE_BITS,
+        _Z3A_SPLIT,
+        _event_points3,
+    )
+
+    path = tempfile.mkdtemp(prefix="t_zm3_")
+    pts = _event_points3(spark, SF_DIR)
+    zorder_rewrite_nd(
+        pts.where(F.col("y") < _Z3A_SPLIT), ["x", "y", "z"], path,
+        bits=_Z3_BITS, file_bits=_Z3_FILE_BITS,
+    )
+    zorder_append_nd(pts.where(F.col("y") >= _Z3A_SPLIT), path)
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .groupBy("file_id")
+            .agg(F.count(F.lit(1)), F.min("x"), F.max("x"), F.min("y"),
+                 F.max("y"), F.min("z"), F.max("z"))
+            .collect()
+        )
+
+    before = snapshot()
+    plan = layout_maintenance_plan(spark, path).collect()
+    flagged = [r["file_id"] for r in plan if r["needs_compaction"]]
+    assert flagged
+    zorder_compact_cells(spark, path, flagged)
+    assert snapshot() == before
+    after = layout_maintenance_plan(spark, path).collect()
+    assert all(r["n_files"] == 1 for r in after)
