@@ -776,3 +776,21 @@ def compact_stream_store(spark, store_dir: str) -> int:
     from cdc_algorithms_spark.streaming.sync import compact_epoch_store
 
     return compact_epoch_store(spark, store_dir)
+
+
+def realize_mixture(
+    docs: DataFrame, quotas: dict, group_col: str = "source",
+    weight_col: str = "n_chars", seed: int = 0,
+) -> DataFrame:
+    """Turn a mixture plan's per-source quotas into an actual corpus
+    subset: an independent integer-exact PPS draw inside each source
+    (operators/sampling.py::pps_systematic_sample_by_group with a
+    quota dict) — sum(n_picks) == quota exactly per source, every pick
+    DuckDB-replayable."""
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    return pps_systematic_sample_by_group(
+        docs, group_col, weight_col, quotas, seed=seed
+    )

@@ -161,27 +161,28 @@ def pps_systematic_sample_by_group(
     df: DataFrame,
     group_col: str,
     weight_col: str,
-    k: int,
+    k: int | dict,
     id_col: str = "doc_id",
     seed: int = 0,
 ) -> DataFrame:
-    """Stratified PPS: an independent ``k``-pick systematic draw INSIDE
-    each group — the per-language (per-source) quota realization of a
-    mixture plan. Same integer-exact machinery as
-    :func:`pps_systematic_sample`, with each group's own weight line
-    [0, W_g) and its own seed-phased thresholds; the prefix sum
-    partitions by the group, so every window stays bounded.
+    """Stratified PPS: an independent systematic draw INSIDE each group
+    — the per-language (per-source) quota realization of a mixture
+    plan. ``k`` is either one quota for every group (int) or a
+    per-group quota dict ``{group: k_g}`` (the output of a mixture
+    plan; groups absent from the dict draw nothing). Same integer-exact
+    machinery as :func:`pps_systematic_sample`, with each group's own
+    weight line [0, W_g) and its own seed-phased thresholds; the prefix
+    sum partitions by the group, so every window stays bounded.
 
     Returns picked rows only: ``(group, id, w, cum_before, n_picks)``
-    with ``sum(n_picks) == k`` exactly PER GROUP (a group lighter than
-    its quota fills it with multiplicity — the standard PPS semantics
-    for an up-sampled stratum). Per-group totals ``W_g`` are collected
-    (one row per group — bounded by group cardinality, the same
-    ≤#groups driver traffic as mixture planning); ids and the largest
-    group's ``W_g * k * PHASE_M`` are guarded like the global form.
+    with ``sum(n_picks) == k_g`` exactly PER GROUP (a group lighter
+    than its quota fills it with multiplicity — the standard PPS
+    semantics for an up-sampled stratum). Per-group totals ``W_g`` are
+    collected (one row per group — bounded by group cardinality, the
+    same ≤#groups driver traffic as mixture planning); ids and the
+    largest group's ``W_g * k_g * PHASE_M`` are guarded like the
+    global form.
     """
-    if k <= 0:
-        raise ValueError("k must be positive")
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).cast("long").alias("id"),
@@ -191,12 +192,8 @@ def pps_systematic_sample_by_group(
         "__ord",
         F.shiftleft(shuffle_key("id", seed), 31) + F.col("id"),
     )
-    bounds = keyed.agg(
-        F.max("w").alias("wmax"),  # only needed for the guard path
-        F.min("id").alias("lo"),
-        F.max("id").alias("hi"),
-    ).collect()[0]
-    if bounds["wmax"] is None:
+
+    def _empty():
         return keyed.select(
             F.col("grp").alias("group"),
             "id",
@@ -204,36 +201,67 @@ def pps_systematic_sample_by_group(
             F.lit(0).cast("long").alias("cum_before"),
             F.lit(0).cast("long").alias("n_picks"),
         ).where(F.lit(False))
+
+    bounds = keyed.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return _empty()
     if bounds["lo"] < 0 or bounds["hi"] >= _ID_LIMIT:
         raise ValueError("ids must lie in [0, 2**31) for the packed order key")
-    totals = keyed.groupBy("grp").agg(F.sum("w").alias("__W"))
-    wmax = max(r["__W"] for r in totals.collect())
-    if wmax * k * PHASE_M >= 1 << 61:
+    total_rows = keyed.groupBy("grp").agg(
+        F.sum("w").cast("long").alias("__W")
+    ).collect()
+    if isinstance(k, dict):
+        quota = {g: int(q) for g, q in k.items()}
+    else:
+        if k <= 0:
+            raise ValueError("k must be positive")
+        quota = {r["grp"]: int(k) for r in total_rows}
+    if any(q <= 0 for q in quota.values()):
+        raise ValueError("every quota must be positive")
+    worst = max(
+        (r["__W"] * quota[r["grp"]] for r in total_rows if r["grp"] in quota),
+        default=0,
+    )
+    if worst * PHASE_M >= 1 << 61:
         raise ValueError(
-            "max(W_g) * k * PHASE_M must stay below 2**61 — rescale weights"
+            "max(W_g * k_g) * PHASE_M must stay below 2**61 — rescale weights"
         )
+    if not quota:
+        return _empty()
+    spark = df.sparkSession
+    grp_field = base.schema["grp"]
+    params = spark.createDataFrame(
+        [
+            (r["grp"], int(r["__W"]), quota[r["grp"]])
+            for r in total_rows
+            if r["grp"] in quota
+        ],
+        f"grp {grp_field.dataType.simpleString()}, __W long, __k long",
+    )
     r = sample_phase(seed)
-    km = k * PHASE_M
     run = (
         bounded_running_sum(
             keyed, ["grp"], "__ord", "w", bucket=1 << 52, out_col="__cum"
         )
         .withColumn("cum_before", (F.col("__cum") - F.col("w")).cast("long"))
-        .join(F.broadcast(totals), "grp")
+        .join(F.broadcast(params), "grp")
         .withColumn("__d", (F.lit(PHASE_M) * F.col("__W")).cast("long"))
         .withColumn(
             "__p",
-            F.col("cum_before") * F.lit(km) - F.lit(r) * F.col("__W"),
+            F.col("cum_before") * F.col("__k") * F.lit(PHASE_M)
+            - F.lit(r) * F.col("__W"),
         )
         .withColumn(
             "__q",
-            (F.col("cum_before") + F.col("w")) * F.lit(km)
+            (F.col("cum_before") + F.col("w")) * F.col("__k") * F.lit(PHASE_M)
             - F.lit(r) * F.col("__W"),
         )
         .withColumn(
             "__cnt_lo",
             F.least(
-                F.lit(k).cast("long"),
+                F.col("__k"),
                 F.greatest(
                     F.lit(0).cast("long"),
                     F.expr("(__p + __d - 1) DIV __d"),
@@ -243,7 +271,7 @@ def pps_systematic_sample_by_group(
         .withColumn(
             "__cnt_hi",
             F.least(
-                F.lit(k).cast("long"),
+                F.col("__k"),
                 F.greatest(
                     F.lit(0).cast("long"),
                     F.expr("(__q + __d - 1) DIV __d"),

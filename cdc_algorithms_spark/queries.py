@@ -996,6 +996,7 @@ _VERIFY_WINDOW: list[str] = [
     "value_quantile_sketch",
     "zorder_drift_check",
     "zorder3_append_check",
+    "mixture_realized_sample",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "snapshot_diff_ae_conservation",
     "minhash_lsh_pairs",
     "embedding_clusters",
-    "ann_lsh_recall",
 ]
 
 

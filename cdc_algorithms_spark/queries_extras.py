@@ -1956,3 +1956,93 @@ def q_zorder3_append_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").cast("long").alias("z_min"),
         F.max("z").cast("long").alias("z_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture REALIZATION: temperature weights → per-source quotas → PPS draw
+# ---------------------------------------------------------------------------
+
+_MRS_SEED = 13
+_MRS_R = ((_MRS_SEED * 1103515245 + 12345) % (1 << 31)) % (1 << 20)
+_MRS_DIV = 200  # one document pick per 200 allocated tokens
+
+_MIX_REALIZED_ORACLE = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+           AS available_tokens
+  FROM documents WHERE length(text) > 0 GROUP BY source
+),
+p AS (
+  SELECT source, POWER(CAST(available_tokens AS DOUBLE), 0.5) AS pw
+  FROM avail
+),
+n AS (SELECT SUM(pw) AS norm FROM p),
+quota AS (
+  SELECT p.source,
+         GREATEST(1, CAST(FLOOR(ROUND(10000 * p.pw / n.norm, 6)) AS BIGINT)
+                     // {_MRS_DIV}) AS kq
+  FROM p CROSS JOIN n
+),
+keyed AS (
+    SELECT source AS grp, doc_id AS id, n_chars AS w,
+           ((((doc_id % 2147483648) * 1103515245 + 12345 + {_MRS_SEED})
+             % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS skey
+    FROM documents WHERE n_chars > 0
+),
+cum AS (
+    SELECT grp, id, w,
+           COALESCE(SUM(w) OVER (
+               PARTITION BY grp
+               ORDER BY skey * 2147483648 + id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+    FROM keyed
+),
+tot AS (SELECT grp, SUM(w) AS tw FROM keyed GROUP BY grp),
+sel AS (
+    SELECT c.grp, id, w, cum_before,
+           LEAST(q.kq, GREATEST(0,
+               ((cum_before + w) * q.kq * {1 << 20} - {_MRS_R} * t.tw
+                + {1 << 20} * t.tw - 1) // ({1 << 20} * t.tw)))
+         - LEAST(q.kq, GREATEST(0,
+               (cum_before * q.kq * {1 << 20} - {_MRS_R} * t.tw
+                + {1 << 20} * t.tw - 1) // ({1 << 20} * t.tw)))
+           AS n_picks
+    FROM cum c JOIN tot t ON c.grp = t.grp JOIN quota q ON c.grp = q.source
+)
+SELECT grp AS "group", CAST(id AS BIGINT) AS id, CAST(w AS BIGINT) AS w,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(n_picks AS BIGINT) AS n_picks
+FROM sel WHERE n_picks > 0
+"""
+
+
+@register("mixture_realized_sample", _MIX_REALIZED_ORACLE)
+def q_mixture_realized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning CLOSED end to end: temperature weights derive
+    per-source token allocations from corpus statistics
+    (operators/mixture.py::temperature_weights, alpha=0.5), each
+    allocation becomes a document-pick quota (one pick per 200
+    allocated tokens, floor, min 1), and the quotas are REALIZED as an
+    actual corpus subset by the stratified integer-exact PPS draw
+    (operators/sampling.py::pps_systematic_sample_by_group with a
+    per-group quota dict). The only driver traffic is the ≤#sources
+    weights/quota rows — the same rows any mixture plan already
+    collects. DuckDB replays the whole composition: the temperature
+    arithmetic (engine-stable via the round-6 rule), the quota rule,
+    and every individual pick."""
+    from cdc_algorithms_spark.operators.mixture import temperature_weights
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tw = temperature_weights(docs, 0.5, 10_000).collect()
+    quotas = {
+        r["source"]: max(1, r["allocated_tokens"] // _MRS_DIV) for r in tw
+    }
+    return pps_systematic_sample_by_group(
+        docs, "source", "n_chars", quotas, seed=_MRS_SEED
+    )

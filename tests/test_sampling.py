@@ -206,3 +206,81 @@ def test_group_windows_stay_bounded(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__bkt" in line or "__g_bkt" in line, line
+
+
+# --- per-group quota dict (mixture realization) -------------------------------
+
+
+def test_mixture_realized_sample_matches_oracle(spark):
+    compare_with_oracle(spark, "mixture_realized_sample", SF_DIR)
+    compare_with_oracle(spark, "mixture_realized_sample", SF_DIR_MID)
+
+
+def test_quota_dict_exact_per_group(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    quotas = {g: 5 + 7 * i for i, g in enumerate(langs)}
+    picked = pps_systematic_sample_by_group(
+        docs, "lang", "n_chars", quotas, seed=6
+    )
+    per_group = {
+        r["group"]: r["s"]
+        for r in picked.groupBy("group")
+        .agg(F.sum("n_picks").alias("s"))
+        .collect()
+    }
+    assert per_group == quotas
+
+
+def test_quota_dict_skips_unlisted_groups(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    quotas = {langs[0]: 9}
+    picked = pps_systematic_sample_by_group(
+        docs, "lang", "n_chars", quotas, seed=6
+    )
+    groups = {r["group"] for r in picked.select("group").distinct().collect()}
+    assert groups == {langs[0]}
+    assert picked.agg(F.sum("n_picks")).collect()[0][0] == 9
+
+
+def test_quota_dict_guards(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="positive"):
+        pps_systematic_sample_by_group(docs, "lang", "n_chars", {"en": 0})
+    out = pps_systematic_sample_by_group(docs, "lang", "n_chars", {})
+    assert out.count() == 0
+
+
+def test_int_k_equals_uniform_dict(spark):
+    from cdc_algorithms_spark.operators.sampling import (
+        pps_systematic_sample_by_group,
+    )
+
+    docs = _docs(spark)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    a = sorted(
+        tuple(r)
+        for r in pps_systematic_sample_by_group(
+            docs, "lang", "n_chars", 12, seed=4
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pps_systematic_sample_by_group(
+            docs, "lang", "n_chars", {g: 12 for g in langs}, seed=4
+        ).collect()
+    )
+    assert a == b
