@@ -40,25 +40,26 @@ __all__ = [
     "chunk_blob",
     "chunk_files",
     "dedup_stats",
-    "snapshot_diff",
-    "change_ratio",
     "near_dup_pairs",
     "dedup_groups",
     "decontaminate",
-    "semantic_dedup",
     "mixture",
     "pack_sequences",
     "ingest",
-    "clean",
-    "shuffle_order",
-    "diff_tables",
-    "near_dup_vs_corpus",
     "sql",
-    "sync_plan",
-    "sync_plan_budgeted",
-    "store_gc",
-    "version_matrix",
+    "near_dup_vs_corpus",
+    "diff_tables",
+    "split",
+    "split_leakage",
+    "cluster_safe_split",
+    "shuffle_order",
+    "clean",
+    "semantic_dedup",
     "topk_similar",
+    "build_ann_index",
+    "probe_ann_index",
+    "extend_ann_index",
+    "compact_ann_index",
     "clusters",
     "profile",
     "quality",
@@ -67,6 +68,10 @@ __all__ = [
     "repetition",
     "fingerprints",
     "stream_dedup_unique_chunks",
+    "sync_plan",
+    "sync_plan_budgeted",
+    "store_gc",
+    "version_matrix",
     "fuzzy_matches",
     "funnel",
     "zorder_plan",
@@ -78,6 +83,20 @@ __all__ = [
     "incidents_screen",
     "stream_funnel",
     "stream_compact",
+    "zorder_rewrite",
+    "compact_rewrite",
+    "footer_stats",
+    "build_near_dup_index",
+    "probe_near_dup_index",
+    "release_probe_frames",
+    "stream_ingest_pipeline",
+    "drain_quarantine",
+    "quantile_sketch",
+    "merge_quantile_sketches",
+    "quantile_bounds",
+    "layout_drift",
+    "compact_stream_store",
+    "realize_mixture",
 ]
 
 
