@@ -997,6 +997,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_drift_check",
     "zorder3_append_check",
     "mixture_realized_sample",
+    "streaming_value_quantile_sketch",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "dedup_sketch_report_fixed",
     "snapshot_diff_ae_conservation",
     "minhash_lsh_pairs",
-    "embedding_clusters",
 ]
 
 

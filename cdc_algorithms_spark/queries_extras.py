@@ -2046,3 +2046,56 @@ def q_mixture_realized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample_by_group(
         docs, "source", "n_chars", quotas, seed=_MRS_SEED
     )
+
+
+@register("streaming_value_quantile_sketch", _QSKETCH_ORACLE)
+def q_streaming_value_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantile sketches maintained as a STREAM
+    (streaming/qsketch_stream.py): events arrive in three micro-batch
+    stages, each settling only its own per-epoch sketch rows; the
+    reader folds the epochs with sketch_merge. Because the sketches
+    merge EXACTLY (integer counts), the streamed result is bit-
+    identical to the one-shot build regardless of batching, disorder,
+    or replay — so this query shares value_quantile_sketch's DuckDB
+    oracle verbatim, the strongest streaming==batch statement in the
+    package."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.qsketch import (
+        sketch_merge,
+        sketch_quantiles,
+    )
+    from cdc_algorithms_spark.streaming.qsketch_stream import (
+        run_streaming_quantile_sketch,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stages = [
+        cents.where(F.col("cents") % 3 == i).select("event_type", "cents")
+        for i in range(3)
+    ]
+    store = tempfile.mkdtemp(prefix="cdc_qsketch_stream_") + "/sk"
+    sk = run_streaming_quantile_sketch(
+        spark, stages, store, ["event_type"], "cents", _QS_LO, _QS_HI, _QS_B
+    )
+    per_type = sketch_quantiles(
+        sk, _QS_LO, _QS_HI, _QS_B, keep_cols=["event_type"]
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    global_q = sketch_quantiles(
+        sketch_merge(sk), _QS_LO, _QS_HI, _QS_B
+    ).select(
+        F.lit("all").alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    return per_type.unionByName(global_q)

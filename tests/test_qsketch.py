@@ -144,3 +144,41 @@ def test_grid_guard():
         from cdc_algorithms_spark.operators.qsketch import _width
 
         _width(10, 10, 4)
+
+
+# --- streaming maintenance ----------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_streaming_quantile_sketch_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "streaming_value_quantile_sketch", sf)
+
+
+def test_streamed_sketch_is_batching_invariant(spark, tmp_path):
+    """Merging is exact, so ANY micro-batch split — including one with
+    an empty stage — folds to rows bit-identical to the one-shot
+    sketch."""
+    from cdc_algorithms_spark.streaming.qsketch_stream import (
+        run_streaming_quantile_sketch,
+    )
+
+    cents = _cents(spark).select("event_type", "cents")
+    direct = sorted(
+        tuple(r)
+        for r in histogram_sketch(
+            cents, ["event_type"], "cents", LO, HI, B
+        ).collect()
+    )
+    splits = [
+        [cents.where(F.col("cents") % 2 == 0),
+         cents.where(F.col("cents") % 2 == 1)],
+        [cents.where(F.col("cents") % 5 == 0),
+         cents.where(F.col("cents") % 5 != 0),
+         cents.where(F.lit(False))],  # an empty trailing stage
+    ]
+    for i, stages in enumerate(splits):
+        folded = run_streaming_quantile_sketch(
+            spark, stages, str(tmp_path / f"s{i}"), ["event_type"],
+            "cents", LO, HI, B,
+        )
+        assert sorted(tuple(r) for r in folded.collect()) == direct
