@@ -91,6 +91,13 @@ def main() -> None:
     store = os.path.join(work, "store")
     full = os.path.join(work, "full")
     try:
+        # JIT warm-up: a small rewrite first, so the measured walls
+        # compare like-for-like (the first large codegen job in a
+        # session otherwise pays ~2.5-5x — see SCALING.md §19/§20)
+        zorder_rewrite(
+            pts.limit(100_000), "x", "y", os.path.join(work, "warm"),
+            bits=args.bits, file_bits=args.file_bits,
+        )
         t0 = time.monotonic()
         zorder_rewrite(
             base, "x", "y", store, bits=args.bits, file_bits=args.file_bits
