@@ -941,3 +941,61 @@ def zorder_append_nd(batch: DataFrame, path: str) -> None:
         .partitionBy("file_id")
         .parquet(path)
     )
+
+
+def layout_drift_report_nd(spark, path: str) -> DataFrame:
+    """:func:`layout_drift_report` for k-D (:func:`zorder_rewrite_nd`)
+    stores: per hypercube cell, the value units each dimension's
+    realized extents spill outside the cell's ideal grid box — zero on
+    a fresh rewrite, positive exactly where :func:`zorder_append_nd`
+    clamped out-of-range values. Same integer rectangle inversion as
+    the 2-D form, with the cell id de-interleaved k ways (dim j's
+    level-b bit sits at position ``k*b + (k-1-j)``, matching
+    :func:`_interleave_nd`). Output: ``(file_id, n_rows,
+    <c>_excess per dimension, within_plan)``; oracle-checked by
+    ``zorder3_drift_check``."""
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    cols = list(meta["cols"])
+    k = len(cols)
+    bits, fb = int(meta["bits"]), int(meta["file_bits"])
+    m = 1 << bits
+    cu = 1 << (bits - fb)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"__{c}_mn"))
+        aggs.append(F.max(c).cast("long").alias(f"__{c}_mx"))
+    per_cell = (
+        spark.read.parquet(path)
+        .groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(*aggs)
+    )
+    sel = [F.col("file_id"), F.col("n_rows")]
+    within = F.lit(True)
+    for j, c in enumerate(cols):
+        cj = F.lit(0).cast("long")
+        for b in range(fb):
+            cj = cj + F.shiftleft(
+                F.shiftright("file_id", k * b + (k - 1 - j)).bitwiseAND(
+                    F.lit(1)
+                ),
+                b,
+            )
+        lo = int(meta["los"][j])
+        r = int(meta["his"][j]) - lo + 1
+        ilo = F.lit(lo) + F.floor(
+            (cj * F.lit(cu) * F.lit(r) + F.lit(m - 1)) / F.lit(m)
+        ).cast("long")
+        ihi = (
+            F.lit(lo)
+            + F.floor(
+                ((cj + 1) * F.lit(cu) * F.lit(r) + F.lit(m - 1)) / F.lit(m)
+            ).cast("long")
+            - 1
+        )
+        excess = (
+            F.greatest(F.lit(0), ilo - F.col(f"__{c}_mn"))
+            + F.greatest(F.lit(0), F.col(f"__{c}_mx") - ihi)
+        ).cast("long")
+        sel.append(excess.alias(f"{c}_excess"))
+        within = within & (excess == 0)
+    return per_cell.select(*sel, within.alias("within_plan"))

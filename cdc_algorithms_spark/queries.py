@@ -998,6 +998,7 @@ _VERIFY_WINDOW: list[str] = [
     "zorder3_append_check",
     "mixture_realized_sample",
     "streaming_value_quantile_sketch",
+    "zorder3_drift_check",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
     "zorder_realized_pruning",
@@ -1034,7 +1035,6 @@ _VERIFY_WINDOW: list[str] = [
     "mixture_temperature_weights",
     "dedup_sketch_report_fixed",
     "snapshot_diff_ae_conservation",
-    "minhash_lsh_pairs",
 ]
 
 

@@ -2099,3 +2099,112 @@ def q_streaming_value_quantile_sketch(
         "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
     )
     return per_type.unionByName(global_q)
+
+
+_Z3_M = 1 << _Z3_BITS
+_Z3_CU = 1 << (_Z3_BITS - _Z3_FILE_BITS)
+
+
+def _deinterleave_nd_sql(col: str, fb: int, k: int, j: int) -> str:
+    """Grid coordinate of dim j (0-based) from a k-D cell id — dim j's
+    level-b bit sits at position k*b + (k-1-j)."""
+    return " + ".join(
+        f"((({col} >> {k * b + (k - 1 - j)}) & 1) * {1 << b})"
+        for b in range(fb)
+    )
+
+
+_ZORDER3_DRIFT_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS y,
+           CAST(FLOOR(value) AS BIGINT) AS z
+    FROM events
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi,
+           MIN(z) AS zlo, MAX(z) AS zhi
+    FROM pts WHERE y < {_Z3A_SPLIT}
+),
+sc AS (
+    SELECT x, y, z,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('x', 'xlo', 'xhi', _Z3_BITS)})) AS sx,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('y', 'ylo', 'yhi', _Z3_BITS)})) AS sy,
+           LEAST({(1 << _Z3_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('z', 'zlo', 'zhi', _Z3_BITS)})) AS sz
+    FROM pts, mm
+),
+zc AS (
+    SELECT x, y, z,
+           CAST(({_interleave_nd_sql(['sx', 'sy', 'sz'], _Z3_BITS)})
+                >> {3 * (_Z3_BITS - _Z3_FILE_BITS)} AS BIGINT) AS file_id
+    FROM sc
+),
+per_cell AS (
+    SELECT file_id, COUNT(*) AS n_rows,
+           MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx,
+           MIN(z) AS zmn, MAX(z) AS zmx
+    FROM zc GROUP BY 1
+),
+grid AS (
+    SELECT p.*, mm.xlo AS gxlo, mm.ylo AS gylo, mm.zlo AS gzlo,
+           (mm.xhi - mm.xlo + 1) AS rx, (mm.yhi - mm.ylo + 1) AS ry,
+           (mm.zhi - mm.zlo + 1) AS rz,
+           ({_deinterleave_nd_sql('p.file_id', _Z3_FILE_BITS, 3, 0)}) AS cx,
+           ({_deinterleave_nd_sql('p.file_id', _Z3_FILE_BITS, 3, 1)}) AS cy,
+           ({_deinterleave_nd_sql('p.file_id', _Z3_FILE_BITS, 3, 2)}) AS cz
+    FROM per_cell p, mm
+),
+ideal AS (
+    SELECT file_id, n_rows, xmn, xmx, ymn, ymx, zmn, zmx,
+        gxlo + ((cx * {_Z3_CU} * rx + {_Z3_M - 1}) // {_Z3_M}) AS ixl,
+        gxlo + (((cx + 1) * {_Z3_CU} * rx + {_Z3_M - 1}) // {_Z3_M}) - 1 AS ixh,
+        gylo + ((cy * {_Z3_CU} * ry + {_Z3_M - 1}) // {_Z3_M}) AS iyl,
+        gylo + (((cy + 1) * {_Z3_CU} * ry + {_Z3_M - 1}) // {_Z3_M}) - 1 AS iyh,
+        gzlo + ((cz * {_Z3_CU} * rz + {_Z3_M - 1}) // {_Z3_M}) AS izl,
+        gzlo + (((cz + 1) * {_Z3_CU} * rz + {_Z3_M - 1}) // {_Z3_M}) - 1 AS izh
+    FROM grid
+)
+SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) AS BIGINT)
+           AS x_excess,
+       CAST(GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) AS BIGINT)
+           AS y_excess,
+       CAST(GREATEST(0, izl - zmn) + GREATEST(0, zmx - izh) AS BIGINT)
+           AS z_excess,
+       (GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) = 0
+        AND GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) = 0
+        AND GREATEST(0, izl - zmn) + GREATEST(0, zmx - izh) = 0)
+           AS within_plan
+FROM ideal
+"""
+
+
+@register("zorder3_drift_check", _ZORDER3_DRIFT_ORACLE)
+def q_zorder3_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-decay measurement on the OCTREE store
+    (operators/layout.py::layout_drift_report_nd): per hypercube cell,
+    each dimension's realized extents vs the cell's ideal grid box
+    (k-way cell-id de-interleave + integer rectangle inversion over the
+    persisted array meta). On the appended 3-D store only the clamped
+    day band shows y_excess; user and value stay within plan. Oracle
+    replays the whole chain bit-for-bit."""
+    from cdc_algorithms_spark.operators.layout import layout_drift_report_nd
+
+    return layout_drift_report_nd(
+        spark, _zorder3_append_store_path(spark, sf_dir)
+    )
+
+
+def _zorder3_append_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """The cached 3-D append store (built by zorder3_append_check's
+    helper — shared read-only)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder3_append")
+    path = _LAYOUT_STORE_CACHE.get(key)
+    if path is None:
+        # build through the same code path as zorder3_append_check
+        q_zorder3_append_check(spark, sf_dir)
+        path = _LAYOUT_STORE_CACHE[key]
+    return path

@@ -257,3 +257,28 @@ def test_nd_append_feeds_the_same_maintenance_loop(spark):
     assert snapshot() == before
     after = layout_maintenance_plan(spark, path).collect()
     assert all(r["n_files"] == 1 for r in after)
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_zorder3_drift_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "zorder3_drift_check", sf)
+
+
+def test_nd_fresh_rewrite_has_zero_drift(spark):
+    from cdc_algorithms_spark.operators.layout import (
+        layout_drift_report_nd,
+        zorder_rewrite_nd,
+    )
+    from cdc_algorithms_spark.queries_extras import (
+        _Z3_BITS,
+        _Z3_FILE_BITS,
+        _event_points3,
+    )
+
+    path = tempfile.mkdtemp(prefix="t_zm3_drift0_")
+    zorder_rewrite_nd(
+        _event_points3(spark, SF_DIR), ["x", "y", "z"], path,
+        bits=_Z3_BITS, file_bits=_Z3_FILE_BITS,
+    )
+    rep = layout_drift_report_nd(spark, path)
+    assert rep.where("NOT within_plan").count() == 0
