@@ -768,13 +768,19 @@ def zorder_compact_cells(spark, path: str, cells: list[int]) -> None:
 
     The compacted cells are staged to a sibling temp directory (a
     direct self-overwrite would have the job read the files it is
-    deleting), then swapped in with per-directory filesystem renames —
-    a metadata-only operation bounded by ``len(cells)``, the same
-    commit shape as a table format's atomic manifest swap."""
+    deleting), then swapped in rename-FIRST per directory: the
+    resident cell is parked at a sibling, the compacted copy
+    installed, and only then the parked copy dropped — so a crash
+    between any two steps leaves the cell's data on disk (either
+    installed or parked, never deleted-but-not-replaced), the same
+    park-then-install discipline as compact_epoch_store /
+    similarity.py::compact_pq_index. Metadata-only operations bounded
+    by ``len(cells)``."""
     if not cells:
         return
     cells = [int(c) for c in cells]
     tmp = f"{path}__compact_tmp"
+    parked_root = f"{path}__compact_parked"
     (
         spark.read.parquet(path)
         .where(F.col("file_id").isin(cells))
@@ -784,17 +790,26 @@ def zorder_compact_cells(spark, path: str, cells: list[int]) -> None:
         .parquet(tmp)
     )
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(P(parked_root))
     for cell in cells:
-        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/file_id={cell}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/file_id={cell}")
+        src = P(f"{tmp}/file_id={cell}")
+        dst = P(f"{path}/file_id={cell}")
+        parked = P(f"{parked_root}/file_id={cell}")
         if not fs.exists(src):
             continue  # a flagged cell may have zero rows after filters
-        fs.delete(dst, True)
+        fs.delete(parked, True)
+        if fs.exists(dst) and not fs.rename(dst, parked):
+            raise IOError(f"could not park resident cell {cell}")
         if not fs.rename(src, dst):
-            raise IOError(f"rename failed for cell {cell}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            raise IOError(
+                f"install failed for cell {cell}; resident data parked at"
+                f" {parked_root}"
+            )
+        fs.delete(parked, True)
+    fs.delete(P(tmp), True)
+    fs.delete(P(parked_root), True)
 
 
 def layout_drift_report(spark, path: str) -> DataFrame:

@@ -12,24 +12,37 @@ its own delta before the merge, same as the HLL union.
 
 Error contract: a quantile read off a histogram is exact up to the
 bucket it lands in — the true q-quantile provably lies inside the
-reported ``[q_lo, q_hi]`` bucket bounds (counts are exact integers; the
-rank walk is exact). Unlike the HLL tier (register values DuckDB cannot
+reported ``[q_lo, q_hi]`` bounds (counts are exact integers; the rank
+walk is exact integer arithmetic; edge buckets EXTEND to the exact
+v_min/v_max so clamped out-of-range values stay inside the reported
+interval). Unlike the HLL tier (register values DuckDB cannot
 reproduce → rows-only driver checks), EVERYTHING here is integer
 arithmetic, so the full sketch → merge → quantile pipeline is
 value-checked against a DuckDB oracle (`value_quantile_sketch`).
 
 Scale shape: the build is one (group, bucket) aggregate with map-side
 combine (≤ groups × buckets partial rows); merges and quantile reads
-touch ONLY sketch rows. Grid bounds are part of the sketch contract —
-merging sketches with different grids is refused, the same way HLL
-lg_k mismatches would be.
+touch ONLY sketch rows. Grid bounds are part of the sketch contract
+and are PERSISTED in every sketch row (``grid_lo``/``grid_hi``/
+``grid_buckets``) — merging or reading sketches with mismatched grids
+raises, the same way HLL lg_k mismatches would. NULL values are
+excluded before bucketing: ``n`` counts non-null values only (a NULL
+has no bucket; silently folding it into bucket 0 would skew every
+quantile low).
+
+For columns whose value range ISN'T known up front (a standing
+pipeline sketching a new column), see
+:func:`histogram_sketch_auto` — it discovers exact bounds in one
+extra aggregate and persists them in the sketch rows, so downstream
+merge/quantile calls need no caller-supplied grid at all.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,6 +50,30 @@ def _width(lo: int, hi: int, buckets: int) -> int:
     if hi <= lo or buckets <= 0:
         raise ValueError("need hi > lo and buckets > 0")
     return -((lo - hi - 1) // buckets)  # ceil((hi - lo + 1) / buckets)
+
+
+def _rank_expr(q: float, n: Column) -> Column:
+    """``ceil(q*n)`` in EXACT integer arithmetic: q becomes a rational
+    num/den and the rank is ``(n*num + den - 1) div den`` — BIGINT all
+    the way. The naive ``ceil(q * n)`` evaluates q as a double, and
+    when q*n is mathematically an integer (n a multiple of 10 at
+    q=0.9) the double product can land an ulp above it, making Spark's
+    ceil disagree with DuckDB's exact-DECIMAL CEILING by one full
+    rank. The oracle SQL mirrors this div form verbatim."""
+    frac = Fraction(q).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    return (
+        (n * F.lit(num) + F.lit(den - 1) - F.pmod(n * F.lit(num) + F.lit(den - 1), F.lit(den)))
+        / F.lit(den)
+    ).cast("long")
+
+
+def _grid_cols(lo: int, hi: int, buckets: int) -> list[Column]:
+    return [
+        F.lit(int(lo)).cast("long").alias("grid_lo"),
+        F.lit(int(hi)).cast("long").alias("grid_hi"),
+        F.lit(int(buckets)).cast("long").alias("grid_buckets"),
+    ]
 
 
 def histogram_sketch(
@@ -48,11 +85,16 @@ def histogram_sketch(
     buckets: int = 64,
 ) -> DataFrame:
     """One histogram-sketch row per group: ``(…group_cols, n, v_min,
-    v_max, counts)`` where ``counts[i]`` is the EXACT number of values
-    in bucket ``i`` of the fixed grid (``width = ceil((hi-lo+1)/
-    buckets)``; values outside [lo, hi] clamp into the edge buckets —
-    their exact magnitude survives in v_min/v_max). The grid constants
-    live in the caller's contract, like lg_k for HLL sketches."""
+    v_max, counts, grid_lo, grid_hi, grid_buckets)`` where
+    ``counts[i]`` is the EXACT number of non-null values in bucket
+    ``i`` of the fixed grid (``width = ceil((hi-lo+1)/buckets)``;
+    values outside [lo, hi] clamp into the edge buckets — their exact
+    magnitude survives in v_min/v_max, and quantile reads EXTEND the
+    edge-bucket bounds to v_min/v_max so the containment contract
+    holds for them too). The grid constants are persisted in every row
+    so merges and reads can enforce the grid contract, like lg_k for
+    HLL sketches. NULL values are excluded — ``n`` counts non-null
+    rows only."""
     group_cols = list(group_cols)
     w = _width(lo, hi, buckets)
     v = F.col(value_col).cast("long")
@@ -67,10 +109,14 @@ def histogram_sketch(
             F.floor((v - F.lit(lo)) / F.lit(w)).cast("long"),
         ),
     )
-    per = df.groupBy(*group_cols, bucket.alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.min(v).alias("__mn"),
-        F.max(v).alias("__mx"),
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(v).alias("__mn"),
+            F.max(v).alias("__mx"),
+        )
     )
     return (
         per.groupBy(*group_cols)
@@ -93,8 +139,67 @@ def histogram_sketch(
                     F.element_at("__m", i.cast("long")), F.lit(0)
                 ).cast("long"),
             ).alias("counts"),
+            *_grid_cols(lo, hi, buckets),
         )
     )
+
+
+def histogram_sketch_auto(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """:func:`histogram_sketch` with DISCOVERED bounds — for a standing
+    pipeline sketching a column whose range nobody knows up front. One
+    exact global min/max aggregate (a 1-row broadcast, the same
+    normalizer shape as layout.py::zorder_values) fixes the grid, and
+    the bounds persist in the sketch rows like any other grid — so
+    later deltas sketch against the SAME discovered grid by reading it
+    back (:func:`sketch_grid`), keeping the exact-merge law intact.
+    Degenerate single-value data widens hi by one unit so the grid
+    stays valid. Returns the same schema as :func:`histogram_sketch`."""
+    v = F.col(value_col).cast("long")
+    row = (
+        df.where(v.isNotNull())
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+        .collect()[0]
+    )
+    if row["lo"] is None:
+        raise ValueError("cannot auto-bound a sketch over no non-null values")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    if hi <= lo:
+        hi = lo + 1
+    return histogram_sketch(df, group_cols, value_col, lo, hi, buckets)
+
+
+def sketch_grid(sketches: DataFrame) -> tuple[int, int, int]:
+    """Read the persisted ``(lo, hi, buckets)`` grid off sketch rows —
+    the handle a delta-sketching or quantile-reading job needs when
+    the grid was discovered by :func:`histogram_sketch_auto`. Collects
+    the distinct grid rows (sketch-scale, ≤ a handful by contract) and
+    raises on a mixed store."""
+    rows = (
+        sketches.select("grid_lo", "grid_hi", "grid_buckets")
+        .distinct()
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"mixed sketch grids cannot be read as one: {rows}"
+        )
+    r = rows[0]
+    return int(r["grid_lo"]), int(r["grid_hi"]), int(r["grid_buckets"])
+
+
+def _grid_checked(guard: Column, value: Column) -> Column:
+    # assert_true returns NULL when the guard holds and raises
+    # otherwise; ADDING its coalesced-to-zero cast into an
+    # always-selected output column keeps the check alive under both
+    # column pruning and conditional simplification (a
+    # when(c, v).otherwise(v) form gets collapsed by Catalyst and the
+    # assert silently disappears — verified).
+    return value + F.coalesce(F.assert_true(guard).cast("long"), F.lit(0))
 
 
 def sketch_merge(
@@ -102,8 +207,11 @@ def sketch_merge(
 ) -> DataFrame:
     """Merge histogram-sketch ROWS into one row per (possibly coarser)
     ``group_cols`` grouping — or one global row with none. Counts sum
-    element-wise, n sums, min/max fold; the data the sketches summarize
-    is never touched. Runs over the sketch frame only (posexplode of
+    element-wise, n sums, min/max fold, the grid columns carry through;
+    the data the sketches summarize is never touched. Sketches built on
+    DIFFERENT grids refuse to merge (execution-time error — summing
+    counts across grids would be meaningless), enforcing the documented
+    grid contract. Runs over the sketch frame only (posexplode of
     ≤ rows × buckets positions — sketch-scale, not data-scale)."""
     group_cols = list(group_cols)
     ex = sketches.select(
@@ -116,10 +224,25 @@ def sketch_merge(
     per_b = ex.groupBy(*group_cols, "__b").agg(
         F.sum("__c").cast("long").alias("__c")
     )
-    heads = sketches.groupBy(*group_cols).agg(
-        F.sum("n").cast("long").alias("n"),
-        F.min("v_min").cast("long").alias("v_min"),
-        F.max("v_max").cast("long").alias("v_max"),
+    same_grid = (
+        (F.min("grid_lo") == F.max("grid_lo"))
+        & (F.min("grid_hi") == F.max("grid_hi"))
+        & (F.min("grid_buckets") == F.max("grid_buckets"))
+        & (F.min(F.size("counts")) == F.max("grid_buckets"))
+        & (F.max(F.size("counts")) == F.max("grid_buckets"))
+    )
+    heads = (
+        sketches.groupBy(*group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("v_min").cast("long").alias("v_min"),
+            F.max("v_max").cast("long").alias("v_max"),
+            _grid_checked(same_grid, F.min("grid_lo").cast("long")).alias(
+                "grid_lo"
+            ),
+            F.min("grid_hi").cast("long").alias("grid_hi"),
+            F.min("grid_buckets").cast("long").alias("grid_buckets"),
+        )
     )
     folded = (
         per_b.groupBy(*group_cols)
@@ -139,9 +262,13 @@ def sketch_merge(
             ).alias("counts"),
         )
     )
+    order = [
+        *group_cols, "n", "v_min", "v_max", "counts",
+        "grid_lo", "grid_hi", "grid_buckets",
+    ]
     if group_cols:
-        return heads.join(folded, group_cols)
-    return heads.crossJoin(folded)
+        return heads.join(folded, group_cols).select(*order)
+    return heads.crossJoin(folded).select(*order)
 
 
 def sketch_quantiles(
@@ -153,12 +280,17 @@ def sketch_quantiles(
     keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Quantile bounds from histogram-sketch rows, exactly: for each
-    ``q`` the row gains ``q<pct>_lo`` / ``q<pct>_hi`` — the grid bucket
-    the rank-``ceil(q*n)`` value provably lies in (cumulative counts
-    are exact integers, so the bucket walk is deterministic and the
-    DuckDB oracle replays it bit-for-bit). Bucket edges clamp to the
-    exact v_min/v_max, so a degenerate sketch (one value) reports the
-    value itself. Pure expressions over the sketch rows."""
+    ``q`` the row gains ``q<pct>_lo`` / ``q<pct>_hi`` — bounds the
+    rank-``ceil(q*n)`` value provably lies in (cumulative counts are
+    exact integers and the rank itself is computed in integer
+    arithmetic, so the bucket walk is deterministic and the DuckDB
+    oracle replays it bit-for-bit). Interior buckets clamp their edges
+    to the exact v_min/v_max; EDGE buckets extend to v_min (first) /
+    v_max (last) instead, because clamped out-of-range values live
+    there — so the containment contract holds even when the data
+    spilled outside the grid. The passed grid must equal the one
+    persisted in the rows (execution-time error otherwise). Pure
+    expressions over the sketch rows."""
     w = _width(lo, hi, buckets)
     b = F.lit(buckets)
     cum = F.transform(
@@ -169,25 +301,43 @@ def sketch_quantiles(
             lambda a, x: a + x,
         ),
     )
+    grid_ok = (
+        (F.col("grid_lo") == F.lit(int(lo)))
+        & (F.col("grid_hi") == F.lit(int(hi)))
+        & (F.col("grid_buckets") == F.lit(int(buckets)))
+        & (F.size("counts") == F.lit(int(buckets)))
+    )
     out = sketches.withColumn("__cum", cum)
-    cols = list(keep_cols) + ["n", "v_min", "v_max"]
+    cols = list(keep_cols)
     sel = [F.col(c) for c in cols]
+    sel.append(_grid_checked(grid_ok, F.col("n")).alias("n"))
+    sel.extend([F.col("v_min"), F.col("v_max")])
     for q in qs:
         pct = f"p{round(q * 100)}"
-        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        rank = _rank_expr(q, F.col("n"))
         pos = F.array_position(
             F.transform(F.col("__cum"), lambda c: c >= rank), True
         )
         sel.append(
-            F.greatest(
-                F.col("v_min"),
-                F.lit(lo) + (pos - 1) * F.lit(w),
-            ).cast("long").alias(f"{pct}_lo")
+            F.when(pos == 1, F.col("v_min"))
+            .otherwise(
+                F.greatest(
+                    F.col("v_min"),
+                    F.lit(lo) + (pos - 1) * F.lit(w),
+                )
+            )
+            .cast("long")
+            .alias(f"{pct}_lo")
         )
         sel.append(
-            F.least(
-                F.col("v_max"),
-                F.lit(lo) + pos * F.lit(w) - 1,
-            ).cast("long").alias(f"{pct}_hi")
+            F.when(pos == b, F.col("v_max"))
+            .otherwise(
+                F.least(
+                    F.col("v_max"),
+                    F.lit(lo) + pos * F.lit(w) - 1,
+                )
+            )
+            .cast("long")
+            .alias(f"{pct}_hi")
         )
     return out.select(*sel)

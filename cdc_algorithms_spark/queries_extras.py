@@ -1715,7 +1715,7 @@ WITH c AS (
 bkt AS (
     SELECT event_type,
            LEAST({_QS_B - 1}, GREATEST(0, (v - {_QS_LO}) // {_QS_W})) AS b, v
-    FROM c
+    FROM c WHERE v IS NOT NULL
 ),
 per_bt AS (SELECT event_type, b, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2),
 heads AS (
@@ -1728,10 +1728,14 @@ cum AS (
     FROM per_bt
 ),
 sel AS (
+    -- rank = ceil(q*n) in EXACT integer form (n*num + den - 1) // den:
+    -- CEILING(0.9*n) evaluates 0.9 as DECIMAL here but as double in
+    -- Spark, and the double product can sit an ulp above an integer —
+    -- both sides now share the BIGINT div form (qsketch.py::_rank_expr)
     SELECT c.event_type,
-           MIN(CASE WHEN cm >= CEILING(0.5 * h.n) THEN b END) AS b50,
-           MIN(CASE WHEN cm >= CEILING(0.9 * h.n) THEN b END) AS b90,
-           MIN(CASE WHEN cm >= CEILING(0.99 * h.n) THEN b END) AS b99
+           MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
     FROM cum c JOIN heads h USING (event_type) GROUP BY 1
 ),
 typed AS (
@@ -1743,9 +1747,9 @@ g_heads AS (SELECT COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax FROM bkt),
 g_per_b AS (SELECT b, COUNT(*) AS cnt FROM bkt GROUP BY 1),
 g_cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cm FROM g_per_b),
 g_sel AS (
-    SELECT MIN(CASE WHEN cm >= CEILING(0.5 * h.n) THEN b END) AS b50,
-           MIN(CASE WHEN cm >= CEILING(0.9 * h.n) THEN b END) AS b90,
-           MIN(CASE WHEN cm >= CEILING(0.99 * h.n) THEN b END) AS b99
+    SELECT MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
     FROM g_cum, g_heads h GROUP BY h.n
 ),
 unioned AS (
@@ -1756,12 +1760,27 @@ unioned AS (
 )
 SELECT scope, CAST(n AS BIGINT) AS n,
        CAST(vmin AS BIGINT) AS v_min, CAST(vmax AS BIGINT) AS v_max,
-       CAST(GREATEST(vmin, {_QS_LO} + b50 * {_QS_W}) AS BIGINT) AS p50_lo,
-       CAST(LEAST(vmax, {_QS_LO} + (b50 + 1) * {_QS_W} - 1) AS BIGINT) AS p50_hi,
-       CAST(GREATEST(vmin, {_QS_LO} + b90 * {_QS_W}) AS BIGINT) AS p90_lo,
-       CAST(LEAST(vmax, {_QS_LO} + (b90 + 1) * {_QS_W} - 1) AS BIGINT) AS p90_hi,
-       CAST(GREATEST(vmin, {_QS_LO} + b99 * {_QS_W}) AS BIGINT) AS p99_lo,
-       CAST(LEAST(vmax, {_QS_LO} + (b99 + 1) * {_QS_W} - 1) AS BIGINT) AS p99_hi
+       -- edge buckets EXTEND to the exact v_min/v_max (clamped
+       -- out-of-range values live there); interior buckets clamp —
+       -- mirrors qsketch.py::sketch_quantiles' containment rule
+       CAST(CASE WHEN b50 = 0 THEN vmin
+                 ELSE GREATEST(vmin, {_QS_LO} + b50 * {_QS_W}) END
+            AS BIGINT) AS p50_lo,
+       CAST(CASE WHEN b50 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, {_QS_LO} + (b50 + 1) * {_QS_W} - 1) END
+            AS BIGINT) AS p50_hi,
+       CAST(CASE WHEN b90 = 0 THEN vmin
+                 ELSE GREATEST(vmin, {_QS_LO} + b90 * {_QS_W}) END
+            AS BIGINT) AS p90_lo,
+       CAST(CASE WHEN b90 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, {_QS_LO} + (b90 + 1) * {_QS_W} - 1) END
+            AS BIGINT) AS p90_hi,
+       CAST(CASE WHEN b99 = 0 THEN vmin
+                 ELSE GREATEST(vmin, {_QS_LO} + b99 * {_QS_W}) END
+            AS BIGINT) AS p99_lo,
+       CAST(CASE WHEN b99 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, {_QS_LO} + (b99 + 1) * {_QS_W} - 1) END
+            AS BIGINT) AS p99_hi
 FROM unioned
 """
 

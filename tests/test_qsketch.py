@@ -146,6 +146,118 @@ def test_grid_guard():
         _width(10, 10, 4)
 
 
+def test_out_of_range_values_stay_inside_reported_bounds(spark):
+    """Edge buckets EXTEND (not clamp) to v_min/v_max: with values
+    spilling below lo and above hi, the rank statistic must still lie
+    inside every reported interval — the r07 containment gap (clamping
+    the top bucket's hi to the grid top put the true value OUTSIDE
+    the reported bounds)."""
+    import math
+
+    vals = list(range(1, 31))  # grid [10, 19] → 1..9 and 20..30 clamp
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v long")
+    sk = histogram_sketch(df, ["g"], "v", 10, 19, 5)
+    q = sketch_quantiles(
+        sk, 10, 19, 5, keep_cols=["g"], qs=[0.01, 0.5, 0.99]
+    ).collect()[0]
+    for pct, frac in (("p1", 0.01), ("p50", 0.5), ("p99", 0.99)):
+        stat = sorted(vals)[math.ceil(frac * len(vals)) - 1]
+        assert q[f"{pct}_lo"] <= stat <= q[f"{pct}_hi"], (pct, stat, dict(q.asDict()))
+    # the top statistic is a clamped value (30 > hi=19): the reported
+    # hi must have extended all the way to v_max
+    assert q["p99_hi"] == 30
+
+
+def test_integer_rank_at_multiple_of_ten(spark):
+    """rank = ceil(0.9 * n) with n = 10 is exactly 9, but the double
+    product 0.9*10 sits an ulp above 9.0 and double-ceil gives 10 —
+    the latent oracle divergence flagged in r07 ADVICE. Width-1 buckets
+    make the assertion exact: the p90 of 1..10 is 9, not 10."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 11)], "g string, v long"
+    )
+    sk = histogram_sketch(df, ["g"], "v", 0, 63, 64)
+    q = sketch_quantiles(sk, 0, 63, 64, keep_cols=["g"]).collect()[0]
+    assert (q["p90_lo"], q["p90_hi"]) == (9, 9)
+    assert (q["p50_lo"], q["p50_hi"]) == (5, 5)
+
+
+def test_null_values_excluded(spark):
+    """NULLs have no bucket: n counts non-null values only (silently
+    folding them into bucket 0 skewed every quantile low)."""
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("a", 7), ("a", None)], "g string, v long"
+    )
+    sk = histogram_sketch(df, ["g"], "v", 0, 63, 64).collect()[0]
+    assert sk["n"] == 2
+    assert (sk["v_min"], sk["v_max"]) == (5, 7)
+    assert sum(sk["counts"]) == 2
+
+
+def test_mismatched_grids_refuse_to_merge(spark):
+    """The documented grid contract is ENFORCED: sketches built on
+    different grids (or with a counts array of the wrong length) raise
+    at merge / read time instead of summing into meaningless counts."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 11)], "g string, v long"
+    )
+    sk_a = histogram_sketch(df, ["g"], "v", 0, 63, 64)
+    sk_b = histogram_sketch(
+        df.withColumn("g", F.lit("b")), ["g"], "v", 0, 127, 64
+    )
+    with pytest.raises(Exception, match="(?i)grid|assert"):
+        sketch_merge(sk_a.unionByName(sk_b)).collect()
+    # reading with the wrong grid refuses too
+    with pytest.raises(Exception, match="(?i)grid|assert"):
+        sketch_quantiles(sk_a, 0, 127, 64, keep_cols=["g"]).collect()
+    # matching grids still merge fine
+    assert sketch_merge(sk_a, ["g"]).collect()[0]["n"] == 10
+
+
+def test_auto_bounds_discovery_and_grid_readback(spark):
+    """histogram_sketch_auto: one exact min/max pass fixes the grid, the
+    bounds persist in the rows, sketch_grid reads them back, and a
+    delta sketched against the read-back grid merges exactly — the
+    standing-pipeline path for a column with unknown range."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_auto,
+        sketch_grid,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(100, 161)], "g string, v long"
+    )
+    sk = histogram_sketch_auto(df, ["g"], "v", 16)
+    lo, hi, b = sketch_grid(sk)
+    assert (lo, hi, b) == (100, 160, 16)
+    explicit = histogram_sketch(df, ["g"], "v", lo, hi, b)
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # a later delta sketched on the READ-BACK grid merges exactly
+    delta = spark.createDataFrame(
+        [("a", v) for v in (105, 155)], "g string, v long"
+    )
+    merged = sketch_merge(
+        sk.unionByName(histogram_sketch(delta, ["g"], "v", lo, hi, b)),
+        ["g"],
+    ).collect()[0]
+    union_direct = histogram_sketch(
+        df.unionByName(delta), ["g"], "v", lo, hi, b
+    ).collect()[0]
+    assert tuple(merged) == tuple(union_direct)
+    # degenerate single-value input still yields a valid grid
+    one = spark.createDataFrame([("x", 7)], "g string, v long")
+    sk1 = histogram_sketch_auto(one, ["g"], "v", 4)
+    assert sketch_grid(sk1) == (7, 8, 4)
+    # all-null input refuses instead of inventing bounds
+    nulls = spark.createDataFrame(
+        [("x", None)], "g string, v long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        histogram_sketch_auto(nulls, ["g"], "v", 4)
+
+
 # --- streaming maintenance ----------------------------------------------------
 
 
