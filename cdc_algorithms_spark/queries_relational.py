@@ -628,19 +628,77 @@ FROM customer
 
 @register("customer_balance_quartiles", _QUARTILES_RANK_ORACLE)
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-distribution window family (ntile / percent_rank /
-    cume_dist) over account balance. A global ORDER BY window funnels to
-    one partition — correct but serial; at 100 TB assign quartiles via
-    approx_percentile cutoffs (two scans, fully parallel) instead of a
-    total order. The tie-break on c_custkey makes the total order (and
-    hence the ntile split) engine-independent."""
+    """Ranking-distribution family (ntile / percent_rank / cume_dist)
+    over account balance — WITHOUT the global ORDER BY window those
+    functions normally imply (a single-partition sort of the full
+    table, the one scale-killer class the engine eliminates
+    everywhere else). All three are closed-form functions of the
+    exact global rank and N, so the rank comes from the bounded
+    two-phase machinery of operators/shuffle.py::deterministic_shuffle:
+
+    * the sort key is the balance in CENTS (round(bal*100) — exact for
+      2-decimal values, order-isomorphic to the double), bucketed by
+      its high bits (``cents >> 10`` ≈ value-width-1024 ranges — a
+      near-uniform TPC-H balance gives balanced buckets; a skewed
+      column would bucket on a sampled CDF instead);
+    * per-bucket counts roll into cumulative bases over the tiny
+      O(buckets) frame (the only global window — behind an aggregate);
+    * row_number runs only WITHIN a bounded bucket, and
+      rank = base + in-bucket position.
+
+    Then ntile(4) = the closed-form split of rank over (N div 4,
+    N mod 4), percent_rank = (rank-1)/(N-1), cume_dist = rank/N (the
+    (cents, custkey) order is total — custkey is unique — so there
+    are no ties and cume_dist needs no peer counting). Output is
+    bit-identical to the window form, so the oracle is unchanged.
+    N itself is a driver-side count (parquet-footer metadata read) —
+    the same 1-value collect class as the mixture quota rows."""
     c = load_table(spark, "customer", sf_dir)
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    keyed = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("__cents"),
+    ).withColumn("__bkt", F.shiftright("__cents", 10))
+    prior = (
+        Window.partitionBy()
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__base"),
+        )
+    )
+    in_bucket = Window.partitionBy("__bkt").orderBy("__cents", "c_custkey")
+    ranked = keyed.join(F.broadcast(bases), "__bkt").withColumn(
+        "__r",
+        (F.col("__base") + F.row_number().over(in_bucket)).cast("long"),
+    )
+
+    n_total = c.count()
+    quart, rem = divmod(n_total, 4)
+    cut = rem * (quart + 1)
+
+    def idiv(a, d: int):  # exact long division, positive operands
+        return ((a - F.pmod(a, F.lit(d))) / F.lit(d)).cast("long")
+
+    r = F.col("__r")
+    tile = F.when(
+        F.lit(rem > 0) & (r <= F.lit(cut)),
+        idiv(r - 1, quart + 1) + 1,
+    ).otherwise(F.lit(rem) + idiv(r - F.lit(cut) - 1, max(quart, 1)) + 1)
+    pct = (
+        F.lit(0.0)
+        if n_total <= 1
+        else (r - 1).cast("double") / F.lit(float(n_total - 1))
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        tile.cast("long").alias("balance_quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(r.cast("double") / F.lit(float(n_total)), 6).alias("cume"),
     )
 
 

@@ -402,6 +402,23 @@ def test_shuffle_rank_has_no_all_rows_window(spark):
     assert P.python_eval_count(df) == 0
 
 
+def test_balance_quartiles_has_no_all_rows_window(spark):
+    """ntile/percent_rank/cume_dist over the full customer table must
+    NOT plan as a global ORDER BY window (single-partition sort of the
+    corpus — the r07 weak flag): the only data-sized window partitions
+    by the cents bucket; the sole unpartitioned window is the
+    O(buckets) bases frame behind an aggregate, exactly the
+    deterministic_shuffle shape."""
+    df = _q(spark, "customer_balance_quartiles")
+    specs = P.window_partition_columns(df)
+    assert any("__bkt" in cols for cols in specs), specs
+    # no ntile/percent_rank/cume_dist window remains anywhere
+    plan = P.physical_plan(df)
+    for fn in ("ntile", "percent_rank", "cume_dist"):
+        assert fn not in plan, f"{fn} window survived the closed-form rewrite"
+    assert P.python_eval_count(df) == 0
+
+
 def test_store_gc_plan_is_windowless_two_aggregate(spark):
     """GC accounting must stay aggregate+join: no window anywhere (a
     refcount window keyed on the chunk identity would pin a hot chunk's
