@@ -95,8 +95,11 @@ __all__ = [
     "merge_quantile_sketches",
     "quantile_bounds",
     "layout_drift",
+    "relayout",
     "compact_stream_store",
     "realize_mixture",
+    "rebuild_ann_index",
+    "auto_quantile_sketch",
 ]
 
 
@@ -783,6 +786,49 @@ def layout_drift(spark, path: str) -> DataFrame:
     from cdc_algorithms_spark.operators.layout import layout_drift_report
 
     return layout_drift_report(spark, path)
+
+
+def relayout(spark, path: str, min_excess: int = 1, nd: bool = False) -> bool:
+    """The RE-PLAN verb that consumes :func:`layout_drift`: when the
+    summed per-cell excess reaches ``min_excess``, re-derive FRESH
+    bounds over base ∪ appends, rewrite the store staged, and swap
+    rename-first with a refreshed meta; below threshold the store is
+    left byte-untouched and False returns (operators/layout.py::
+    zorder_relayout / zorder_relayout_nd; oracle-checked by
+    zorder_relayout_check)."""
+    from cdc_algorithms_spark.operators.layout import (
+        zorder_relayout,
+        zorder_relayout_nd,
+    )
+
+    fn = zorder_relayout_nd if nd else zorder_relayout
+    return fn(spark, path, min_excess=min_excess)
+
+
+def auto_quantile_sketch(
+    df: DataFrame, group_cols, value_col: str, buckets: int = 64
+) -> DataFrame:
+    """:func:`quantile_sketch` with DISCOVERED bounds: one exact
+    min/max pass fixes the grid and the bounds persist in the sketch
+    rows (read them back with qsketch.sketch_grid), so a standing
+    pipeline can sketch a column nobody knows the range of while
+    keeping the exact-merge law
+    (operators/qsketch.py::histogram_sketch_auto)."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_auto
+
+    return histogram_sketch_auto(df, group_cols, value_col, buckets)
+
+
+def rebuild_ann_index(spark, path: str, vectors: DataFrame, **kw) -> None:
+    """Codebook-drift refresh for a durable IVF-PQ store: retrain the
+    model on the CURRENT corpus (base ∪ every streamed delta),
+    re-encode all codes, and swap the new index in rename-first —
+    the periodic answer to recall erosion under distribution shift
+    (operators/similarity.py::rebuild_pq_index; oracle-checked by
+    ann_pq_rebuild_check)."""
+    from cdc_algorithms_spark.operators.similarity import rebuild_pq_index
+
+    return rebuild_pq_index(spark, path, vectors, **kw)
 
 
 def compact_stream_store(spark, store_dir: str) -> int:

@@ -893,6 +893,105 @@ def layout_drift_report(spark, path: str) -> DataFrame:
     return out
 
 
+def _swap_store_rename_first(spark, path: str, tmp: str) -> None:
+    """Install the staged store at ``tmp`` (+ its ``{tmp}_meta``) over
+    the live store at ``path`` rename-FIRST: park the live data and
+    meta at sibling directories, install the staged copies, then drop
+    the parked ones — so a crash between any two renames leaves every
+    byte on disk (installed or parked, never deleted-but-not-replaced).
+    Same commit discipline as similarity.py::compact_pq_index."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    old, old_meta = f"{path}__relayout_old", f"{path}__relayout_old_meta"
+    fs.delete(P(old), True)
+    fs.delete(P(old_meta), True)
+    if not fs.rename(P(path), P(old)):
+        raise IOError(f"could not park the live store at {old}")
+    if not fs.rename(P(tmp), P(path)):
+        raise IOError(
+            f"could not install the staged store; live data parked at {old}"
+        )
+    if fs.exists(P(_meta_path(path))) and not fs.rename(
+        P(_meta_path(path)), P(old_meta)
+    ):
+        raise IOError(f"could not park the live meta at {old_meta}")
+    if not fs.rename(P(_meta_path(tmp)), P(_meta_path(path))):
+        raise IOError(
+            f"could not install the staged meta; old meta parked at"
+            f" {old_meta}"
+        )
+    fs.delete(P(old), True)
+    fs.delete(P(old_meta), True)
+
+
+def zorder_relayout(spark, path: str, min_excess: int = 1) -> bool:
+    """The executable RE-PLAN verb that consumes
+    :func:`layout_drift_report` — closing the OPTIMIZE loop the drift
+    report only measured: when accumulated clustering decay (the sum
+    of per-cell value-unit excesses) reaches ``min_excess``, recompute
+    FRESH bounds over the WHOLE store (base ∪ every frozen-bounds
+    append), rewrite the full layout against them to a staged sibling,
+    and swap it in rename-first with a refreshed meta. Below the
+    threshold the store is left byte-untouched and ``False`` returns.
+
+    This is the reference's seam rule restated at the storage layer
+    (ae.rs:33,74 — bounded look-back re-derivation instead of trusting
+    stale state): appends trusted the frozen grid as long as drift
+    stayed tolerable; past the threshold the grid itself is re-derived
+    from the data. The rewrite is the same map-only assignment + one
+    hash exchange as :func:`zorder_rewrite` — never a global sort —
+    and the swap cost is a constant number of directory renames.
+    Post-relayout, :func:`layout_drift_report` reports zero excess
+    everywhere by construction (oracle-checked:
+    ``zorder_relayout_check``)."""
+    drift = layout_drift_report(spark, path)
+    tot = drift.agg(
+        F.sum(F.col("x_excess") + F.col("y_excess")).cast("long").alias("t")
+    ).collect()[0]["t"]
+    if (tot or 0) < min_excess:
+        return False
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    full = spark.read.parquet(path).drop("file_id")
+    tmp = f"{path}__relayout_tmp"
+    zorder_rewrite(
+        full,
+        meta["x_col"],
+        meta["y_col"],
+        tmp,
+        bits=int(meta["bits"]),
+        file_bits=int(meta["file_bits"]),
+    )
+    _swap_store_rename_first(spark, path, tmp)
+    return True
+
+
+def zorder_relayout_nd(spark, path: str, min_excess: int = 1) -> bool:
+    """:func:`zorder_relayout` for k-D (:func:`zorder_rewrite_nd`)
+    stores: the drift trigger sums every dimension's excess from
+    :func:`layout_drift_report_nd`, the fresh rewrite re-derives all k
+    bounds over base ∪ appends, and the swap is the same rename-first
+    sibling dance."""
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    cols = list(meta["cols"])
+    drift = layout_drift_report_nd(spark, path)
+    from functools import reduce
+    from operator import add
+
+    tot_col = reduce(add, [F.col(f"{c}_excess") for c in cols])
+    tot = drift.agg(F.sum(tot_col).cast("long").alias("t")).collect()[0]["t"]
+    if (tot or 0) < min_excess:
+        return False
+    full = spark.read.parquet(path).drop("file_id")
+    tmp = f"{path}__relayout_tmp"
+    zorder_rewrite_nd(
+        full, cols, tmp,
+        bits=int(meta["bits"]), file_bits=int(meta["file_bits"]),
+    )
+    _swap_store_rename_first(spark, path, tmp)
+    return True
+
+
 def write_zorder_meta_nd(
     df: DataFrame, cols: list[str], path: str, bits: int, file_bits: int
 ) -> None:

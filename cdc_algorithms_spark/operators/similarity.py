@@ -775,6 +775,66 @@ def compact_pq_index(spark, path: str) -> None:
     fs.delete(P(f"{path}/codes_delta"), True)
 
 
+def rebuild_pq_index(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    iters: int = 3,
+    seed: int = 43,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Codebook-drift refresh — the verb behind the decay contract
+    :func:`extend_pq_index` documents ("re-train + re-encode is the
+    periodic answer"): retrain the IVF-PQ model on the CURRENT corpus
+    (``vectors`` — base ∪ every streamed batch; the index stores only
+    codes, so the caller's id-addressable vector table supplies the
+    training data, same as the re-rank), re-encode ALL codes against
+    the fresh model, and swap the staged index in rename-first.
+
+    This is the ANN analogue of layout re-planning
+    (layout.py::zorder_relayout) and the reference's seam rule one
+    more time: frozen-model encode-only epochs are trusted while the
+    distribution holds; once it shifts (new cluster geometry the seed
+    codebooks never saw — recall erodes, measured in
+    tests/test_ann_streaming.py and SCALING.md §19), the model itself
+    is re-derived from data. Structural params (dim/m/ksub/nlist)
+    carry over from the live model so probes keep their plan shape;
+    the one-time cost is the same Lloyd + full encode a first build
+    pays. Deltas are subsumed by the rebuilt base (the staged store
+    has none), so probe plans drop their per-generation branches too —
+    a rebuild is also the deepest compaction. Crash-safe: the live
+    index is parked (``{path}__rebuild_old``) until the staged one is
+    installed. Oracle-checked by ``ann_pq_rebuild_check``."""
+    row = spark.read.parquet(f"{path}/model").collect()[0]
+    tmp = f"{path}__rebuild_tmp"
+    write_pq_index(
+        vectors,
+        tmp,
+        dim=int(row["dim"]),
+        m=int(row["m"]),
+        ksub=int(row["ksub"]),
+        nlist=len(row["centroids"]),
+        iters=iters,
+        seed=seed,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+    )
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = f"{path}__rebuild_old"
+    fs.delete(P(old), True)
+    if not fs.rename(P(path), P(old)):
+        raise IOError(f"could not park the live index at {old}")
+    if not fs.rename(P(tmp), P(path)):
+        raise IOError(
+            f"could not install the rebuilt index; live index parked at"
+            f" {old}"
+        )
+    fs.delete(P(old), True)
+
+
 def pq_topk_indexed(
     queries: DataFrame,
     index: PqIndex,

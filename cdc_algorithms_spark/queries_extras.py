@@ -1875,6 +1875,105 @@ FROM ideal
 """
 
 
+# Post-relayout drift, replayed from scratch: FRESH bounds over ALL
+# points (base ∪ appends — no frozen subset), fresh cell assignment,
+# and the same integer rectangle inversion. Equality proves the
+# relayout realized the fresh plan bit-for-bit (per-cell extents),
+# conserved every row (per-cell counts), and drove drift to exactly
+# zero everywhere (the excesses the oracle computes are all 0 by the
+# in-range property of fresh bounds — computed, not asserted).
+_ZORDER_RELAYOUT_ORACLE = f"""
+WITH pts AS (
+    SELECT o_custkey AS x,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS y
+    FROM orders
+),
+mm AS (
+    SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+    FROM pts
+),
+sc AS (
+    SELECT x, y,
+           LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('x', 'xlo', 'xhi', _Z_BITS)})) AS sx,
+           LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+               {_scaled_sql('y', 'ylo', 'yhi', _Z_BITS)})) AS sy
+    FROM pts, mm
+),
+z AS (
+    SELECT x, y,
+           CAST(({_interleave_sql('sx', 'sy', _Z_BITS)})
+                >> {2 * (_Z_BITS - _Z_FILE_BITS)} AS BIGINT) AS file_id
+    FROM sc
+),
+per_cell AS (
+    SELECT file_id, COUNT(*) AS n_rows,
+           MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx
+    FROM z GROUP BY 1
+),
+grid AS (
+    SELECT p.*, mm.xlo, mm.ylo,
+           (mm.xhi - mm.xlo + 1) AS rx, (mm.yhi - mm.ylo + 1) AS ry,
+           ({_deinterleave_sql('p.file_id', _Z_FILE_BITS, 1)}) AS cx,
+           ({_deinterleave_sql('p.file_id', _Z_FILE_BITS, 0)}) AS cy
+    FROM per_cell p, mm
+),
+ideal AS (
+    SELECT file_id, n_rows, xmn, xmx, ymn, ymx,
+           xlo + ((cx * {_Z_CU} * rx + {_Z_M - 1}) // {_Z_M}) AS ixl,
+           xlo + (((cx + 1) * {_Z_CU} * rx + {_Z_M - 1}) // {_Z_M}) - 1 AS ixh,
+           ylo + ((cy * {_Z_CU} * ry + {_Z_M - 1}) // {_Z_M}) AS iyl,
+           ylo + (((cy + 1) * {_Z_CU} * ry + {_Z_M - 1}) // {_Z_M}) - 1 AS iyh
+    FROM grid
+)
+SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) AS BIGINT)
+           AS x_excess,
+       CAST(GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) AS BIGINT)
+           AS y_excess,
+       (GREATEST(0, ixl - xmn) + GREATEST(0, xmx - ixh) = 0
+        AND GREATEST(0, iyl - ymn) + GREATEST(0, ymx - iyh) = 0)
+           AS within_plan
+FROM ideal
+"""
+
+
+@register("zorder_relayout_check", _ZORDER_RELAYOUT_ORACLE)
+def q_zorder_relayout_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-PLAN verb, verified end-to-end (operators/layout.py::
+    zorder_relayout — the executable consumer the r07 drift report
+    lacked): a fresh base rewrite + frozen-bounds append accumulates
+    real drift (clamped out-of-range days), zorder_relayout detects it
+    over threshold, re-derives FRESH bounds over base ∪ appends,
+    rewrites the whole store staged + rename-first, and refreshes the
+    meta. The result is the drift report of the RELAYOUTED store; the
+    oracle replays the fresh-bounds assignment and rectangle inversion
+    from the source table — equality proves the rewrite realized the
+    fresh plan exactly, conserved every row, and drove every cell's
+    excess to zero (the seam rule at the storage layer: re-derive from
+    data instead of trusting the stale grid). Built per call — the
+    verb mutates the store."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.layout import (
+        layout_drift_report,
+        zorder_append,
+        zorder_relayout,
+        zorder_rewrite,
+    )
+
+    path = tempfile.mkdtemp(prefix="cdc_zorder_relayout_")
+    pts = _order_points(spark, sf_dir)
+    zorder_rewrite(
+        pts.where(F.col("y") < _ZA_SPLIT), "x", "y", path,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    zorder_append(pts.where(F.col("y") >= _ZA_SPLIT), path)
+    if not zorder_relayout(spark, path):
+        raise AssertionError("appended store must trip the drift trigger")
+    return layout_drift_report(spark, path)
+
+
 @register("zorder_drift_check", _ZORDER_DRIFT_ORACLE)
 def q_zorder_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-decay measurement, verified (operators/layout.py::

@@ -200,3 +200,68 @@ def test_epoch_dirs_are_cell_partitioned(spark, tmp_path):
     delta = os.path.join(path, "codes_delta", "epoch_4")
     assert os.path.isdir(delta)
     assert any(d.startswith("cell=") for d in os.listdir(delta))
+
+
+# --- rebuild_pq_index: the codebook-drift refresh ---------------------------
+
+
+def test_rebuild_check_matches_oracle(spark):
+    compare_with_oracle(spark, "ann_pq_rebuild_check", SF_DIR)
+
+
+def test_rebuild_equals_fresh_build_and_subsumes_deltas(spark, tmp_path):
+    """rebuild_pq_index ≡ write_pq_index on the current corpus with the
+    same params/seed — bit-identical model and codes — and the staged
+    swap drops every delta generation (a rebuild is also the deepest
+    compaction). Counts conserve: one code per corpus vector."""
+    from cdc_algorithms_spark.operators.similarity import rebuild_pq_index
+
+    emb = _emb(spark)
+    drifted = str(tmp_path / "drifted")
+    fresh = str(tmp_path / "fresh")
+    write_pq_index(emb.where(F.col("label") < 5), drifted, dim=64, nlist=16)
+    extend_pq_index(
+        spark, drifted,
+        emb.where(F.col("label") >= 5).select("vec_id", "embedding"),
+        epoch=0,
+    )
+    n_corpus = emb.count()
+    assert read_pq_index(spark, drifted).codes.count() == n_corpus
+
+    rebuild_pq_index(spark, drifted, emb, seed=43)
+    # delta dirs are gone; parked/staging siblings cleaned up
+    assert not os.path.exists(f"{drifted}/codes_delta")
+    assert not os.path.exists(f"{drifted}__rebuild_tmp")
+    assert not os.path.exists(f"{drifted}__rebuild_old")
+
+    write_pq_index(emb, fresh, dim=64, nlist=16, seed=43)
+    a = sorted(
+        tuple(r)
+        for r in read_pq_index(spark, drifted).codes.select(
+            "vec_id", "cell", "code"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in read_pq_index(spark, fresh).codes.select(
+            "vec_id", "cell", "code"
+        ).collect()
+    )
+    assert a == b and len(a) == n_corpus
+    # probes through both stores return identical rows
+    assert _probe_rows(spark, drifted) == _probe_rows(spark, fresh)
+
+
+def test_rebuild_carries_structural_params(spark, tmp_path):
+    """dim/m/ksub/nlist carry over from the live model so probe plans
+    keep their shape; the refreshed model differs only in the learned
+    centroids/codebooks."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("label") < 5), path, dim=64, m=8,
+                   ksub=16, nlist=16)
+    from cdc_algorithms_spark.operators.similarity import rebuild_pq_index
+
+    rebuild_pq_index(spark, path, emb)
+    idx = read_pq_index(spark, path)
+    assert (idx.dim, idx.m, idx.ksub, len(idx.cents)) == (64, 8, 16, 16)

@@ -282,3 +282,96 @@ def test_nd_fresh_rewrite_has_zero_drift(spark):
     )
     rep = layout_drift_report_nd(spark, path)
     assert rep.where("NOT within_plan").count() == 0
+
+
+# --- the RE-PLAN verb: zorder_relayout / zorder_relayout_nd ----------------
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_relayout_check_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "zorder_relayout_check", sf)
+
+
+def _store_file_set(path: str) -> set[tuple[str, float]]:
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out.add((p, os.path.getmtime(p)))
+    return out
+
+
+def test_relayout_under_threshold_is_untouched(spark):
+    """A fresh store has zero drift: zorder_relayout must return False
+    and leave every file byte- and mtime-untouched (no staged write,
+    no swap, no meta refresh)."""
+    from cdc_algorithms_spark.operators.layout import zorder_relayout
+
+    path = tempfile.mkdtemp(prefix="t_relayout_noop_")
+    zorder_rewrite(
+        _order_points(spark, SF_DIR), "x", "y", path,
+        bits=_Z_BITS, file_bits=_Z_FILE_BITS,
+    )
+    before = _store_file_set(path)
+    assert zorder_relayout(spark, path) is False
+    assert _store_file_set(path) == before
+    assert not os.path.exists(f"{path}__relayout_tmp")
+
+
+def test_relayout_clears_drift_and_conserves_rows(spark):
+    """Drifted store → relayout fires, post-relayout drift is zero in
+    every cell, rows are conserved, and appends against the REFRESHED
+    meta land in fresh-bounds cells (no clamping for in-range rows)."""
+    from cdc_algorithms_spark.operators.layout import (
+        layout_drift_report,
+        zorder_relayout,
+    )
+
+    path = tempfile.mkdtemp(prefix="t_relayout_")
+    _split_store(spark, path)
+    n_before = spark.read.parquet(path).count()
+    drift_before = layout_drift_report(spark, path)
+    assert drift_before.where("NOT within_plan").count() > 0
+    assert zorder_relayout(spark, path) is True
+    rep = layout_drift_report(spark, path)
+    assert rep.where("NOT within_plan").count() == 0
+    assert spark.read.parquet(path).count() == n_before
+    # the refreshed meta covers the full value range now
+    from cdc_algorithms_spark.operators.layout import _meta_path
+
+    meta = spark.read.parquet(_meta_path(path)).collect()[0]
+    mm = _order_points(spark, SF_DIR).agg(
+        F.min("y").alias("lo"), F.max("y").alias("hi")
+    ).collect()[0]
+    assert (meta["y_lo"], meta["y_hi"]) == (mm["lo"], mm["hi"])
+    # idempotence: a second call sees zero drift and does nothing
+    assert zorder_relayout(spark, path) is False
+
+
+def test_nd_relayout_clears_drift(spark):
+    from cdc_algorithms_spark.operators.layout import (
+        layout_drift_report_nd,
+        zorder_append_nd,
+        zorder_relayout_nd,
+        zorder_rewrite_nd,
+    )
+    from cdc_algorithms_spark.queries_extras import (
+        _Z3A_SPLIT,
+        _Z3_BITS,
+        _Z3_FILE_BITS,
+        _event_points3,
+    )
+
+    path = tempfile.mkdtemp(prefix="t_relayout3_")
+    pts = _event_points3(spark, SF_DIR)
+    zorder_rewrite_nd(
+        pts.where(F.col("y") < _Z3A_SPLIT), ["x", "y", "z"], path,
+        bits=_Z3_BITS, file_bits=_Z3_FILE_BITS,
+    )
+    zorder_append_nd(pts.where(F.col("y") >= _Z3A_SPLIT), path)
+    n_before = spark.read.parquet(path).count()
+    assert zorder_relayout_nd(spark, path) is True
+    rep = layout_drift_report_nd(spark, path)
+    assert rep.where("NOT within_plan").count() == 0
+    assert spark.read.parquet(path).count() == n_before
+    assert zorder_relayout_nd(spark, path) is False
