@@ -2166,6 +2166,128 @@ def q_mixture_realized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Auto-bounded sketches: the grid is DISCOVERED (exact global min/max
+# over non-null cents), so the oracle recomputes the same grid from the
+# data and replays the whole pipeline against it — width =
+# ceil((hi-lo+1)/B) in pure BIGINT.
+_QSKETCH_AUTO_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+),
+gw AS (
+    SELECT MIN(v) AS glo, MAX(v) AS ghi,
+           (MAX(v) - MIN(v) + {_QS_B}) // {_QS_B} AS w
+    FROM c WHERE v IS NOT NULL
+),
+bkt AS (
+    SELECT event_type,
+           LEAST({_QS_B - 1}, GREATEST(0, (v - gw.glo) // gw.w)) AS b, v
+    FROM c, gw WHERE v IS NOT NULL
+),
+per_bt AS (SELECT event_type, b, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2),
+heads AS (
+    SELECT event_type, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+    FROM bkt GROUP BY 1
+),
+cum AS (
+    SELECT event_type, b,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cm
+    FROM per_bt
+),
+sel AS (
+    SELECT c.event_type,
+           MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
+    FROM cum c JOIN heads h USING (event_type) GROUP BY 1
+),
+typed AS (
+    SELECT 'type:' || h.event_type AS scope, h.n, h.vmin, h.vmax,
+           s.b50, s.b90, s.b99
+    FROM heads h JOIN sel s USING (event_type)
+),
+g_heads AS (SELECT COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax FROM bkt),
+g_per_b AS (SELECT b, COUNT(*) AS cnt FROM bkt GROUP BY 1),
+g_cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cm FROM g_per_b),
+g_sel AS (
+    SELECT MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
+    FROM g_cum, g_heads h GROUP BY h.n
+),
+unioned AS (
+    SELECT * FROM typed
+    UNION ALL
+    SELECT 'all' AS scope, h.n, h.vmin, h.vmax, s.b50, s.b90, s.b99
+    FROM g_heads h, g_sel s
+)
+SELECT scope, CAST(n AS BIGINT) AS n,
+       CAST(vmin AS BIGINT) AS v_min, CAST(vmax AS BIGINT) AS v_max,
+       CAST(CASE WHEN b50 = 0 THEN vmin
+                 ELSE GREATEST(vmin, gw.glo + b50 * gw.w) END
+            AS BIGINT) AS p50_lo,
+       CAST(CASE WHEN b50 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, gw.glo + (b50 + 1) * gw.w - 1) END
+            AS BIGINT) AS p50_hi,
+       CAST(CASE WHEN b90 = 0 THEN vmin
+                 ELSE GREATEST(vmin, gw.glo + b90 * gw.w) END
+            AS BIGINT) AS p90_lo,
+       CAST(CASE WHEN b90 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, gw.glo + (b90 + 1) * gw.w - 1) END
+            AS BIGINT) AS p90_hi,
+       CAST(CASE WHEN b99 = 0 THEN vmin
+                 ELSE GREATEST(vmin, gw.glo + b99 * gw.w) END
+            AS BIGINT) AS p99_lo,
+       CAST(CASE WHEN b99 = {_QS_B - 1} THEN vmax
+                 ELSE LEAST(vmax, gw.glo + (b99 + 1) * gw.w - 1) END
+            AS BIGINT) AS p99_hi
+FROM unioned, gw
+"""
+
+
+@register("value_quantile_sketch_auto", _QSKETCH_AUTO_ORACLE)
+def q_value_quantile_sketch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-bounded quantile sketches, value-checked end to end
+    (operators/qsketch.py::histogram_sketch_auto — the r07 caveat
+    CLEARED: the grid no longer needs caller-known bounds): one exact
+    min/max pass DISCOVERS the grid, the bounds persist in the sketch
+    rows, sketch_grid reads them back for the quantile walk, and the
+    oracle recomputes the same discovered grid from the data — so the
+    whole discover → sketch → merge → read pipeline replays
+    bit-for-bit in DuckDB. The exact-merge law is untouched (same
+    fixed-grid histograms once the grid is fixed), so deltas sketched
+    against the read-back grid keep merging exactly."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_auto,
+        sketch_grid,
+        sketch_merge,
+        sketch_quantiles,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # persisted: the sketch rows feed grid read-back, per-type reads,
+    # and the global merge — without it each branch re-aggregates
+    sk = histogram_sketch_auto(cents, ["event_type"], "cents", _QS_B).persist()
+    lo, hi, b = sketch_grid(sk)
+    per_type = sketch_quantiles(
+        sk, lo, hi, b, keep_cols=["event_type"]
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    global_q = sketch_quantiles(sketch_merge(sk), lo, hi, b).select(
+        F.lit("all").alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    return per_type.unionByName(global_q)
+
+
 @register("streaming_value_quantile_sketch", _QSKETCH_ORACLE)
 def q_streaming_value_quantile_sketch(
     spark: SparkSession, sf_dir: str

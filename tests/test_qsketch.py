@@ -294,3 +294,8 @@ def test_streamed_sketch_is_batching_invariant(spark, tmp_path):
             "cents", LO, HI, B,
         )
         assert sorted(tuple(r) for r in folded.collect()) == direct
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_auto_quantile_sketch_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "value_quantile_sketch_auto", sf)
