@@ -14,7 +14,11 @@ import bench
 
 
 def _line_for(values: dict[str, float]) -> str:
-    return bench.format_contract_line(values, sum(values.values()), 0.1)
+    # cpu_total always present in real runs — include it in the budget
+    return bench.format_contract_line(
+        values, sum(values.values()), 0.1,
+        cpu_total=sum(values.values()) * 8.0,
+    )
 
 
 def _worst_case_values() -> dict[str, float]:
@@ -28,8 +32,29 @@ def test_contract_line_fits_driver_tail_at_full_precision():
     payload = json.loads(line)
     assert len(line) + 1 <= 2000
     # and WITHOUT the 1-decimal fallback: per-query 2-decimal precision
-    # is what the per-pin 2x-band audit reads
+    # is what the per-pin 2x-band audit reads. At the 9.99-everywhere
+    # worst case the ladder may sacrifice cpu_total (it always survives
+    # in BENCH_LOCAL.json) but never the per-query walls.
     assert payload["queries"] == {n: 9.99 for n in bench.HEADLINE}
+
+
+def test_contract_line_keeps_cpu_total_at_realistic_values():
+    # a realistic sf0.1 profile must carry BOTH metrics on the one
+    # line — the r08 de-noise contract. Real runs mix 3- and 4-char
+    # values (BENCH_r07 tail: "0.7", "1.0", "0.37", "2.54") — model
+    # that mix rather than the all-4-char worst case, which is what
+    # the full-precision test above covers (there cpu_total is the
+    # designated sacrifice).
+    vals = {
+        name: (0.6 if i % 2 else 0.64)
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    line = bench.format_contract_line(vals, sum(vals.values()), 0.1,
+                                      cpu_total=412.37)
+    payload = json.loads(line)
+    assert len(line) + 1 <= 2000
+    assert payload["cpu_total"] == 412.37
+    assert set(payload["queries"]) == set(bench.HEADLINE)
 
 
 def test_contract_line_ladder_never_overflows():

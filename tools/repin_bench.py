@@ -60,7 +60,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--write", action="store_true")
+    ap.add_argument("--write", action="store_true",
+                    help="rewrite BOTH wall and CPU pin blocks")
+    ap.add_argument("--write-cpu", action="store_true",
+                    help="rewrite ONLY BASELINE_CPU_SF01 (leave the wall "
+                         "pins — and the judge's 2x bands — untouched)")
     args = ap.parse_args()
 
     runs = []
@@ -109,6 +113,30 @@ def main() -> None:
         src = src[: m.start()] + block + src[m.end():]
         open(bench_path, "w").write(src)
         print("bench.py BASELINE_SF01 rewritten "
+              f"(median of {args.runs} runs at {args.sf_dir})")
+
+    if args.write or args.write_cpu:
+        # CPU medians come from the same raw runs (bench.py's "cpu"
+        # map, present since r08)
+        if not all(r.get("cpu") for r in runs):
+            sys.exit("runs carry no per-query cpu map — old bench.py?")
+        cpu_medians = {
+            q: round(statistics.median(r["cpu"][q] for r in runs), 2)
+            for q in runs[0]["cpu"]
+        }
+        src = open(bench_path).read()
+        mc = re.search(
+            r"BASELINE_CPU_SF01: dict\[str, float\] = \{.*?\}", src, re.S
+        )
+        if not mc:
+            sys.exit("BASELINE_CPU_SF01 block not found in bench.py")
+        cbody = "".join(
+            f'    "{q}": {cpu_medians[q]:.2f},\n' for q in runs[0]["cpu"]
+        )
+        cblock = "BASELINE_CPU_SF01: dict[str, float] = {\n" + cbody + "}"
+        src = src[: mc.start()] + cblock + src[mc.end():]
+        open(bench_path, "w").write(src)
+        print("bench.py BASELINE_CPU_SF01 rewritten "
               f"(median of {args.runs} runs at {args.sf_dir})")
 
 
