@@ -20,8 +20,14 @@ region, and the report records
   §18 level (planted recall ≈ 1.0), deltas subsumed.
 
 Deterministic corpus; base half reuses tools/ann_scale_run.py's
-generator design, shifted half is ``SHIFT + 0.35 * uniform`` with
-SHIFT a fixed displaced direction.
+generator design, shifted half is ``SHIFT + SHIFT_SPREAD * uniform``
+with SHIFT a fixed direction of norm SHIFT_SCALE (outside the base
+support) and SHIFT_SPREAD chosen in the regime where the stale
+codebooks CANNOT resolve the new domain (codes collide → ADC ties →
+the bounded re-rank draws from a tied pool) but a retrained quantizer
+CAN (fixture sweep at 20k: spread 1.0 → no erosion at all; 0.12 →
+erodes but Lloyd's mean-collapse on a near-zero-variance blob can't
+resolve it even retrained; 0.2–0.3 → erodes AND recovers).
 
 Usage::
 
@@ -45,8 +51,8 @@ sys.path.insert(0, TOOLS)
 
 from ann_scale_run import DIM, EPS, SEED, TWINS  # noqa: E402
 
-SHIFT_SCALE = 1.6   # displacement of the shifted cluster's center
-SHIFT_SPREAD = 0.35  # shifted cluster is tighter than the base uniform
+SHIFT_SCALE = 2.5   # displacement: the new domain sits outside the base support
+SHIFT_SPREAD = 0.25  # new-domain spread: tight enough to defeat the stale codebooks, wide enough for a retrain to resolve
 
 
 def build_drift_corpus_df(spark, n: int, partitions: int, step: int):
