@@ -873,6 +873,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "media_summary",
     "minhash_lsh_pairs",
     "mixture_plan_by_source",
+    "mixture_realized_sample",
     "mixture_temperature_weights",
     "monthly_order_stats",
     "near_dup_clusters_lsh",
@@ -887,6 +888,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "part_metrics_unpivot",
     "parts_shipped_1998_semi",
     "pii_scrub_docs",
+    "pps_sample_docs",
+    "pps_sample_docs_by_lang",
     "price_quantiles",
     "profile_drift_docs",
     "profile_orders",
@@ -942,10 +945,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_event_counts_update_mode",
     "streaming_event_funnel",
     "streaming_event_type_counts",
+    "streaming_ingest_disorder_check",
     "streaming_ingest_novelty",
     "streaming_ingest_pipeline",
     "streaming_near_dup_index",
     "streaming_novel_chunks_by_lang",
+    "streaming_pq_index",
     "streaming_purchases_by_nation",
     "streaming_sketch_unique_estimate",
     "streaming_stateful_ae_concat_check",
@@ -954,6 +959,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_unique_chunks_stats",
     "streaming_user_sessions",
     "streaming_value_outliers",
+    "streaming_value_quantile_sketch",
     "streaming_view_purchase_conversions",
     "streaming_windowed_event_counts",
     "streaming_zorder_route",
@@ -970,9 +976,17 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "user_sessions",
     "value_band_range_join",
     "value_outliers",
+    "value_quantile_sketch",
     "viewers_never_purchased",
+    "zorder3_append_check",
+    "zorder3_drift_check",
     "zorder3_layout_plan",
+    "zorder3_realized_pruning",
+    "zorder3_rewrite_check",
+    "zorder_append_check",
+    "zorder_drift_check",
     "zorder_layout_plan",
+    "zorder_maintenance_check",
     "zorder_pruning_gain",
     "zorder_realized_pruning",
     "zorder_rewrite_check",
@@ -985,19 +999,23 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # already-green names when fewer than 50 need verification (as in this
 # r03 rotation: 31 backlog + 19 green re-checks).
 _VERIFY_WINDOW: list[str] = [
+    "ann_pq_rebuild_check",
+    "zorder_relayout_check",
+    "value_quantile_sketch_auto",
+    "customer_balance_quartiles",
+    "value_quantile_sketch",
+    "streaming_value_quantile_sketch",
+    "zorder_maintenance_check",
     "streaming_ingest_disorder_check",
     "zorder3_rewrite_check",
     "zorder3_realized_pruning",
     "streaming_pq_index",
     "pps_sample_docs",
     "zorder_append_check",
-    "zorder_maintenance_check",
     "pps_sample_docs_by_lang",
-    "value_quantile_sketch",
     "zorder_drift_check",
     "zorder3_append_check",
     "mixture_realized_sample",
-    "streaming_value_quantile_sketch",
     "zorder3_drift_check",
     "zorder_rewrite_check",
     "compaction_rewrite_check",
@@ -1031,10 +1049,6 @@ _VERIFY_WINDOW: list[str] = [
     "chunk_overlap_ae_clone_check",
     "incremental_jaccard_pairs_indexed",
     "simhash_near_dup_check",
-    "streaming_near_dup_index",
-    "mixture_temperature_weights",
-    "dedup_sketch_report_fixed",
-    "snapshot_diff_ae_conservation",
 ]
 
 
