@@ -687,9 +687,27 @@ def _verify_exact_jaccard(
         .unionByName(candidates.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
+    # INNER join (cand_ids is distinct, so it never duplicates), NOT
+    # left_semi — the choice is LOAD-BEARING: ``docs`` is a union for
+    # the incremental callers, and PushDownLeftSemiAntiJoin pushes a
+    # semi-join into both union branches, each ending hash-partitioned
+    # on doc_id. Spark 4.1's UnionExec then CLAIMS the single-branch
+    # HashPartitioning(shuffle.partitions) while its RDD really has
+    # the SUM of the branches' partitions; the bogus claim rides the
+    # persisted aggregate's cache, EnsureRequirements trusts it and
+    # skips the exchange under the verification SortMergeJoin, and the
+    # join dies at runtime with "Can't zip RDDs with unequal numbers
+    # of partitions: List(64, 128)" — deterministic at ≥2-batch corpus
+    # scale, AQE on or off (first hit by tools/ingest_disorder_scale_
+    # run.py at 400k docs; an explicit repartition barrier gets pruned
+    # as "redundant" against the same false claim). Inner joins are
+    # not pushed through Union, so the union stays below one honest
+    # exchange. Cost is identical: the semi form shuffled docs by
+    # doc_id for its own SMJ anyway, and shingling still happens only
+    # for candidate-pair documents.
     pruned = docs.join(
-        cand_ids, F.col(id_col).cast("long") == F.col("__cid"), "left_semi"
-    )
+        cand_ids, F.col(id_col).cast("long") == F.col("__cid"), "inner"
+    ).drop("__cid")
     sh = _persist(
         doc_shingles(pruned, n, id_col, text_col)
         .groupBy("doc_id")
@@ -822,7 +840,24 @@ def incremental_minhash_pairs(
         all_bands = _cap_band_buckets(all_bands, max_bucket)
     a = batch_bands.alias("x")
     b = all_bands.alias("y")
-    candidates = (
+    # The persist is LOAD-BEARING twice over. (1) Work: the candidate
+    # frame is consumed four times downstream (both cand_ids branches
+    # + both sides of the verification join) — uncached, the whole
+    # band probe recompiles and re-executes per consumer. (2) A Spark
+    # 4.1 planner bug: each EXTRA compile of this subtree re-resolves
+    # its skew-cap anti-join union through ReuseExchange, which
+    # rewrites the branches' attribute ids; the union's co-partitioning
+    # CLAIM (trusted by EnsureRequirements at planning time, so no
+    # exchange was inserted above it) then silently degrades, the
+    # runtime union falls back from partition-aligned merge to
+    # concatenation, and the parent join dies with "Can't zip RDDs
+    # with unequal numbers of partitions: List(64, 128)" —
+    # deterministic at ≥2-batch corpus scale, AQE on or off (first
+    # caught by tools/ingest_disorder_scale_run.py at 400k docs; a
+    # repartition barrier gets pruned as redundant against the same
+    # stale claim). Caching makes every downstream consumer read one
+    # compiled-once cache scan instead of re-planning the diamond.
+    candidates = _persist(
         a.join(
             b,
             (F.col("x.band") == F.col("y.band"))
