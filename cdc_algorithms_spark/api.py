@@ -100,6 +100,11 @@ __all__ = [
     "realize_mixture",
     "rebuild_ann_index",
     "auto_quantile_sketch",
+    "search",
+    "build_text_index",
+    "search_index",
+    "dup_text_fraction",
+    "importance_weights",
 ]
 
 
@@ -859,3 +864,67 @@ def realize_mixture(
     return pps_systematic_sample_by_group(
         docs, group_col, weight_col, quotas, seed=seed
     )
+
+
+def search(
+    docs: DataFrame, queries: list, k: int = 10, **kw
+) -> DataFrame:
+    """BM25 top-k over a documents frame for a literal query list
+    [(query_id, "query text"), ...] — ranked retrieval for eval-topic
+    probes, contamination suspects, and targeted selection
+    (operators/retrieval.py::bm25_topk; oracle-checked by
+    bm25_topk_docs). Scores are quantized-sum deterministic: identical
+    ranks and scores under any partitioning."""
+    from cdc_algorithms_spark.operators.retrieval import bm25_topk, query_terms
+
+    spark = docs.sparkSession
+    return bm25_topk(docs, query_terms(spark, queries), k=k, **kw)
+
+
+def build_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
+    """Write the durable BM25 posting index: term-bucket-partitioned
+    parquet with document frequency denormalized per posting, plus an
+    exact-BIGINT corpus meta row (operators/retrieval.py::
+    write_text_index). Probes prune reads to the query's own buckets."""
+    from cdc_algorithms_spark.operators.retrieval import write_text_index
+
+    return write_text_index(docs, path, buckets)
+
+
+def search_index(
+    spark, path: str, queries: list, k: int = 10, **kw
+) -> DataFrame:
+    """Probe a :func:`build_text_index` store — identical output to
+    :func:`search`, with posting I/O statically pruned to the buckets
+    the query terms hash into (operators/retrieval.py::
+    bm25_topk_indexed; oracle-checked by bm25_topk_indexed)."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_terms,
+    )
+
+    return bm25_topk_indexed(spark, path, query_terms(spark, queries), k=k, **kw)
+
+
+def dup_text_fraction(docs: DataFrame, n: int = 8, **kw) -> DataFrame:
+    """Per-document duplicate-text fraction: the share of each doc's
+    positional word n-gram instances occurring in ≥ 2 documents — the
+    C4/RefinedWeb threshold signal (operators/selection.py::
+    cross_doc_dup_fraction; oracle-checked by cross_doc_dup_fraction).
+    Pass fingerprint=True at corpus scale to shuffle 8-byte gram
+    fingerprints instead of strings."""
+    from cdc_algorithms_spark.operators.selection import cross_doc_dup_fraction
+
+    return cross_doc_dup_fraction(docs, n=n, **kw)
+
+
+def importance_weights(docs: DataFrame, target_pred, **kw) -> DataFrame:
+    """DSIR-style importance weights: per-doc log-likelihood ratio
+    between smoothed unigram models of the target slice and the raw
+    corpus (operators/selection.py::dsir_importance_weights;
+    oracle-checked by dsir_importance_weights). Feed the weights to
+    :func:`realize_mixture` / the PPS samplers to realize a
+    selection."""
+    from cdc_algorithms_spark.operators.selection import dsir_importance_weights
+
+    return dsir_importance_weights(docs, target_pred, **kw)

@@ -626,6 +626,7 @@ from cdc_algorithms_spark import queries_text  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming  # noqa: E402,F401
 from cdc_algorithms_spark import queries_streaming_diff  # noqa: E402,F401
 from cdc_algorithms_spark import queries_extras  # noqa: E402,F401
+from cdc_algorithms_spark import queries_retrieval  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1002,6 +1003,10 @@ _VERIFY_WINDOW: list[str] = [
     "ann_pq_rebuild_check",
     "zorder_relayout_check",
     "value_quantile_sketch_auto",
+    "bm25_topk_docs",
+    "bm25_topk_indexed",
+    "cross_doc_dup_fraction",
+    "dsir_importance_weights",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1045,10 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "cluster_safe_split_check",
     "media_features_check",
     "dedup_adjusted_mixture",
-    "snapshot_diff_ae_localization_check",
-    "chunk_overlap_ae_clone_check",
-    "incremental_jaccard_pairs_indexed",
-    "simhash_near_dup_check",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Ranked retrieval + data-selection queries (operators/retrieval.py,
+operators/selection.py): BM25 top-k (batch and durable-index probe),
+cross-document duplicate n-gram fraction, and DSIR importance weights.
+
+Oracle pairing: every query here is exactly SQL-expressible because the
+float work is quantized to BIGINTs before any aggregation (see the
+operator module docstrings) — the DuckDB oracles replay the identical
+IEEE-double expression trees and integer sums bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.queries import register
+from cdc_algorithms_spark.sources.registry import load_table
+
+# Same tokenizer CTE as queries_text.py (one definition per file keeps
+# each oracle self-contained, as the driver runs them standalone).
+_WORDS_CTE = r"""
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM documents
+)
+"""
+
+# --- BM25 -------------------------------------------------------------------
+
+BM25_K = 10
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window agg"),
+    (2, "customer stream query"),
+    (3, "vector hash join sort"),
+]
+
+# Pre-tokenized (query_id, term) literals — generated from the SAME
+# Python constant the Spark side tokenizes, so the two sides cannot
+# drift on what a query term is.
+_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, qtext in BM25_QUERIES
+    for t in dict.fromkeys(qtext.lower().split())
+)
+
+_BM25_ORACLE = f"""
+WITH {_WORDS_CTE},
+dl AS (SELECT doc_id, len(words) AS dl FROM w),
+tf AS (
+  SELECT t.doc_id, lower(u.word) AS term, COUNT(*) AS tf
+  FROM w t, UNNEST(t.words) AS u(word) GROUP BY 1, 2
+),
+qt AS (SELECT DISTINCT * FROM (VALUES {_QT_VALUES}) AS t(query_id, term)),
+meta AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                (SELECT SUM(dl) FROM dl) AS sum_dl),
+dfq AS (
+  SELECT tf.term, COUNT(*) AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM qt) q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(CAST(FLOOR(
+           ln(1.0 + (m.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                                      / (m.sum_dl * 1.0 / m.n))))
+           * 1000000000.0) AS BIGINT)) AS score_q
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfq ON tf.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta m
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id
+         ) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(score_q / 1000000000.0, 6) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+@register("bm25_topk_docs", _BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 top-k over the documents table for a literal query
+    set (operators/retrieval.py::bm25_topk). Scores are quantized-sum
+    deterministic; ranking tiebreaks on doc_id; top-k is the
+    WindowGroupLimit rank-filter form."""
+    from cdc_algorithms_spark.operators.retrieval import bm25_topk, query_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, query_terms(spark, BM25_QUERIES), k=BM25_K)
+
+
+# One durable BM25 index per (session, corpus dir) — same contract and
+# cache discipline as the Jaccard shingle index (queries_text.py): the
+# index is the written-once side, repeat calls measure the PROBE.
+_BM25_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("bm25_topk_indexed", _BM25_ORACLE)
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the DURABLE index path (operators/retrieval.py::
+    write_text_index → bm25_topk_indexed): postings live as term-bucket-
+    partitioned parquet with df denormalized per posting; the probe
+    statically prunes its read to the ≤ #query-term buckets the query
+    hashes into (PartitionFilters pinned in tests/test_plans.py). Same
+    oracle as bm25_topk_docs — the index changes where the postings are
+    read from, not what they say."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_terms,
+        write_text_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None:
+        docs = load_table(spark, "documents", sf_dir)
+        path = tempfile.mkdtemp(prefix="cdc_bm25_index_")
+        write_text_index(docs, path)
+        _BM25_INDEX_CACHE.clear()
+        _BM25_INDEX_CACHE[key] = path
+    return bm25_topk_indexed(
+        spark, path, query_terms(spark, BM25_QUERIES), k=BM25_K
+    )
+
+
+# --- Cross-document duplicate n-gram fraction --------------------------------
+
+_DUP_N = 8
+
+_DUP_FRACTION_ORACLE = f"""
+WITH {_WORDS_CTE},
+sh AS (
+  SELECT doc_id, array_to_string(words[i:i+{_DUP_N - 1}], ' ') AS g
+  FROM w, UNNEST(range(1, greatest(len(words) - {_DUP_N - 1}, 1) + 1)) AS t(i)
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS cnt FROM sh GROUP BY 1, 2),
+df AS (SELECT g, COUNT(*) AS df FROM cnt GROUP BY 1)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(c.cnt) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN c.cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams,
+       ROUND(SUM(CASE WHEN df.df >= 2 THEN c.cnt ELSE 0 END) * 1.0
+             / SUM(c.cnt), 6) AS dup_fraction
+FROM cnt c JOIN df USING (g)
+GROUP BY 1
+"""
+
+
+@register("cross_doc_dup_fraction", _DUP_FRACTION_ORACLE)
+def q_cross_doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-text fraction (operators/selection.py::
+    cross_doc_dup_fraction): the share of each doc's positional 8-gram
+    instances that occur in ≥ 2 documents — the C4/RefinedWeb curation
+    signal, complementing the pairwise dedup operators with a per-doc
+    marginal you can threshold on."""
+    from cdc_algorithms_spark.operators.selection import cross_doc_dup_fraction
+
+    return cross_doc_dup_fraction(
+        load_table(spark, "documents", sf_dir), n=_DUP_N
+    )
+
+
+# --- DSIR importance weights --------------------------------------------------
+
+_DSIR_ORACLE = f"""
+WITH {_WORDS_CTE},
+tf AS (
+  SELECT t.doc_id, d.lang, len(t.words) AS dl, lower(u.word) AS term,
+         COUNT(*) AS tf
+  FROM w t JOIN documents d USING (doc_id), UNNEST(t.words) AS u(word)
+  GROUP BY 1, 2, 3, 4
+),
+raw AS (SELECT term, SUM(tf) AS c_raw FROM tf GROUP BY 1),
+tgt AS (SELECT term, SUM(tf) AS c_tgt FROM tf WHERE lang = 'en' GROUP BY 1),
+meta AS (SELECT (SELECT SUM(tf) FROM tf) AS total_raw,
+                (SELECT COALESCE(SUM(tf), 0) FROM tf WHERE lang = 'en')
+                  AS total_tgt,
+                (SELECT COUNT(*) FROM raw) AS v),
+contrib AS (
+  SELECT tf.doc_id, tf.lang, tf.dl,
+         CAST(FLOOR(tf.tf * (
+           ln((COALESCE(tgt.c_tgt, 0) + 1) * 1.0 / (m.total_tgt + m.v))
+           - ln((raw.c_raw + 1) * 1.0 / (m.total_raw + m.v))
+         ) * 1000000000.0) AS BIGINT) AS cq
+  FROM tf
+  JOIN raw USING (term)
+  LEFT JOIN tgt USING (term)
+  CROSS JOIN meta m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lang,
+       CAST(dl AS BIGINT) AS n_tokens,
+       ROUND(SUM(cq) / 1000000000.0, 6) AS weight
+FROM contrib
+GROUP BY 1, 2, 3
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/selection.py::
+    dsir_importance_weights): per-doc log-likelihood ratio between a
+    smoothed unigram model of the target slice (lang='en') and of the
+    raw corpus — the standing input to importance resampling; the
+    mixture/PPS operators realize the draw."""
+    from cdc_algorithms_spark.operators.selection import dsir_importance_weights
+
+    return dsir_importance_weights(
+        load_table(spark, "documents", sf_dir), F.col("lang") == "en"
+    )
