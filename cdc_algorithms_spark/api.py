@@ -103,6 +103,8 @@ __all__ = [
     "search",
     "build_text_index",
     "search_index",
+    "extend_text_index",
+    "compact_text_index",
     "dup_text_fraction",
     "importance_weights",
 ]
@@ -883,12 +885,34 @@ def search(
 
 def build_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
     """Write the durable BM25 posting index: term-bucket-partitioned
-    parquet with document frequency denormalized per posting, plus an
-    exact-BIGINT corpus meta row (operators/retrieval.py::
-    write_text_index). Probes prune reads to the query's own buckets."""
+    postings plus an exact-BIGINT corpus meta row (operators/
+    retrieval.py::write_text_index). Probes prune reads to the query's
+    own buckets and derive df/avgdl from what they read, so extends
+    never go stale."""
     from cdc_algorithms_spark.operators.retrieval import write_text_index
 
     return write_text_index(docs, path, buckets)
+
+
+def extend_text_index(spark, path: str, batch_docs: DataFrame, epoch: int,
+                      buckets: int = 32) -> None:
+    """Append a document batch to a durable text index as an epoch
+    delta — batch-proportional cost, replay-idempotent, and probes stay
+    EXACT across generations because global stats are derived at read
+    time (operators/retrieval.py::extend_text_index; oracle-checked by
+    streaming_bm25_index)."""
+    from cdc_algorithms_spark.operators.retrieval import extend_text_index
+
+    return extend_text_index(spark, path, batch_docs, epoch, buckets)
+
+
+def compact_text_index(spark, path: str) -> None:
+    """Fold a text index's epoch deltas into one base store with the
+    rename-first swap (operators/retrieval.py::compact_text_index) —
+    the text-retrieval OPTIMIZE, same discipline as compact_ann_index."""
+    from cdc_algorithms_spark.operators.retrieval import compact_text_index
+
+    return compact_text_index(spark, path)
 
 
 def search_index(

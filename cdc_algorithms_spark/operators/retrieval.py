@@ -23,11 +23,11 @@ Scale notes (100 TB):
 * The fold to ``(doc_id, term, tf)`` happens before anything joins —
   the token stream never shuffles raw.
 * Query terms ride an explicit ``broadcast`` (a query is a few words).
-* Document frequency is computed ONLY for the query's terms in the
-  batch form (filter first, then count) — the full vocabulary df is
-  corpus-sized and is only materialized when building the durable
-  index, where it is denormalized onto the postings so a probe never
-  recomputes it.
+* Document frequency is computed ONLY for the query's terms — filter
+  first, then count — in BOTH the batch form and the index probe (a
+  term's postings all live in its bucket, so the pruned read contains
+  exactly what df needs). The full vocabulary df is corpus-sized and
+  is never materialized.
 * Top-k per query is the rank-window + filter form Catalyst rewrites
   with partial ``WindowGroupLimit``: each input partition keeps only
   its local top-k before the exchange.
@@ -145,6 +145,28 @@ def _score_and_rank(
     )
 
 
+def _bm25_from_matched(
+    matched: DataFrame,
+    qterms: DataFrame,
+    meta: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Score from postings already restricted to the query's terms.
+
+    ``matched`` must be unique on (doc_id, term) with columns
+    (term, doc_id, tf, dl) — document frequency is then a plain count
+    over it, computed HERE rather than stored, so an index extended
+    with new epochs stays exactly-correct (df and avgdl reflect every
+    generation the probe reads; nothing is stale)."""
+    dfq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = matched.join(F.broadcast(dfq), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    return _score_and_rank(matched, meta, k, k1, b)
+
+
 def bm25_topk(
     docs: DataFrame,
     qterms: DataFrame,
@@ -162,45 +184,128 @@ def bm25_topk(
     """
     postings = doc_term_frame(docs)
     matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
-    # postings are unique on (doc_id, term) → df is a plain count
-    dfq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    matched = (
-        matched.join(F.broadcast(dfq), "term")
-        .join(F.broadcast(qterms), "term")
-    )
-    return _score_and_rank(matched, corpus_meta(docs), k, k1, b)
+    return _bm25_from_matched(matched, qterms, corpus_meta(docs), k, k1, b)
 
 
 # --- Durable term-bucket-partitioned index ---------------------------------
+#
+# Layout (the epoch-delta discipline of the PQ/ANN store,
+# similarity.py::extend_pq_index, restated for postings):
+#
+#     path/postings/bucket=<pmod(xxhash64(term), buckets)>/...   base
+#     path/postings_delta/epoch_<n>/bucket=.../                  extends
+#     path/meta/                    one row (n, sum_dl)          base
+#     path/meta_delta/epoch_<n>/    one row per extend epoch
+#
+# Postings rows are (term, doc_id, tf, dl), unique on (doc_id, term)
+# across ALL generations (a doc arrives exactly once). Because the
+# probe derives df from the postings it reads and (n, avgdl) from the
+# summed meta rows, an extended index is BIT-IDENTICAL to a one-shot
+# index over seed ∪ batches — a stronger contract than the PQ store's
+# frozen-model approximation, and it falls out of storing only counts.
+
+
+def _postings_frame(docs: DataFrame, buckets: int) -> DataFrame:
+    return doc_term_frame(docs).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
+    )
 
 
 def write_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
-    """Write the BM25 posting index: parquet partitioned by term bucket.
+    """Write the base BM25 posting index (see layout comment above).
 
-    Layout::
-
-        path/postings/bucket=<pmod(xxhash64(term), buckets)>/...
-            (term, doc_id, tf, dl, df)   -- df denormalized per posting
-        path/meta/   one row (n, sum_dl) -- exact BIGINTs
-
-    df is constant within a term, so denormalizing costs one BIGINT per
-    posting and saves every probe a second dataset + join. The bucket
-    count bounds probe fan-in: a q-term query touches ≤ q partition
-    directories regardless of corpus size.
+    The bucket count bounds probe fan-in: a q-term query touches ≤ q
+    partition directories per generation regardless of corpus size.
     """
-    postings = doc_term_frame(docs)
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    indexed = (
-        postings.join(dfreq, "term")
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)))
-    )
     (
-        indexed.repartition("bucket")
+        _postings_frame(docs, buckets)
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path + "/postings")
     )
     corpus_meta(docs).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _text_delta_dirs(spark: SparkSession, path: str, kind: str) -> list[str]:
+    """Epoch subdirectories under ``{path}/{kind}_delta`` (absent → [])."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/{kind}_delta")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    return sorted(
+        str(st.getPath()) for st in fs.listStatus(root) if st.isDirectory()
+    )
+
+
+def extend_text_index(
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    epoch: int,
+    buckets: int = 32,
+) -> None:
+    """Add a batch of new documents to a durable text index WITHOUT
+    touching resident postings: the batch's postings land bucket-
+    partitioned under ``postings_delta/epoch_<n>`` and its exact
+    (n, sum_dl) counts under ``meta_delta/epoch_<n>``. Per-epoch
+    OVERWRITE keeps foreachBatch's at-least-once replay idempotent.
+    Cost tracks the batch (one tokenize + one hash exchange over the
+    batch alone); probes stay exact across generations because df and
+    avgdl are derived at read time (see layout comment)."""
+    (
+        _postings_frame(batch_docs, buckets)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings_delta/epoch_{int(epoch)}")
+    )
+    corpus_meta(batch_docs).write.mode("overwrite").parquet(
+        f"{path}/meta_delta/epoch_{int(epoch)}"
+    )
+
+
+def compact_text_index(spark: SparkSession, path: str) -> None:
+    """Fold epoch deltas back into one base store — the text-index
+    OPTIMIZE (same rename-first swap as compact_pq_index: stage the
+    merged store, park the old base, install, drop deltas last, so a
+    crash at any point leaves a readable index). Postings are immutable
+    rows — the merge is a pure union, no dedup logic."""
+    pdirs = _text_delta_dirs(spark, path, "postings")
+    if not pdirs:
+        return
+    postings = spark.read.parquet(f"{path}/postings")
+    for d in pdirs:
+        postings = postings.unionByName(spark.read.parquet(d))
+    meta = spark.read.parquet(f"{path}/meta")
+    for d in _text_delta_dirs(spark, path, "meta"):
+        meta = meta.unionByName(spark.read.parquet(d))
+    folded_meta = meta.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings_tmp")
+    )
+    folded_meta.write.mode("overwrite").parquet(f"{path}/meta_tmp")
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    P = jvm.org.apache.hadoop.fs.Path
+    for kind in ("postings", "meta"):
+        old = P(f"{path}/{kind}_old")
+        fs.delete(old, True)
+        if not fs.rename(P(f"{path}/{kind}"), old):
+            raise IOError(f"could not park the old {kind} store")
+        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
+            raise IOError(f"could not install the compacted {kind} store")
+        fs.delete(P(f"{path}/{kind}_delta"), True)
+        fs.delete(old, True)
 
 
 def bm25_topk_indexed(
@@ -212,13 +317,15 @@ def bm25_topk_indexed(
     b: float = B,
     buckets: int = 32,
 ) -> DataFrame:
-    """Probe the durable index: identical output to :func:`bm25_topk`.
+    """Probe the durable index: identical output to :func:`bm25_topk`
+    over base ∪ every extend epoch.
 
     The probe collects the query terms' bucket ids (≤ #query-terms
     values — a driver list the size of the query, never the corpus) and
-    filters the posting scan on the partition column, so Spark prunes
-    the read down to those directories statically (PartitionFilters —
-    pinned in tests/test_plans.py).
+    filters every generation's posting scan on the partition column, so
+    Spark prunes each read down to those directories statically
+    (PartitionFilters — pinned in tests/test_plans.py and
+    tests/test_retrieval.py).
     """
     bkts = [
         r["bucket"]
@@ -228,10 +335,17 @@ def bm25_topk_indexed(
         .distinct()
         .collect()
     ]
-    postings = (
-        spark.read.parquet(path + "/postings")
-        .where(F.col("bucket").isin(bkts))
-        .join(F.broadcast(qterms), "term")
+    postings = spark.read.parquet(path + "/postings")
+    for d in _text_delta_dirs(spark, path, "postings"):
+        postings = postings.unionByName(spark.read.parquet(d))
+    matched = postings.where(F.col("bucket").isin(bkts)).join(
+        F.broadcast(qterms.select("term").distinct()), "term"
     )
     meta = spark.read.parquet(path + "/meta")
-    return _score_and_rank(postings, meta, k, k1, b)
+    for d in _text_delta_dirs(spark, path, "meta"):
+        meta = meta.unionByName(spark.read.parquet(d))
+    meta = meta.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    return _bm25_from_matched(matched, qterms, meta, k, k1, b)

@@ -1007,6 +1007,8 @@ _VERIFY_WINDOW: list[str] = [
     "bm25_topk_indexed",
     "cross_doc_dup_fraction",
     "dsir_importance_weights",
+    "streaming_bm25_index",
+    "dsir_topk_selection",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1048,8 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "split_assignment_summary",
     "split_leakage_pairs",
     "cluster_safe_split_check",
-    "media_features_check",
-    "dedup_adjusted_mixture",
 ]
 
 

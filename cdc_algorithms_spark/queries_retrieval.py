@@ -109,11 +109,11 @@ _BM25_INDEX_CACHE: dict[tuple[str, str], str] = {}
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 through the DURABLE index path (operators/retrieval.py::
     write_text_index → bm25_topk_indexed): postings live as term-bucket-
-    partitioned parquet with df denormalized per posting; the probe
-    statically prunes its read to the ≤ #query-term buckets the query
-    hashes into (PartitionFilters pinned in tests/test_plans.py). Same
-    oracle as bm25_topk_docs — the index changes where the postings are
-    read from, not what they say."""
+    partitioned parquet; the probe statically prunes its read to the
+    ≤ #query-term buckets the query hashes into and derives df/avgdl
+    from exactly what it reads. Same oracle as bm25_topk_docs — the
+    index changes where the postings are read from, not what they
+    say."""
     import tempfile
 
     from cdc_algorithms_spark.operators.retrieval import (
@@ -130,6 +130,53 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_text_index(docs, path)
         _BM25_INDEX_CACHE.clear()
         _BM25_INDEX_CACHE[key] = path
+    return bm25_topk_indexed(
+        spark, path, query_terms(spark, BM25_QUERIES), k=BM25_K
+    )
+
+
+# One streamed text index per (session, corpus dir) — the build (seed
+# write + two streamed extension epochs) happens once; every call after
+# probes the durable store, same contract as _BM25_INDEX_CACHE.
+_BM25_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("streaming_bm25_index", _BM25_ORACLE)
+def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through a STREAM-MAINTAINED durable index (streaming/
+    text_index.py): the index seeds on a 2/3 corpus, the remaining
+    third arrives as two foreachBatch epochs appended as bucket-
+    partitioned deltas with exact per-epoch counts. Because the store
+    holds nothing but counts and the probe derives df/avgdl from what
+    it reads, the streamed index is BIT-IDENTICAL to the one-shot
+    index AND to the batch query — so this row shares the batch BM25
+    oracle verbatim, with no approximation tier (contrast
+    streaming_pq_index's recall floor)."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_terms,
+    )
+    from cdc_algorithms_spark.streaming.text_index import (
+        run_streaming_text_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BM25_STREAM_CACHE.get(key)
+    if path is None:
+        docs = load_table(spark, "documents", sf_dir)
+        seed = docs.where(F.col("doc_id") % 3 != 0)
+        stages = [
+            docs.where(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == par)
+            ).select("doc_id", "text")
+            for par in (0, 1)
+        ]
+        path = tempfile.mkdtemp(prefix="cdc_bm25_stream_") + "/index"
+        run_streaming_text_index(spark, seed, stages, path)
+        _BM25_STREAM_CACHE.clear()
+        _BM25_STREAM_CACHE[key] = path
     return bm25_topk_indexed(
         spark, path, query_terms(spark, BM25_QUERIES), k=BM25_K
     )
@@ -220,3 +267,27 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         load_table(spark, "documents", sf_dir), F.col("lang") == "en"
     )
+
+
+_DSIR_TOPK_M = 50
+
+_DSIR_TOPK_ORACLE = f"""
+WITH weights AS ({_DSIR_ORACLE})
+SELECT * FROM weights ORDER BY weight DESC, doc_id LIMIT {_DSIR_TOPK_M}
+"""
+
+
+@register("dsir_topk_selection", _DSIR_TOPK_ORACLE)
+def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR loop closed planning → realization: the top-m documents
+    by importance weight, deterministic under the (weight DESC, doc_id)
+    total order. Spark plans the global top-m as TakeOrderedAndProject —
+    each partition keeps its local top-m and only m·partitions rows ever
+    reach the driver-side merge, never a full sort (the scale-safe
+    global-top-k shape; contrast a global ORDER BY window)."""
+    from cdc_algorithms_spark.operators.selection import dsir_importance_weights
+
+    weights = dsir_importance_weights(
+        load_table(spark, "documents", sf_dir), F.col("lang") == "en"
+    )
+    return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(_DSIR_TOPK_M)

@@ -130,3 +130,65 @@ def test_dsir_deterministic_under_repartition(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_text_index_extend_exact_and_idempotent(spark, tmp_path):
+    """The streamed-index contract: extended == one-shot BIT-IDENTICALLY
+    (no recall tier — the store is pure counts and the probe derives
+    df/avgdl from what it reads), and per-epoch overwrite makes replay
+    idempotent."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        extend_text_index,
+        write_text_index,
+    )
+
+    docs = _docs(spark)
+    seed = docs.where(F.col("doc_id") % 3 != 0)
+    b0 = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0))
+    b1 = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 1))
+    qt = query_terms(spark, QUERIES)
+
+    ext = str(tmp_path / "ext")
+    write_text_index(seed, ext, buckets=8)
+    extend_text_index(spark, ext, b0, 0, buckets=8)
+    extend_text_index(spark, ext, b0, 0, buckets=8)  # replay epoch 0
+    extend_text_index(spark, ext, b1, 1, buckets=8)
+
+    oneshot = str(tmp_path / "oneshot")
+    write_text_index(docs, oneshot, buckets=8)
+
+    got = sorted(bm25_topk_indexed(spark, ext, qt, k=10, buckets=8).collect())
+    expect = sorted(
+        bm25_topk_indexed(spark, oneshot, qt, k=10, buckets=8).collect()
+    )
+    assert got == expect
+    # ... and both equal the batch form over the full corpus
+    assert got == sorted(bm25_topk(docs, qt, k=10).collect())
+
+
+def test_text_index_compact_preserves_answers(spark, tmp_path):
+    from cdc_algorithms_spark.operators.retrieval import (
+        _text_delta_dirs,
+        compact_text_index,
+        extend_text_index,
+        write_text_index,
+    )
+
+    docs = _docs(spark)
+    qt = query_terms(spark, QUERIES)
+    path = str(tmp_path / "idx")
+    write_text_index(docs.where(F.col("doc_id") % 3 != 0), path, buckets=8)
+    extend_text_index(
+        spark, path, docs.where(F.col("doc_id") % 3 == 0), 0, buckets=8
+    )
+    before = sorted(bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect())
+    compact_text_index(spark, path)
+    assert _text_delta_dirs(spark, path, "postings") == []
+    assert _text_delta_dirs(spark, path, "meta") == []
+    after = sorted(bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect())
+    assert after == before
+    # compacting a store with no deltas is a no-op
+    compact_text_index(spark, path)
+    assert sorted(
+        bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect()
+    ) == before
