@@ -813,3 +813,25 @@ def test_pq_index_probe_is_training_free_and_cell_pruned(
     assert touched and all(
         any(f"cell={c}/" in f for c in probed) for f in touched
     ), "probe read a non-probed cell directory"
+
+
+def test_bm25_topk_plan_shape(spark):
+    """Batch BM25: per-query top-k must plan with partial
+    WindowGroupLimit (no task ranks the whole candidate set), no Python
+    in the scoring path, and the only broadcast hints are the
+    query-sized frames (terms, per-term df, 1-row meta) — never the
+    postings."""
+    df = _q(spark, "bm25_topk_docs")
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, "partial top-k pushdown missing"
+    assert P.python_eval_count(df) == 0
+
+
+def test_dsir_topk_is_take_ordered(spark):
+    """The realized DSIR selection must plan the global top-m as
+    TakeOrderedAndProject (per-partition top-m, merge of m·partitions
+    rows) — never a global Sort followed by Limit-on-one-partition."""
+    df = _q(spark, "dsir_topk_selection")
+    plan = P.physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert P.python_eval_count(df) == 0

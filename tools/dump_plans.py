@@ -50,6 +50,8 @@ SHOWCASE = [
     ("customer_balance_quartiles", "ntile/percent_rank/cume_dist as closed forms of the bounded two-phase rank — no all-rows window (r08)"),
     ("zorder_relayout_check", "drift-triggered RE-PLAN: fresh-bounds rewrite + rename-first swap, verified via the post-relayout drift report (r08)"),
     ("value_quantile_sketch_auto", "discovered-grid sketches: one min/max pass fixes the grid, quantiles walk exact integer counts (r08)"),
+    ("bm25_topk_indexed", "BM25 through the durable posting index: every generation's scan bucket-pruned, df derived from the pruned read, WindowGroupLimit top-k (r08)"),
+    ("dsir_importance_weights", "DSIR weights: token stream folded to counts before any join, quantized-BIGINT exact sums, AQE-sized vocab joins (r08)"),
 ]
 
 
