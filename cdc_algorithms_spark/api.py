@@ -106,6 +106,7 @@ __all__ = [
     "extend_text_index",
     "compact_text_index",
     "dup_text_fraction",
+    "dedup_spans",
     "importance_weights",
 ]
 
@@ -952,3 +953,16 @@ def importance_weights(docs: DataFrame, target_pred, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.selection import dsir_importance_weights
 
     return dsir_importance_weights(docs, target_pred, **kw)
+
+
+def dedup_spans(docs: DataFrame, n: int = 8, **kw) -> DataFrame:
+    """Exact substring-span dedup: remove every cross-doc duplicated
+    word n-gram instance from all but its canonical document and
+    re-join the survivors — the span-granularity transform of Lee et
+    al. 2022 (operators/selection.py::remove_duplicate_spans;
+    oracle-checked by exact_substring_dedup). Doc-level near-dup stays
+    with :func:`near_dup_pairs`; this is what you run AFTER keeping a
+    doc to strip its boilerplate overlap."""
+    from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
+
+    return remove_duplicate_spans(docs, n=n, **kw)

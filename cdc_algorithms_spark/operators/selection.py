@@ -166,3 +166,85 @@ def dsir_importance_weights(
             F.round(F.col("weight_q") / F.lit(float(QUANT)), 6).alias("weight"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = DUP_NGRAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup (the transform behind Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word n-gram instance whose n-gram occurs in ≥ 2 documents is
+    REMOVED from every document except the canonical one (min doc_id
+    containing the gram), and the surviving tokens are re-joined.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text). The canonical
+    doc keeps all its instances (including intra-doc repeats); other
+    docs lose every token covered by a removable instance. Tokens are
+    re-joined with single spaces — original whitespace is not
+    preserved (the tokenizer is the shared ``words``).
+
+    Scale notes: the gram join is the same inverted-index class as
+    :func:`cross_doc_dup_fraction`; the cover explode is ×n on
+    REMOVABLE instances only (bounded by the duplicate volume, not the
+    corpus); the rebuild is one per-doc aggregate over kept tokens
+    (documents are bounded-length rows — a per-doc sort_array, never a
+    corpus sort).
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words(text_col).alias("__ws"),
+    ).select("doc_id", "__ws", F.size("__ws").alias("dl"))
+    toks = base.select(
+        "doc_id", F.posexplode("__ws").alias("pos", "token")
+    )
+    grams = base.select(
+        "doc_id",
+        "dl",
+        F.posexplode(shingles_of_words(F.col("__ws"), n)).alias("gpos", "g"),
+    )
+    stats = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("df") >= 2)
+    )
+    removable = grams.join(stats, "g").where(F.col("doc_id") != F.col("keeper"))
+    covered = removable.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("gpos"),
+                F.least(F.col("gpos") + F.lit(n - 1), F.col("dl") - 1),
+            )
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("__cleaned"),
+    )
+    return (
+        base.select("doc_id", "dl")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("n_tokens"),
+            (F.col("dl") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1009,6 +1009,7 @@ _VERIFY_WINDOW: list[str] = [
     "dsir_importance_weights",
     "streaming_bm25_index",
     "dsir_topk_selection",
+    "exact_substring_dedup",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_zorder_route",
     "split_assignment_summary",
     "split_leakage_pairs",
-    "cluster_safe_split_check",
 ]
 
 

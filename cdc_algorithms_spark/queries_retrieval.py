@@ -291,3 +291,60 @@ def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), F.col("lang") == "en"
     )
     return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(_DSIR_TOPK_M)
+
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH {_WORDS_CTE},
+dl AS (SELECT doc_id, len(words) AS dl FROM w),
+tok AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         words[CAST(t.i + 1 AS INT)] AS token
+  FROM w, UNNEST(range(0, len(words))) AS t(i)
+),
+gr AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS gpos,
+         array_to_string(words[i:i+{_DUP_N - 1}], ' ') AS g
+  FROM w, UNNEST(range(1, greatest(len(words) - {_DUP_N - 1}, 1) + 1)) AS t(i)
+),
+stats AS (
+  SELECT g, COUNT(*) AS df, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, g FROM gr) GROUP BY g
+),
+removable AS (
+  SELECT gr.doc_id, gr.gpos
+  FROM gr JOIN stats USING (g)
+  WHERE stats.df >= 2 AND gr.doc_id <> stats.keeper
+),
+covered AS (
+  SELECT DISTINCT r.doc_id, CAST(t.p AS BIGINT) AS pos
+  FROM removable r JOIN dl USING (doc_id),
+       UNNEST(range(r.gpos, LEAST(r.gpos + {_DUP_N}, dl.dl))) AS t(p)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.token
+  FROM tok LEFT JOIN covered
+    ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+  WHERE covered.pos IS NULL
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.dl AS BIGINT) AS n_tokens,
+       CAST(d.dl - COUNT(k.pos) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(k.token, ' ' ORDER BY k.pos), '') AS cleaned_text
+FROM dl d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, d.dl
+"""
+
+
+@register("exact_substring_dedup", _SPAN_DEDUP_ORACLE)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (operators/selection.py::
+    remove_duplicate_spans): every cross-doc duplicated 8-gram instance
+    is removed from all but its canonical (min-doc_id) document and the
+    survivors re-joined — the substring-granularity transform of Lee et
+    al. 2022, complementing the doc-level dedup operators. The oracle
+    replays removal and text reconstruction verbatim."""
+    from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        load_table(spark, "documents", sf_dir), n=_DUP_N
+    )

@@ -192,3 +192,49 @@ def test_text_index_compact_preserves_answers(spark, tmp_path):
     assert sorted(
         bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect()
     ) == before
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Plant a shared 10-token span in three docs of otherwise-unique
+    tokens: the min-doc keeps it, the others lose exactly those tokens,
+    and untouched docs come back verbatim (modulo single-space
+    rejoining)."""
+    from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
+
+    span = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, f"{' '.join(f'a{i}' for i in range(20))} {span}"),
+        (2, f"{span} {' '.join(f'b{i}' for i in range(20))}"),
+        (3, f"{' '.join(f'c{i}' for i in range(10))} {span} "
+            f"{' '.join(f'd{i}' for i in range(10))}"),
+        (4, " ".join(f"e{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["cleaned_text"] == rows[0][1]
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == rows[3][1]
+    # docs 2 and 3 lose exactly the 10 planted tokens
+    assert out[2]["n_removed"] == 10
+    assert out[2]["cleaned_text"] == " ".join(f"b{i}" for i in range(20))
+    assert out[3]["n_removed"] == 10
+    assert out[3]["cleaned_text"] == " ".join(
+        [f"c{i}" for i in range(10)] + [f"d{i}" for i in range(10)]
+    )
+    # token accounting holds everywhere
+    for r in out.values():
+        kept = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]
+
+
+def test_remove_duplicate_spans_whole_doc_clone(spark):
+    """A verbatim clone (shorter than n counts too) is emptied entirely
+    while the canonical survives whole."""
+    from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(10, "x1 x2 x3 x4 x5"), (20, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[10]["n_removed"] == 0
+    assert out[20]["n_removed"] == 5 and out[20]["cleaned_text"] == ""
