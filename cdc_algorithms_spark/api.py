@@ -100,6 +100,7 @@ __all__ = [
     "realize_mixture",
     "rebuild_ann_index",
     "auto_quantile_sketch",
+    "log_quantile_sketch",
     "search",
     "build_text_index",
     "search_index",
@@ -966,3 +967,16 @@ def dedup_spans(docs: DataFrame, n: int = 8, **kw) -> DataFrame:
     from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
 
     return remove_duplicate_spans(docs, n=n, **kw)
+
+
+def log_quantile_sketch(df: DataFrame, group_cols, value_col: str) -> DataFrame:
+    """BOUNDLESS mergeable quantile sketch on the universal log₂ grid —
+    no caller bounds, no discovery pass, any two sketches merge, values
+    of any future magnitude absorb exactly (operators/qsketch.py::
+    histogram_sketch_log; read with sketch_quantiles_log; oracle-checked
+    by value_quantile_sketch_log). Price vs :func:`quantile_sketch`:
+    power-of-two relative-error bounds instead of fixed-width absolute
+    ones."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
+
+    return histogram_sketch_log(df, group_cols, value_col)

@@ -341,3 +341,136 @@ def sketch_quantiles(
             .alias(f"{pct}_hi")
         )
     return out.select(*sel)
+
+
+# --- Log-grid (boundless) sketches ------------------------------------------
+
+LOG_BUCKETS = 64  # bit-widths 1..63 of a non-negative BIGINT → buckets 0..62
+
+# Sentinel grid marking a log₂ sketch in the persisted grid columns.
+# hi < lo is impossible for any linear grid (histogram_sketch raises),
+# so linear readers/mergers can never silently consume a log sketch:
+# sketch_quantiles' grid guard fails and _width(0, -2, …) raises.
+LOG_GRID = (0, -2, LOG_BUCKETS)
+
+
+def histogram_sketch_log(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """BOUNDLESS mergeable sketch: bucket ``i`` holds the exact count of
+    values with bit-width ``i+1`` (bucket 0 = {0, 1}; bucket i≥1 =
+    [2^i, 2^(i+1)-1]). No caller-supplied bounds, no discovery pass —
+    the grid is universal for non-negative BIGINTs, so ANY two log
+    sketches merge (the unbounded-streaming case histogram_sketch_auto
+    can't serve: its discovered grid is frozen at seed time, while a
+    log sketch absorbs values of any future magnitude). The price is
+    relative-error bounds (a bucket spans a power of two) instead of
+    the linear grid's absolute width. Negative values raise at
+    execution (the bit-width of a negative is meaningless here).
+
+    Same schema and merge law as :func:`histogram_sketch` — counts are
+    exact integers and :func:`sketch_merge` applies unchanged; the grid
+    columns carry the :data:`LOG_GRID` sentinel. Bucketing is
+    ``length(bin(v)) - 1``, an exact integer expression the DuckDB
+    oracle replays verbatim (both engines print minimal binary).
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("long")
+    bucket = (F.length(F.bin(v)) - F.lit(1)).cast("long")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(v).alias("__mn"),
+            F.max(v).alias("__mx"),
+        )
+    )
+    lo, hi, buckets = LOG_GRID
+    return (
+        per.groupBy(*group_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.min("__mn").cast("long").alias("v_min"),
+            F.max("__mx").cast("long").alias("v_max"),
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__c"))
+            ).alias("__m"),
+        )
+        .select(
+            *group_cols,
+            # the negative guard rides the always-selected n column,
+            # same keep-alive trick as _grid_checked
+            _grid_checked(F.col("v_min") >= 0, F.col("n")).alias("n"),
+            "v_min",
+            "v_max",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("long")), F.lit(0)
+                ).cast("long"),
+            ).alias("counts"),
+            *_grid_cols(lo, hi, buckets),
+        )
+    )
+
+
+def sketch_quantiles_log(
+    sketches: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile bounds off log-grid sketch rows: the rank walk is the
+    same exact-integer machinery as :func:`sketch_quantiles`; bucket
+    ``i`` reports bounds [2^i, 2^(i+1)-1] (bucket 0: [0, 1]) clamped to
+    the exact v_min/v_max. No edge-extension case exists — every
+    non-negative BIGINT has a bucket, so nothing ever clamps out of
+    range. Refuses rows whose persisted grid is not the LOG_GRID
+    sentinel (execution-time error, mirroring the linear guard)."""
+    lo, hi, buckets = LOG_GRID
+    b = F.lit(buckets)
+    cum = F.transform(
+        F.sequence(F.lit(1), b),
+        lambda i: F.aggregate(
+            F.slice("counts", F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    grid_ok = (
+        (F.col("grid_lo") == F.lit(lo))
+        & (F.col("grid_hi") == F.lit(hi))
+        & (F.col("grid_buckets") == F.lit(buckets))
+        & (F.size("counts") == F.lit(buckets))
+    )
+    one = F.lit(1).cast("long")
+    out = sketches.withColumn("__cum", cum)
+    cols = list(keep_cols)
+    sel = [F.col(c) for c in cols]
+    sel.append(_grid_checked(grid_ok, F.col("n")).alias("n"))
+    sel.extend([F.col("v_min"), F.col("v_max")])
+    for q in qs:
+        pct = f"p{round(q * 100)}"
+        rank = _rank_expr(q, F.col("n"))
+        pos = F.array_position(
+            F.transform(F.col("__cum"), lambda c: c >= rank), True
+        )
+        i = (pos - 1).cast("int")  # 0-based bucket index
+        # shiftleft's numBits must be a Column here (the bucket index
+        # is data); the python helper only takes a literal int, so the
+        # SQL function goes through call_function
+        b_lo = F.when(pos == 1, F.lit(0).cast("long")).otherwise(
+            F.call_function("shiftleft", one, i)
+        )
+        b_hi = F.when(pos == 1, one).otherwise(
+            F.call_function("shiftleft", one, i + F.lit(1)) - one
+        )
+        sel.append(
+            F.greatest(F.col("v_min"), b_lo).cast("long").alias(f"{pct}_lo")
+        )
+        sel.append(
+            F.least(F.col("v_max"), b_hi).cast("long").alias(f"{pct}_hi")
+        )
+    return out.select(*sel)

@@ -1010,6 +1010,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_bm25_index",
     "dsir_topk_selection",
     "exact_substring_dedup",
+    "value_quantile_sketch_log",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "catalog_reconciliation",
     "streaming_zorder_route",
     "split_assignment_summary",
-    "split_leakage_pairs",
 ]
 
 

@@ -2448,3 +2448,115 @@ def _zorder3_append_store_path(spark: SparkSession, sf_dir: str) -> str:
         q_zorder3_append_check(spark, sf_dir)
         path = _LAYOUT_STORE_CACHE[key]
     return path
+
+
+# ---------------------------------------------------------------------------
+# Log-grid (boundless) quantile sketches — the unbounded-streaming tier
+# ---------------------------------------------------------------------------
+
+_QSL_B = 64  # qsketch.LOG_BUCKETS
+
+_QSKETCH_LOG_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+),
+bkt AS (
+    SELECT event_type, length(bin(v)) - 1 AS b, v
+    FROM c WHERE v IS NOT NULL
+),
+per_bt AS (SELECT event_type, b, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2),
+heads AS (
+    SELECT event_type, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+    FROM bkt GROUP BY 1
+),
+cum AS (
+    SELECT event_type, b,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cm
+    FROM per_bt
+),
+sel AS (
+    SELECT c.event_type,
+           MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
+    FROM cum c JOIN heads h USING (event_type) GROUP BY 1
+),
+typed AS (
+    SELECT 'type:' || h.event_type AS scope, h.n, h.vmin, h.vmax,
+           s.b50, s.b90, s.b99
+    FROM heads h JOIN sel s USING (event_type)
+),
+g_heads AS (SELECT COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax FROM bkt),
+g_per_b AS (SELECT b, COUNT(*) AS cnt FROM bkt GROUP BY 1),
+g_cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cm FROM g_per_b),
+g_sel AS (
+    SELECT MIN(CASE WHEN cm >= ((h.n * 1 + 1) // 2) THEN b END) AS b50,
+           MIN(CASE WHEN cm >= ((h.n * 9 + 9) // 10) THEN b END) AS b90,
+           MIN(CASE WHEN cm >= ((h.n * 99 + 99) // 100) THEN b END) AS b99
+    FROM g_cum, g_heads h GROUP BY h.n
+),
+unioned AS (
+    SELECT * FROM typed
+    UNION ALL
+    SELECT 'all' AS scope, h.n, h.vmin, h.vmax, s.b50, s.b90, s.b99
+    FROM g_heads h, g_sel s
+)
+SELECT scope, CAST(n AS BIGINT) AS n,
+       CAST(vmin AS BIGINT) AS v_min, CAST(vmax AS BIGINT) AS v_max,
+       -- bucket i covers [2^i, 2^(i+1)-1] (bucket 0: [0, 1]), clamped
+       -- to the exact v_min/v_max; no out-of-range case exists on the
+       -- universal grid — mirrors qsketch.py::sketch_quantiles_log
+       CAST(GREATEST(vmin, CASE WHEN b50 = 0 THEN 0
+                                ELSE 1::BIGINT << b50 END) AS BIGINT) AS p50_lo,
+       CAST(LEAST(vmax, CASE WHEN b50 = 0 THEN 1
+                             ELSE (1::BIGINT << (b50 + 1)) - 1 END)
+            AS BIGINT) AS p50_hi,
+       CAST(GREATEST(vmin, CASE WHEN b90 = 0 THEN 0
+                                ELSE 1::BIGINT << b90 END) AS BIGINT) AS p90_lo,
+       CAST(LEAST(vmax, CASE WHEN b90 = 0 THEN 1
+                             ELSE (1::BIGINT << (b90 + 1)) - 1 END)
+            AS BIGINT) AS p90_hi,
+       CAST(GREATEST(vmin, CASE WHEN b99 = 0 THEN 0
+                                ELSE 1::BIGINT << b99 END) AS BIGINT) AS p99_lo,
+       CAST(LEAST(vmax, CASE WHEN b99 = 0 THEN 1
+                             ELSE (1::BIGINT << (b99 + 1)) - 1 END)
+            AS BIGINT) AS p99_hi
+FROM unioned
+"""
+
+
+@register("value_quantile_sketch_log", _QSKETCH_LOG_ORACLE)
+def q_value_quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDLESS quantile sketches (operators/qsketch.py::
+    histogram_sketch_log): the grid is the universal log₂ grid — bucket
+    = bit-width of the value — so a standing pipeline can sketch a
+    column it has never seen, with no bounds and no discovery pass, and
+    ANY two log sketches merge (histogram_sketch_auto's discovered grid
+    is frozen at seed time; this one absorbs values of any future
+    magnitude). Per-type sketches + the merged global row, p50/p90/p99
+    bounds off exact cumulative counts — the same end-to-end oracle
+    replay as value_quantile_sketch, with relative-error (power-of-two)
+    bounds as the documented price."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_log,
+        sketch_merge,
+        sketch_quantiles_log,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sk = histogram_sketch_log(cents, ["event_type"], "cents")
+    per_type = sketch_quantiles_log(sk, keep_cols=["event_type"]).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    global_q = sketch_quantiles_log(sketch_merge(sk)).select(
+        F.lit("all").alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    return per_type.unionByName(global_q)

@@ -299,3 +299,99 @@ def test_streamed_sketch_is_batching_invariant(spark, tmp_path):
 @pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
 def test_auto_quantile_sketch_matches_oracle(spark, sf):
     compare_with_oracle(spark, "value_quantile_sketch_auto", sf)
+
+
+# --- log-grid (boundless) sketches ------------------------------------------
+
+
+def _log_cents(spark):
+    return load_table(spark, "events", SF_DIR).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR_MID])
+def test_log_quantile_sketch_matches_oracle(spark, sf):
+    compare_with_oracle(spark, "value_quantile_sketch_log", sf)
+
+
+def test_log_merge_equals_rebuild(spark):
+    """The universal grid's whole point: merge works with no grid
+    negotiation at all, and equals the one-shot rebuild exactly."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
+
+    cents = _log_cents(spark)
+    merged = sketch_merge(histogram_sketch_log(cents, ["event_type"], "cents")).collect()
+    direct = histogram_sketch_log(cents, [], "cents").collect()
+    assert len(merged) == len(direct) == 1
+    assert merged[0]["n"] == direct[0]["n"]
+    assert merged[0]["v_min"] == direct[0]["v_min"]
+    assert merged[0]["v_max"] == direct[0]["v_max"]
+    assert list(merged[0]["counts"]) == list(direct[0]["counts"])
+
+
+def test_log_sketch_absorbs_any_magnitude(spark):
+    """What the auto-discovered linear grid cannot do: a delta 10^6×
+    outside the seed's range merges into the same sketch with exact
+    counts — no grid mismatch, no re-plan."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_log,
+        sketch_quantiles_log,
+    )
+
+    seed = spark.createDataFrame(
+        [(v,) for v in (0, 1, 5, 200, 999)], "v long"
+    )
+    delta = spark.createDataFrame(
+        [(v,) for v in (10**9, 2**45)], "v long"
+    )
+    sk = sketch_merge(
+        histogram_sketch_log(seed, [], "v").unionByName(
+            histogram_sketch_log(delta, [], "v")
+        )
+    )
+    row = sketch_quantiles_log(sk).collect()[0]
+    assert row["n"] == 7
+    assert row["v_min"] == 0 and row["v_max"] == 2**45
+    # true p99 (rank ceil(0.99*7)=7 → 2^45) inside reported bounds
+    assert row["p99_lo"] <= 2**45 <= row["p99_hi"]
+    # true p50 (rank 4 → 200) inside reported bounds
+    assert row["p50_lo"] <= 200 <= row["p50_hi"]
+
+
+def test_log_true_order_statistic_inside_bounds(spark):
+    import math
+
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_log,
+        sketch_quantiles_log,
+    )
+
+    cents = _log_cents(spark)
+    vals = sorted(r["cents"] for r in cents.select("cents").collect())
+    row = sketch_quantiles_log(
+        histogram_sketch_log(cents, [], "cents")
+    ).collect()[0]
+    for q, lo_c, hi_c in [(0.5, "p50_lo", "p50_hi"), (0.9, "p90_lo", "p90_hi"),
+                          (0.99, "p99_lo", "p99_hi")]:
+        true_q = vals[math.ceil(q * len(vals)) - 1]
+        assert row[lo_c] <= true_q <= row[hi_c]
+
+
+def test_log_sketch_rejects_negative_values(spark):
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
+
+    df = spark.createDataFrame([(5,), (-3,)], "v long")
+    with pytest.raises(Exception):
+        histogram_sketch_log(df, [], "v").collect()
+
+
+def test_linear_reader_refuses_log_sketch(spark):
+    """Grid-contract cross-check: a log sketch fed to the linear
+    quantile reader must raise, never silently misread."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
+
+    sk = histogram_sketch_log(_log_cents(spark), [], "cents")
+    with pytest.raises(Exception):
+        sketch_quantiles(sk, LO, HI, B).collect()
