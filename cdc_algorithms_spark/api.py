@@ -104,6 +104,7 @@ __all__ = [
     "search",
     "build_text_index",
     "search_index",
+    "hybrid_search",
     "extend_text_index",
     "compact_text_index",
     "dup_text_fraction",
@@ -980,3 +981,30 @@ def log_quantile_sketch(df: DataFrame, group_cols, value_col: str) -> DataFrame:
     from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
 
     return histogram_sketch_log(df, group_cols, value_col)
+
+
+def hybrid_search(
+    docs: DataFrame, embeddings: DataFrame, queries: list,
+    query_vec_ids: list, k: int = 10, depth: int = 50,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 ranks + quantized-integer inner-product
+    ranks fused by reciprocal-rank fusion (operators/retrieval.py::
+    bm25_ranks / mips_topk / rrf_fuse; oracle-checked end to end by
+    hybrid_rrf_search). ``queries`` is [(query_id, "text"), ...];
+    ``query_vec_ids`` is [(query_id, vec_id), ...] naming each query's
+    probe embedding."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_ranks,
+        mips_topk,
+        query_terms,
+        rrf_fuse,
+    )
+
+    spark = docs.sparkSession
+    lex = bm25_ranks(docs, query_terms(spark, queries), depth=depth)
+    qmap = spark.createDataFrame(query_vec_ids, "query_id long, qvec_id long")
+    qvecs = qmap.join(
+        embeddings, qmap["qvec_id"] == embeddings["vec_id"]
+    ).select("query_id", "embedding")
+    sem = mips_topk(embeddings, qvecs, k=depth)
+    return rrf_fuse([lex, sem], k=k)

@@ -349,3 +349,112 @@ def bm25_topk_indexed(
         F.sum("sum_dl").cast("long").alias("sum_dl"),
     )
     return _bm25_from_matched(matched, qterms, meta, k, k1, b)
+
+
+# --- Hybrid retrieval: quantized MIPS + reciprocal-rank fusion ---------------
+
+MIPS_SCALE = 1_048_576  # 2^20: float→int quantization is EXACT (power of 2)
+RRF_K0 = 60
+RRF_DEPTH = 50
+
+
+def quantize_vec(col: Column | str) -> Column:
+    """float[] → BIGINT[]: ``floor(double(x) * 2^20)`` per component.
+
+    Multiplying by a power of two is exact in IEEE arithmetic, so both
+    engines produce identical integers from the same parquet floats —
+    the device that makes similarity ranking ORDER-EXACT across
+    engines (a float dot product's summation order is not)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(MIPS_SCALE))).cast("long")
+    )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = RRF_DEPTH,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k with QUANTIZED integer arithmetic:
+    (query_id, doc_id, rank). The dot product is a BIGINT sum over the
+    quantized components — exact, associative, engine-identical — so
+    ranks are fully deterministic (tiebreak on id). Queries ride an
+    explicit broadcast (a probe set is small); the corpus is scanned
+    map-side once. This is the brute-force tier — the IVF/PQ store
+    (similarity.py) is the corpus-scale path; hybrid fusion only needs
+    the top ``k`` of a probe set, which is exactly this shape."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        quantize_vec(vec_col).alias("__qv"),
+    )
+    d = corpus.select(
+        F.col(corpus_id).cast("long").alias("doc_id"),
+        quantize_vec(vec_col).alias("__dv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qv", "__dv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id", "doc_id", dot.alias("__dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Reciprocal-rank fusion over any number of (query_id, doc_id,
+    rank) frames: score = Σ floor(1e9 / (k0 + rank)) summed as exact
+    BIGINTs (1e9/(k0+rank) is a double division shared verbatim by the
+    oracle; its floor is engine-identical), final rank over (score
+    DESC, doc_id). A doc absent from one ranking simply contributes
+    nothing from it — standard RRF semantics."""
+    allr = rankings[0]
+    for r in rankings[1:]:
+        allr = allr.unionByName(r)
+    contrib = F.floor(
+        F.lit(float(QUANT)) / (F.lit(k0) + F.col("rank"))
+    ).cast("long")
+    fused = (
+        allr.withColumn("__c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").alias("rrf_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("rrf_q") / F.lit(float(QUANT)), 6).alias("rrf_score"),
+        )
+    )
+
+
+def bm25_ranks(
+    docs: DataFrame,
+    qterms: DataFrame,
+    depth: int = RRF_DEPTH,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, rank) to fusion depth — the lexical leg of
+    hybrid search, same scoring machinery as :func:`bm25_topk`."""
+    return bm25_topk(docs, qterms, k=depth, k1=k1, b=b).select(
+        "query_id", "doc_id", "rank"
+    )

@@ -1011,6 +1011,7 @@ _VERIFY_WINDOW: list[str] = [
     "dsir_topk_selection",
     "exact_substring_dedup",
     "value_quantile_sketch_log",
+    "hybrid_rrf_search",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "anomaly_runs",
     "catalog_reconciliation",
     "streaming_zorder_route",
-    "split_assignment_summary",
 ]
 
 

@@ -44,7 +44,9 @@ _QT_VALUES = ", ".join(
     for t in dict.fromkeys(qtext.lower().split())
 )
 
-_BM25_ORACLE = f"""
+# CTE block shared by the plain BM25 oracles and the hybrid-RRF oracle
+# (the `ranked` CTE carries ALL ranks; consumers cut their own depth).
+_BM25_CTES = f"""
 WITH {_WORDS_CTE},
 dl AS (SELECT doc_id, len(words) AS dl FROM w),
 tf AS (
@@ -78,7 +80,9 @@ ranked AS (
            PARTITION BY query_id ORDER BY score_q DESC, doc_id
          ) AS rank
   FROM scored
-)
+)"""
+
+_BM25_ORACLE = f"""{_BM25_CTES}
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(rank AS BIGINT) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id,
@@ -348,3 +352,86 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         load_table(spark, "documents", sf_dir), n=_DUP_N
     )
+
+
+# --- Hybrid retrieval: BM25 + quantized-MIPS fused by RRF ---------------------
+
+HYBRID_QVECS: list[tuple[int, int]] = [(1, 7), (2, 123), (3, 321)]
+_RRF_DEPTH = 50
+_RRF_K0 = 60
+_HYBRID_K = 10
+
+_QV_VALUES = ", ".join(f"({q}, {v})" for q, v in HYBRID_QVECS)
+
+_HYBRID_ORACLE = f"""{_BM25_CTES},
+lex AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {_RRF_DEPTH}),
+qv AS (SELECT * FROM (VALUES {_QV_VALUES}) AS t(query_id, qvec_id)),
+qq AS (
+  SELECT qv.query_id, e.embedding
+  FROM qv JOIN embeddings e ON e.vec_id = qv.qvec_id
+),
+pairs AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qa,
+         CAST(FLOOR(CAST(unnest(d.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS da
+  FROM qq q, embeddings d
+),
+dots AS (SELECT query_id, doc_id, SUM(qa * da) AS dot FROM pairs GROUP BY 1, 2),
+sem AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY dot DESC, doc_id
+           ) AS rank
+    FROM dots
+  ) WHERE rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(FLOOR(1000000000.0 / ({_RRF_K0} + rank)) AS BIGINT)) AS rrf_q
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT query_id, doc_id, rrf_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf_q DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(rrf_q / 1000000000.0, 6) AS rrf_score
+FROM final WHERE rank <= {_HYBRID_K}
+"""
+
+
+@register("hybrid_rrf_search", _HYBRID_ORACLE)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the modern retrieval default: the lexical leg
+    (BM25 ranks to depth 50) and the semantic leg (top-50 by QUANTIZED
+    integer inner product over the aligned embeddings — floats scaled
+    by 2^20 and floored, so the dot products are exact BIGINTs and the
+    ranking is engine-identical) fused by reciprocal-rank fusion
+    (operators/retrieval.py::mips_topk / rrf_fuse). Every stage is
+    integer-deterministic, so the whole fusion replays bit-for-bit in
+    DuckDB."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_ranks,
+        mips_topk,
+        query_terms,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_ranks(docs, query_terms(spark, BM25_QUERIES), depth=_RRF_DEPTH)
+    qmap = spark.createDataFrame(HYBRID_QVECS, "query_id long, qvec_id long")
+    qvecs = qmap.join(emb, qmap["qvec_id"] == emb["vec_id"]).select(
+        "query_id", "embedding"
+    )
+    sem = mips_topk(emb, qvecs, k=_RRF_DEPTH)
+    return rrf_fuse([lex, sem], k=_HYBRID_K, k0=_RRF_K0)

@@ -238,3 +238,41 @@ def test_remove_duplicate_spans_whole_doc_clone(spark):
     out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
     assert out[10]["n_removed"] == 0
     assert out[20]["n_removed"] == 5 and out[20]["cleaned_text"] == ""
+
+
+def test_mips_deterministic_and_exact(spark):
+    """Quantized MIPS: ranks invariant under repartitioning (integer
+    dot products are associative) and the top-1 for a corpus vector
+    used as its own query is itself (self inner product dominates on
+    normalized-ish embeddings)."""
+    from cdc_algorithms_spark.operators.retrieval import mips_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = (
+        spark.createDataFrame([(1, 7)], "query_id long, qvec_id long")
+        .join(emb, F.col("qvec_id") == emb["vec_id"])
+        .select("query_id", "embedding")
+    )
+    a = sorted(mips_topk(emb, q, k=20).collect())
+    b = sorted(mips_topk(emb.repartition(9, "label"), q, k=20).collect())
+    assert a == b
+    top1 = [r for r in a if r["rank"] == 1]
+    assert top1 and top1[0]["doc_id"] == 7
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc ranked well by both legs beats a doc ranked equally
+    well by only one; absent docs contribute nothing."""
+    from cdc_algorithms_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 100, 2), (1, 300, 1)], "query_id long, doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    # doc 100: 1/(60+1) + 1/(60+2) from both legs beats single-leg docs
+    assert out[100]["rank"] == 1
+    assert set(out) == {100, 200, 300}
+    assert out[100]["rrf_score"] > out[300]["rrf_score"] > 0
