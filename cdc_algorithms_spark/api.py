@@ -110,6 +110,8 @@ __all__ = [
     "dup_text_fraction",
     "dedup_spans",
     "importance_weights",
+    "learn_tokenizer",
+    "encode_tokens",
 ]
 
 
@@ -1008,3 +1010,26 @@ def hybrid_search(
     ).select("query_id", "embedding")
     sem = mips_topk(embeddings, qvecs, k=depth)
     return rrf_fuse([lex, sem], k=k)
+
+
+def learn_tokenizer(docs: DataFrame, n_merges: int = 32) -> list:
+    """Learn a BPE merge table over the corpus (operators/bpe.py::
+    learn_bpe): the corpus collapses to the distinct-word frequency
+    table before any iteration, each round is two vocabulary-scale jobs
+    and one 1-row collect, merges apply as Catalyst folds — no UDF.
+    Merge selection is pinned exactly against a reference
+    implementation (tests/test_bpe.py); the first round's pair counts
+    are oracle-checked (bpe_pair_counts)."""
+    from cdc_algorithms_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(docs, n_merges)
+
+
+def encode_tokens(docs: DataFrame, merges: list) -> DataFrame:
+    """Encode the corpus vocabulary with a learned merge table
+    (operators/bpe.py::bpe_encode) → (word, wc, tokens); concatenating
+    tokens restores each word exactly (conservation pinned in
+    tests/test_bpe.py)."""
+    from cdc_algorithms_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(docs, merges)

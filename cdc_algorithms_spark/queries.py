@@ -1012,6 +1012,7 @@ _VERIFY_WINDOW: list[str] = [
     "exact_substring_dedup",
     "value_quantile_sketch_log",
     "hybrid_rrf_search",
+    "bpe_pair_counts",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_compaction_plan",
     "anomaly_runs",
     "catalog_reconciliation",
-    "streaming_zorder_route",
 ]
 
 

@@ -435,3 +435,81 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = mips_topk(emb, qvecs, k=_RRF_DEPTH)
     return rrf_fuse([lex, sem], k=_HYBRID_K, k0=_RRF_K0)
+
+
+# --- BPE tokenizer induction --------------------------------------------------
+
+_BPE_TOPK = 50
+_BPE_MERGES = 12
+
+_BPE_PAIRS_ORACLE = f"""
+WITH {_WORDS_CTE},
+wf AS (
+  SELECT lower(u.word) AS word, COUNT(*) AS wc
+  FROM w, UNNEST(w.words) AS u(word) GROUP BY 1
+),
+pairs AS (
+  SELECT substring(word, CAST(t.i AS INT), 1) AS l,
+         substring(word, CAST(t.i + 1 AS INT), 1) AS r,
+         wc
+  FROM wf, UNNEST(range(1, length(word))) AS t(i)
+),
+agg AS (
+  SELECT l, r, SUM(wc) AS pair_count FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l, r, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, l, r) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       l AS "left", r AS "right",
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ranked WHERE rank <= {_BPE_TOPK}
+"""
+
+
+@register("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE round, oracle-exact: adjacent character-pair counts
+    over the distinct-word frequency table (operators/bpe.py::
+    pair_counts — the corpus collapses to vocabulary scale BEFORE any
+    iteration), top-50 by (count, pair). The global rank window here
+    runs over the PAIR AGGREGATE — bounded by the square of the
+    character alphabet, a tiny frame by construction (same documented
+    exemption as the value-class windows in operators/diff.py), never
+    the corpus. The iterative merge selection itself is content-defined
+    like CDC cuts and gets the rows-only + reference-implementation
+    treatment (`bpe_merge_table`, tests/test_bpe.py)."""
+    from cdc_algorithms_spark.operators.bpe import (
+        _init_symbols,
+        pair_counts,
+        word_freq_table,
+    )
+    from pyspark.sql import Window
+
+    wf = word_freq_table(load_table(spark, "documents", sf_dir))
+    sym = wf.select(_init_symbols(F.col("word")).alias("__syms"), "wc")
+    pc = pair_counts(sym)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+    return (
+        pc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _BPE_TOPK)
+        .select("rank", "left", "right", "pair_count")
+    )
+
+
+@register("bpe_merge_table")
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table (operators/bpe.py::learn_bpe, 12 rounds).
+    Merge selection is iterative and content-defined — not
+    SQL-expressible, so this row is rows-only for the driver; the table
+    is pinned EXACTLY against a pure-Python reference implementation
+    and the encoder's reassembly conservation in tests/test_bpe.py
+    (the same oracle strategy as the CDC cut tables)."""
+    from cdc_algorithms_spark.operators.bpe import learn_bpe
+
+    merges = learn_bpe(load_table(spark, "documents", sf_dir), _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )
