@@ -52,6 +52,8 @@ SHOWCASE = [
     ("value_quantile_sketch_auto", "discovered-grid sketches: one min/max pass fixes the grid, quantiles walk exact integer counts (r08)"),
     ("bm25_topk_indexed", "BM25 through the durable posting index: every generation's scan bucket-pruned, df derived from the pruned read, WindowGroupLimit top-k (r08)"),
     ("dsir_importance_weights", "DSIR weights: token stream folded to counts before any join, quantized-BIGINT exact sums, AQE-sized vocab joins (r08)"),
+    ("hybrid_rrf_search", "hybrid retrieval: BM25 + quantized-integer MIPS legs fused by RRF — every stage integer-deterministic (r08)"),
+    ("exact_substring_dedup", "span-level dedup: removable-instance cover explode + per-doc rebuild aggregate, no corpus sort (r08)"),
 ]
 
 
