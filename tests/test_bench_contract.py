@@ -73,3 +73,17 @@ def test_headline_entries_all_registered_and_pinned():
     assert not missing, f"headline not in registry: {missing}"
     unpinned = [q for q in bench.HEADLINE if q not in bench.BASELINE_SF01]
     assert not unpinned, f"headline without sf0.1 pin: {unpinned}"
+
+
+def test_contract_line_keeps_cpu_total_at_measured_regime():
+    """The measured sf0.1 regime: ~all 4-char per-query values puts the
+    2-decimal line at ~1984 bytes, where cpu_total doesn't fit at full
+    precision — the ladder must degrade the map to 1-decimal and KEEP
+    cpu_total (the r08 de-noise signal) rather than sacrifice it."""
+    vals = {name: 0.64 for name in bench.HEADLINE}
+    line = bench.format_contract_line(vals, sum(vals.values()), 0.1,
+                                      cpu_total=208.46)
+    payload = json.loads(line)
+    assert len(line) + 1 <= 2000
+    assert payload["cpu_total"] == 208.46
+    assert set(payload["queries"]) == set(bench.HEADLINE)

@@ -5,7 +5,11 @@ Reads BENCH_LOCAL.json (bench.py's full-precision output) and judges
 each headline query against TWO pinned bands:
 
 * wall vs ``2 x BASELINE_SF01`` — the driver's contract line, kept;
-* process CPU vs ``--cpu-band`` (default 1.5) x ``BASELINE_CPU_SF01``
+* process CPU vs ``--cpu-band`` (default 2.0 — measured single-run
+  spread on small queries reaches ~1.9x a median-of-3 pin even with a
+  healthy 1.05x global total, so the per-query band must clear
+  single-run noise; 2.0 also matches the wall contract's own
+  multiplier) x ``BASELINE_CPU_SF01``
   — the load-insensitive signal: another tenant's pressure stretches
   wall but cannot add CPU to our JVM, so
 
@@ -39,7 +43,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=os.path.join(ROOT, "BENCH_LOCAL.json"))
     ap.add_argument("--wall-band", type=float, default=2.0)
-    ap.add_argument("--cpu-band", type=float, default=1.5)
+    ap.add_argument("--cpu-band", type=float, default=2.0)
     args = ap.parse_args()
 
     with open(args.json) as f:
