@@ -835,3 +835,14 @@ def test_dsir_topk_is_take_ordered(spark):
     plan = P.physical_plan(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert P.python_eval_count(df) == 0
+
+
+def test_hybrid_rrf_windows_are_group_limited(spark):
+    """All three rank windows in the hybrid fusion (BM25 leg, MIPS leg,
+    fused) must carry partial WindowGroupLimit — the MIPS leg's window
+    partitions are corpus-sized per query, so without the partial
+    top-k every query's full candidate set would funnel into one task."""
+    df = _q(spark, "hybrid_rrf_search")
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 5, "partial top-k missing"
+    assert P.python_eval_count(df) == 0
