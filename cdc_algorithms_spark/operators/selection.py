@@ -168,11 +168,25 @@ def dsir_importance_weights(
     )
 
 
+def _gram_fingerprint(g: Column) -> Column:
+    """128-bit gram key: two independent xxhash64 draws as a struct.
+
+    A single 64-bit hash starts colliding around ~5·10⁹ distinct grams
+    (birthday bound) — real territory for a trillion-gram corpus; the
+    paired form pushes that past 10¹⁸ while still shuffling 16 bytes
+    instead of an n-word string."""
+    return F.struct(
+        F.xxhash64(g).alias("h1"),
+        F.xxhash64(g, F.lit(0x9E3779B9)).alias("h2"),
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     n: int = DUP_NGRAM_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Exact substring-span dedup (the transform behind Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -191,7 +205,11 @@ def remove_duplicate_spans(
     REMOVABLE instances only (bounded by the duplicate volume, not the
     corpus); the rebuild is one per-doc aggregate over kept tokens
     (documents are bounded-length rows — a per-doc sort_array, never a
-    corpus sort).
+    corpus sort). At corpus scale pass ``fingerprint=True`` so the
+    gram-keyed shuffles carry 128-bit fingerprints instead of n-word
+    strings (measured: the exact-string shuffle exhausts local disk at
+    1M docs on this container; the fingerprinted run fits — SCALING.md
+    §23).
     """
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -205,6 +223,15 @@ def remove_duplicate_spans(
         "dl",
         F.posexplode(shingles_of_words(F.col("__ws"), n)).alias("gpos", "g"),
     )
+    if fingerprint:
+        # the 100 TB path: the gram-keyed shuffles carry a 16-byte
+        # 128-bit fingerprint instead of an n-word string (~6× fewer
+        # shuffle bytes measured at 1M docs); collision-bounded, not
+        # bit-exact, so it is an explicit opt-in — the oracle-checked
+        # form uses exact strings
+        grams = grams.select(
+            "doc_id", "dl", "gpos", _gram_fingerprint(F.col("g")).alias("g")
+        )
     stats = (
         grams.select("doc_id", "g")
         .distinct()

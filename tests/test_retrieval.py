@@ -276,3 +276,20 @@ def test_rrf_fusion_properties(spark):
     assert out[100]["rank"] == 1
     assert set(out) == {100, 200, 300}
     assert out[100]["rrf_score"] > out[300]["rrf_score"] > 0
+
+
+def test_remove_duplicate_spans_fingerprint_equals_exact(spark):
+    """The 128-bit fingerprint path must produce the same surgery as
+    exact strings on the fixture corpus (collisions are a ~2^-64-scale
+    event; any mismatch here is a logic bug, not bad luck)."""
+    from cdc_algorithms_spark.operators.selection import remove_duplicate_spans
+
+    docs = _docs(spark).limit(100)
+    a = sorted(map(tuple, remove_duplicate_spans(docs, n=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(docs, n=8, fingerprint=True).collect(),
+        )
+    )
+    assert a == b

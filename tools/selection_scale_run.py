@@ -100,9 +100,11 @@ def main() -> None:
             report[f"avg_dup_fraction_{key}"] = round(r["avg_frac"], 4)
         frac.unpersist()
 
-        # exact substring-span dedup + conservation + removable volume
+        # substring-span dedup (fingerprinted grams — the exact-string
+        # shuffle exhausts this container's local disk at 1M docs) +
+        # conservation + removable volume
         t0 = time.monotonic()
-        spans = remove_duplicate_spans(docs, n=8).persist()
+        spans = remove_duplicate_spans(docs, n=8, fingerprint=True).persist()
         agg = spans.agg(
             F.sum("n_tokens").alias("tok"),
             F.sum("n_removed").alias("rem"),
