@@ -1,7 +1,8 @@
-"""Data-selection signals for training corpora: cross-document
-duplication fractions and DSIR importance weights.
+"""Data-selection operators for training corpora: cross-document
+duplication fractions, DSIR importance weights, and exact
+substring-span dedup.
 
-Two per-document scores a curation pipeline computes corpus-wide:
+The per-document signals a curation pipeline computes corpus-wide:
 
 * :func:`cross_doc_dup_fraction` — the share of a document's word
   n-gram INSTANCES that also occur in at least one other document (the
@@ -16,6 +17,10 @@ Two per-document scores a curation pipeline computes corpus-wide:
   the RAW corpus. Positive weight = looks more like the target; the
   mixture/sampling operators (`mixture.py`, `sampling.py`) consume the
   weights to realize a selection.
+* :func:`remove_duplicate_spans` — the TRANSFORM: exact substring-span
+  dedup after Lee et al. 2022, removing every cross-doc duplicated
+  n-gram instance from all but its canonical document (measured at
+  corpus scale in SCALING.md §23).
 
 Determinism contract (same device as ``retrieval.py``): every
 per-term float contribution is quantized to a BIGINT
