@@ -1013,6 +1013,7 @@ _VERIFY_WINDOW: list[str] = [
     "value_quantile_sketch_log",
     "hybrid_rrf_search",
     "bpe_pair_counts",
+    "streaming_value_quantile_sketch_log",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "profile_drift_docs",
     "streaming_compaction_plan",
     "anomaly_runs",
-    "catalog_reconciliation",
 ]
 
 

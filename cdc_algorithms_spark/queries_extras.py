@@ -2560,3 +2560,51 @@ def q_value_quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
     )
     return per_type.unionByName(global_q)
+
+
+@register("streaming_value_quantile_sketch_log", _QSKETCH_LOG_ORACLE)
+def q_streaming_value_quantile_sketch_log(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BOUNDLESS sketches maintained as a stream (streaming/
+    qsketch_stream.py::run_streaming_quantile_sketch_log): three
+    micro-batch stages each settle per-epoch log-grid sketch rows with
+    NO bounds parameter anywhere — the universal grid's standing-
+    pipeline payoff: a future batch of any magnitude folds exactly,
+    where the discovered linear grid would clamp it. Integer counts
+    merge exactly, so this row shares value_quantile_sketch_log's
+    oracle verbatim."""
+    import tempfile
+
+    from cdc_algorithms_spark.operators.qsketch import (
+        sketch_merge,
+        sketch_quantiles_log,
+    )
+    from cdc_algorithms_spark.streaming.qsketch_stream import (
+        run_streaming_quantile_sketch_log,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stages = [
+        cents.where(F.col("cents") % 3 == i).select("event_type", "cents")
+        for i in range(3)
+    ]
+    store = tempfile.mkdtemp(prefix="cdc_qsketchlog_stream_") + "/sk"
+    sk = run_streaming_quantile_sketch_log(
+        spark, stages, store, ["event_type"], "cents"
+    )
+    per_type = sketch_quantiles_log(sk, keep_cols=["event_type"]).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    global_q = sketch_quantiles_log(sketch_merge(sk)).select(
+        F.lit("all").alias("scope"),
+        "n", "v_min", "v_max",
+        "p50_lo", "p50_hi", "p90_lo", "p90_hi", "p99_lo", "p99_hi",
+    )
+    return per_type.unionByName(global_q)

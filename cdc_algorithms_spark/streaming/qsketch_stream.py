@@ -91,4 +91,65 @@ def run_streaming_quantile_sketch(
     return sketch_merge(epochs, group_cols)
 
 
-__all__ = ["run_streaming_quantile_sketch"]
+def run_streaming_quantile_sketch_log(
+    spark: SparkSession,
+    batch_stages: list[DataFrame],
+    store_dir: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The BOUNDLESS twin: same epoch-store discipline with the log₂
+    grid (operators/qsketch.py::histogram_sketch_log). This is where
+    the universal grid earns its keep in a standing pipeline — there is
+    NO bounds parameter to agree on up front, so a batch whose values
+    land orders of magnitude outside anything seen before still
+    sketches and folds exactly (the auto-discovered linear grid is
+    frozen at seed time and would clamp it). Shares the batch query's
+    oracle verbatim, same as the linear streamed form."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_log,
+        sketch_merge,
+    )
+
+    if not batch_stages:
+        raise ValueError("need at least one batch stage")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    os.makedirs(store_dir, exist_ok=True)
+
+    def settle(batch: DataFrame, batch_id: int) -> None:
+        histogram_sketch_log(batch, group_cols, value_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_dir, f"batch_{batch_id}"))
+
+    in_dir = tempfile.mkdtemp(prefix="cdc_qsketchlog_in_")
+    try:
+        batch_stages[0].write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(batch_stages[0].schema).parquet(
+            in_dir
+        )
+        query = (
+            stream.writeStream.foreachBatch(settle)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            for stage in batch_stages[1:]:
+                stage.write.mode("append").parquet(in_dir)
+                query.processAllAvailable()
+        finally:
+            query.stop()
+            query.awaitTermination()
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+    epochs = spark.read.parquet(
+        *_list_store_subdirs(spark, store_dir, exclude="")
+    )
+    return sketch_merge(epochs, group_cols)
+
+
+__all__ = [
+    "run_streaming_quantile_sketch",
+    "run_streaming_quantile_sketch_log",
+]

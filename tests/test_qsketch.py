@@ -395,3 +395,26 @@ def test_linear_reader_refuses_log_sketch(spark):
     sk = histogram_sketch_log(_log_cents(spark), [], "cents")
     with pytest.raises(Exception):
         sketch_quantiles(sk, LO, HI, B).collect()
+
+
+def test_log_streamed_absorbs_cross_magnitude_batches(spark, tmp_path):
+    """The standing-pipeline case the auto grid cannot serve: batch 2's
+    values are 10^6× batch 1's; the streamed log sketch folds both
+    exactly and equals the one-shot build of the union."""
+    from cdc_algorithms_spark.operators.qsketch import histogram_sketch_log
+    from cdc_algorithms_spark.streaming.qsketch_stream import (
+        run_streaming_quantile_sketch_log,
+    )
+
+    b1 = spark.createDataFrame([(v,) for v in (0, 3, 17, 900)], "v long")
+    b2 = spark.createDataFrame(
+        [(v,) for v in (10**9, 7 * 10**10)], "v long"
+    )
+    streamed = run_streaming_quantile_sketch_log(
+        spark, [b1, b2], str(tmp_path / "sk"), [], "v"
+    ).collect()
+    direct = histogram_sketch_log(b1.unionByName(b2), [], "v").collect()
+    assert len(streamed) == len(direct) == 1
+    s, d = streamed[0], direct[0]
+    assert (s["n"], s["v_min"], s["v_max"]) == (d["n"], d["v_min"], d["v_max"])
+    assert list(s["counts"]) == list(d["counts"])
