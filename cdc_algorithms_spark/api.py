@@ -105,6 +105,7 @@ __all__ = [
     "build_text_index",
     "search_index",
     "hybrid_search",
+    "mine_hard_negatives",
     "extend_text_index",
     "compact_text_index",
     "dup_text_fraction",
@@ -1033,3 +1034,14 @@ def encode_tokens(docs: DataFrame, merges: list) -> DataFrame:
     from cdc_algorithms_spark.operators.bpe import bpe_encode
 
     return bpe_encode(docs, merges)
+
+
+def mine_hard_negatives(lex: DataFrame, sem: DataFrame, k: int = 10) -> DataFrame:
+    """Contrastive-training negatives: lexically top-ranked docs the
+    semantic leg does NOT return (operators/retrieval.py::
+    hard_negatives; oracle-checked by contrastive_hard_negatives).
+    Feed bm25_ranks-shaped and mips_topk-shaped (query_id, doc_id,
+    rank) frames."""
+    from cdc_algorithms_spark.operators.retrieval import hard_negatives
+
+    return hard_negatives(lex, sem, k=k)

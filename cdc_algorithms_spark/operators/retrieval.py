@@ -458,3 +458,35 @@ def bm25_ranks(
     return bm25_topk(docs, qterms, k=depth, k1=k1, b=b).select(
         "query_id", "doc_id", "rank"
     )
+
+
+def hard_negatives(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Mine hard negatives for contrastive retriever training: documents
+    a LEXICAL ranker scores highly that the SEMANTIC ranker does NOT
+    return — the classic BM25-negatives recipe (lexically confusable,
+    semantically wrong), as (query_id, rank, doc_id, lex_rank).
+
+    ``lex``/``sem`` are (query_id, doc_id, rank) frames (bm25_ranks /
+    mips_topk); the anti-join keeps lex candidates absent from sem's
+    top set, ranked by their lexical rank with the usual doc_id
+    tiebreak. Pure rank arithmetic — deterministic end to end."""
+    neg = lex.join(sem, ["query_id", "doc_id"], "left_anti")
+    return (
+        neg.withColumnRenamed("rank", "lex_rank")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("lex_rank"), F.asc("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "lex_rank")
+    )

@@ -1014,6 +1014,7 @@ _VERIFY_WINDOW: list[str] = [
     "hybrid_rrf_search",
     "bpe_pair_counts",
     "streaming_value_quantile_sketch_log",
+    "contrastive_hard_negatives",
     "customer_balance_quartiles",
     "value_quantile_sketch",
     "streaming_value_quantile_sketch",
@@ -1049,7 +1050,6 @@ _VERIFY_WINDOW: list[str] = [
     "zorder_pruning_gain",
     "profile_drift_docs",
     "streaming_compaction_plan",
-    "anomaly_runs",
 ]
 
 

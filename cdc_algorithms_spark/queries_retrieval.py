@@ -513,3 +513,78 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+_NEG_K = 10
+_NEG_SEM_K = 10
+
+_HARD_NEG_ORACLE = f"""{_BM25_CTES},
+lex AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {_RRF_DEPTH}),
+qv AS (SELECT * FROM (VALUES {_QV_VALUES}) AS t(query_id, qvec_id)),
+qq AS (
+  SELECT qv.query_id, e.embedding
+  FROM qv JOIN embeddings e ON e.vec_id = qv.qvec_id
+),
+pairs AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qa,
+         CAST(FLOOR(CAST(unnest(d.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS da
+  FROM qq q, embeddings d
+),
+dots AS (SELECT query_id, doc_id, SUM(qa * da) AS dot FROM pairs GROUP BY 1, 2),
+sem AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY dot DESC, doc_id
+           ) AS rank
+    FROM dots
+  ) WHERE rank <= {_NEG_SEM_K}
+),
+neg AS (
+  SELECT l.query_id, l.doc_id, l.rank AS lex_rank
+  FROM lex l LEFT JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+  WHERE s.doc_id IS NULL
+),
+final AS (
+  SELECT query_id, doc_id, lex_rank,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY lex_rank, doc_id
+         ) AS rank
+  FROM neg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank
+FROM final WHERE rank <= {_NEG_K}
+"""
+
+
+@register("contrastive_hard_negatives", _HARD_NEG_ORACLE)
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training
+    (operators/retrieval.py::hard_negatives): documents BM25 ranks in
+    its top 50 that the quantized-MIPS semantic leg does NOT place in
+    its top 10 — lexically confusable, semantically wrong, the standard
+    negatives recipe. Pure rank arithmetic over the two deterministic
+    legs, so the whole mine replays bit-for-bit in DuckDB."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_ranks,
+        hard_negatives,
+        mips_topk,
+        query_terms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_ranks(docs, query_terms(spark, BM25_QUERIES), depth=_RRF_DEPTH)
+    qmap = spark.createDataFrame(HYBRID_QVECS, "query_id long, qvec_id long")
+    qvecs = qmap.join(emb, qmap["qvec_id"] == emb["vec_id"]).select(
+        "query_id", "embedding"
+    )
+    sem = mips_topk(emb, qvecs, k=_NEG_SEM_K)
+    return hard_negatives(lex, sem, k=_NEG_K)

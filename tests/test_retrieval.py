@@ -293,3 +293,36 @@ def test_remove_duplicate_spans_fingerprint_equals_exact(spark):
         )
     )
     assert a == b
+
+
+def test_hard_negatives_exclude_semantic_hits(spark):
+    """Every mined negative appears in the lexical ranking and none in
+    the semantic top set; ranks are dense per query."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_ranks,
+        hard_negatives,
+        mips_topk,
+    )
+
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qt = query_terms(spark, QUERIES)
+    lex = bm25_ranks(docs, qt, depth=30)
+    qv = (
+        spark.createDataFrame([(1, 7), (2, 123)], "query_id long, qvec_id long")
+        .join(emb, F.col("qvec_id") == emb["vec_id"])
+        .select("query_id", "embedding")
+    )
+    sem = mips_topk(emb, qv, k=10)
+    neg = hard_negatives(lex, sem, k=10)
+    sem_set = {(r["query_id"], r["doc_id"]) for r in sem.collect()}
+    lex_set = {(r["query_id"], r["doc_id"]) for r in lex.collect()}
+    rows = neg.collect()
+    assert rows
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert (r["query_id"], r["doc_id"]) in lex_set
+        assert (r["query_id"], r["doc_id"]) not in sem_set
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
