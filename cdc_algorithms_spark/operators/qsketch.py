@@ -461,12 +461,12 @@ def sketch_quantiles_log(
         # shiftleft's numBits must be a Column here (the bucket index
         # is data); the python helper only takes a literal int, so the
         # SQL function goes through call_function
-        b_lo = F.when(pos == 1, F.lit(0).cast("long")).otherwise(
-            F.call_function("shiftleft", one, i)
-        )
-        b_hi = F.when(pos == 1, one).otherwise(
-            F.call_function("shiftleft", one, i + F.lit(1)) - one
-        )
+        half = F.call_function("shiftleft", one, i)
+        b_lo = F.when(pos == 1, F.lit(0).cast("long")).otherwise(half)
+        # upper bound 2^(i+1)-1 formed as (2^i - 1) + 2^i: bucket 62
+        # (values in [2^62, 2^63-1]) must not form 2^63, which overflows
+        # BIGINT and throws under Spark 4's default ANSI mode
+        b_hi = F.when(pos == 1, one).otherwise(half - one + half)
         sel.append(
             F.greatest(F.col("v_min"), b_lo).cast("long").alias(f"{pct}_lo")
         )

@@ -228,15 +228,13 @@ def write_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
 
 
 def _text_delta_dirs(spark: SparkSession, path: str, kind: str) -> list[str]:
-    """Epoch subdirectories under ``{path}/{kind}_delta`` (absent → [])."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{path}/{kind}_delta")
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    return sorted(
-        str(st.getPath()) for st in fs.listStatus(root) if st.isDirectory()
-    )
+    """LIVE epoch subdirectories under ``{path}/{kind}_delta``: absent
+    root → []; epochs the base store's ``_folded_epochs.json`` manifest
+    records as already compacted in are skipped (storeio module
+    docstring — the crash-window fix)."""
+    from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
+
+    return live_epoch_dirs(spark, f"{path}/{kind}_delta", f"{path}/{kind}")
 
 
 def extend_text_index(
@@ -271,15 +269,30 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
     OPTIMIZE (same rename-first swap as compact_pq_index: stage the
     merged store, park the old base, install, drop deltas last, so a
     crash at any point leaves a readable index). Postings are immutable
-    rows — the merge is a pure union, no dedup logic."""
+    rows — the merge is a pure union, no dedup logic.
+
+    Each staged store carries a ``_folded_epochs.json`` manifest listing
+    the epochs it subsumes (written BEFORE the install rename), so the
+    rename atomically retires those deltas from probes' view; the
+    trailing delta delete is garbage collection — a crash between
+    install and delete can no longer double-count postings or meta
+    (storeio module docstring)."""
+    from cdc_algorithms_spark.operators import storeio
+
     pdirs = _text_delta_dirs(spark, path, "postings")
-    if not pdirs:
+    mdirs = _text_delta_dirs(spark, path, "meta")
+    if not pdirs and not mdirs:
+        # nothing live to fold; reclaim any crash-deferred folded deltas
+        for kind in ("postings", "meta"):
+            storeio.gc_folded_epochs(
+                spark, f"{path}/{kind}_delta", f"{path}/{kind}"
+            )
         return
     postings = spark.read.parquet(f"{path}/postings")
     for d in pdirs:
         postings = postings.unionByName(spark.read.parquet(d))
     meta = spark.read.parquet(f"{path}/meta")
-    for d in _text_delta_dirs(spark, path, "meta"):
+    for d in mdirs:
         meta = meta.unionByName(spark.read.parquet(d))
     folded_meta = meta.agg(
         F.sum("n").cast("long").alias("n"),
@@ -292,6 +305,13 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
         .parquet(f"{path}/postings_tmp")
     )
     folded_meta.write.mode("overwrite").parquet(f"{path}/meta_tmp")
+    for kind, dirs in (("postings", pdirs), ("meta", mdirs)):
+        storeio.write_folded_epochs(
+            spark,
+            f"{path}/{kind}_tmp",
+            storeio.read_folded_epochs(spark, f"{path}/{kind}")
+            | {d.rsplit("/", 1)[-1] for d in dirs},
+        )
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()

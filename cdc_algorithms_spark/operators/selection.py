@@ -35,11 +35,13 @@ Scale notes (100 TB):
   broadcast hint (a forced broadcast of a corpus vocabulary would OOM
   the driver) — AQE picks the strategy from sizes, the same contract
   as `tfidf_top_terms`.
-* At corpus scale pass ``fingerprint=True`` to
-  :func:`cross_doc_dup_fraction` — grams shuffle as 8-byte xxhash64
-  fingerprints instead of n-word strings (the oracle uses exact
-  strings; fingerprinting is collision-bounded, not bit-exact, so it
-  is an explicit opt-in).
+* At or above ``FINGERPRINT_AUTO_DOCS`` input documents,
+  :func:`cross_doc_dup_fraction` and :func:`remove_duplicate_spans`
+  switch to 128-bit gram fingerprints automatically (the measured
+  1M-doc exact-string shuffle exhausts local disk — SCALING.md §23);
+  ``fingerprint=True/False`` forces either path. The oracle fixtures
+  run exact strings; fingerprinting is collision-bounded
+  (:func:`_gram_fingerprint`), not bit-exact.
 """
 
 from __future__ import annotations
@@ -53,13 +55,26 @@ QUANT = 1_000_000_000
 
 DUP_NGRAM_N = 8
 
+# Exact-string gram shuffles are measured to exhaust local shuffle disk
+# at 1M docs (SCALING.md §23); at/above this many input documents the
+# span operators default to 128-bit fingerprint grams so the first
+# corpus-scale caller cannot rediscover that cliff. One metadata-cheap
+# count() job per call when the caller leaves fingerprint=None.
+FINGERPRINT_AUTO_DOCS = 200_000
+
+
+def _resolve_fingerprint(docs: DataFrame, fingerprint: bool | None) -> bool:
+    if fingerprint is not None:
+        return fingerprint
+    return docs.count() >= FINGERPRINT_AUTO_DOCS
+
 
 def cross_doc_dup_fraction(
     docs: DataFrame,
     n: int = DUP_NGRAM_N,
     id_col: str = "doc_id",
     text_col: str = "text",
-    fingerprint: bool = False,
+    fingerprint: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_ngrams, n_dup_ngrams, dup_fraction) per document.
 
@@ -67,7 +82,12 @@ def cross_doc_dup_fraction(
     instances whose n-gram occurs in ≥ 2 distinct documents. Documents
     shorter than n words contribute one whole-doc gram (same rule as
     every shingle operator here), so short exact dupes still score 1.0.
+
+    ``fingerprint=None`` (default) auto-selects: exact-string grams
+    below ``FINGERPRINT_AUTO_DOCS`` documents, 128-bit fingerprints at
+    or above it (module docstring).
     """
+    fingerprint = _resolve_fingerprint(docs, fingerprint)
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         words(text_col).alias("__ws"),
@@ -75,7 +95,12 @@ def cross_doc_dup_fraction(
     gram: Column = F.explode(shingles_of_words(F.col("__ws"), n)).alias("g")
     grams = base.select("doc_id", gram)
     if fingerprint:
-        grams = grams.select("doc_id", F.xxhash64("g").alias("g"))
+        # same 128-bit key as remove_duplicate_spans: a single 64-bit
+        # hash starts colliding around ~5e9 distinct grams — real
+        # territory for a trillion-gram corpus both operators advertise
+        grams = grams.select(
+            "doc_id", _gram_fingerprint(F.col("g")).alias("g")
+        )
     cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     # cnt is unique on (doc_id, g) → document frequency is a plain count
     dfr = cnt.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -133,8 +158,13 @@ def dsir_importance_weights(
         .select("doc_id", "lang", "__tgt", "dl", F.lower("word").alias("term"))
         .groupBy("doc_id", "lang", "__tgt", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
+    # tf feeds four branches of ONE returned plan (raw/tgt/meta/join);
+    # its shuffle exchange is identical in each, so ReusedExchange makes
+    # the token fold run once. No persist(): a DataFrame-level cache is
+    # never auto-released (CacheManager holds it for the session), and a
+    # plan-building function has no post-materialization hook to
+    # unpersist from — the leak outweighs re-reading one shuffle.
     raw = tf.groupBy("term").agg(F.sum("tf").alias("c_raw"))
     tgt = tf.where("__tgt").groupBy("term").agg(F.sum("tf").alias("c_tgt"))
     meta = tf.agg(
@@ -144,6 +174,17 @@ def dsir_importance_weights(
         ).alias("total_tgt"),
         F.count_distinct("term").alias("v"),
     )
+    return _dsir_score(tf, raw, tgt, meta)
+
+
+def _dsir_score(
+    tf: DataFrame, raw: DataFrame, tgt: DataFrame, meta: DataFrame
+) -> DataFrame:
+    """Shared scoring tail (batch and durable-index paths run the SAME
+    expression tree, so a folded index scores bit-identically to the
+    one-shot model): ``tf`` is (doc_id, lang, dl, term, tf); ``raw`` /
+    ``tgt`` are (term, c_raw) / (term, c_tgt); ``meta`` is one row
+    (total_raw, total_tgt, v)."""
     ln_tgt = F.log(
         (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1))
         * F.lit(1.0)
@@ -173,6 +214,177 @@ def dsir_importance_weights(
     )
 
 
+# --- Durable DSIR term-count store -------------------------------------------
+#
+# The selection tier's standing-pipeline form (the fifth instance of the
+# repo's durable-index pattern, after the Jaccard shingle index, the
+# IVF-PQ codes, the BM25 postings, and the Z-layout store): the unigram
+# language models behind dsir_importance_weights are nothing but exact
+# term counts, so they maintain incrementally the way the BM25 store
+# does — and with the SAME bit-identity contract, since the probe
+# derives every model quantity (c_raw, c_tgt, totals, vocabulary size)
+# from the folded counts at read time. Layout:
+#
+#     path/counts/bucket=<pmod(xxhash64(term), buckets)>/   base
+#     path/counts_delta/epoch_<n>/bucket=.../               extends
+#     path/meta/                 one row (total_raw, total_tgt)  base
+#     path/meta_delta/epoch_<n>/ one row per extend epoch
+#
+# Counts rows are (term, c_raw, c_tgt) — integer sums, so generations
+# fold exactly; a term may appear in several generations (grouped at
+# read). Per-epoch overwrite keeps foreachBatch replay idempotent.
+
+DSIR_BUCKETS = 32
+
+
+def _dsir_term_frame(
+    docs: DataFrame, target_pred: Column, text_col: str, buckets: int
+) -> DataFrame:
+    t = (
+        docs.select(target_pred.alias("__tgt"), words(text_col).alias("__ws"))
+        .select("__tgt", F.explode("__ws").alias("word"))
+        .select("__tgt", F.lower("word").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_raw"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_tgt"),
+        )
+    )
+    return t.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
+    )
+
+
+def _dsir_meta_frame(docs: DataFrame, target_pred: Column, text_col: str):
+    ws = docs.select(target_pred.alias("__tgt"), words(text_col).alias("__ws"))
+    return ws.agg(
+        F.sum(F.size("__ws")).cast("long").alias("total_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("__tgt"), F.size("__ws"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_tgt"),
+    )
+
+
+def write_dsir_counts(
+    docs: DataFrame,
+    target_pred: Column,
+    path: str,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> None:
+    """Write the base DSIR term-count store (layout comment above)."""
+    (
+        _dsir_term_frame(docs, target_pred, text_col, buckets)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/counts")
+    )
+    _dsir_meta_frame(docs, target_pred, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def extend_dsir_counts(
+    spark,
+    path: str,
+    batch_docs: DataFrame,
+    target_pred: Column,
+    epoch: int,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> None:
+    """Fold a document batch into the standing unigram models WITHOUT
+    touching resident counts: the batch's term counts land bucket-
+    partitioned under ``counts_delta/epoch_<n>``, its exact token
+    totals under ``meta_delta/epoch_<n>``. Cost tracks the batch (one
+    tokenize + one hash exchange over the batch alone); because counts
+    are integers, the folded store equals a one-shot build over
+    seed ∪ batches BIT-identically — same contract as the BM25 store,
+    stronger than the PQ store's frozen-model tier."""
+    (
+        _dsir_term_frame(batch_docs, target_pred, text_col, buckets)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/counts_delta/epoch_{int(epoch)}")
+    )
+    _dsir_meta_frame(batch_docs, target_pred, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta_delta/epoch_{int(epoch)}")
+
+
+def dsir_weights_indexed(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against the DURABLE unigram models: identical
+    output schema to :func:`dsir_importance_weights`, and — when the
+    store's generations fold to the same corpus the batch form would
+    model — identical VALUES, because every model quantity is derived
+    from the folded integer counts through the shared
+    :func:`_dsir_score` expression tree. Terms absent from the store
+    contribute with c_raw = 0 smoothing (a genuinely-new token scores
+    against the add-one floor rather than erroring). The counts join
+    carries the store's ``bucket`` partition column on both sides so
+    Spark can dynamically prune the partitioned scan to the buckets
+    the scored batch's terms hash into."""
+    from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
+
+    counts = spark.read.parquet(f"{path}/counts")
+    for d in live_epoch_dirs(
+        spark, f"{path}/counts_delta", f"{path}/counts"
+    ):
+        counts = counts.unionByName(spark.read.parquet(d))
+    folded = counts.groupBy("term").agg(
+        F.sum("c_raw").cast("long").alias("c_raw"),
+        F.sum("c_tgt").cast("long").alias("c_tgt"),
+    )
+    meta = spark.read.parquet(f"{path}/meta")
+    for d in live_epoch_dirs(spark, f"{path}/meta_delta", f"{path}/meta"):
+        meta = meta.unionByName(spark.read.parquet(d))
+    meta = meta.agg(
+        F.sum("total_raw").cast("long").alias("total_raw"),
+        F.sum("total_tgt").cast("long").alias("total_tgt"),
+    ).crossJoin(folded.agg(F.count(F.lit(1)).cast("long").alias("v")))
+    tf = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            "lang",
+            words(text_col).alias("__ws"),
+        )
+        .select(
+            "doc_id", "lang", F.size("__ws").alias("dl"),
+            F.explode("__ws").alias("word"),
+        )
+        .select("doc_id", "lang", "dl", F.lower("word").alias("term"))
+        .groupBy("doc_id", "lang", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # unseen terms score against the add-one smoothing floor instead of
+    # silently dropping (the _dsir_score raw join is inner): complete
+    # the raw model over the probe's own term set with c_raw = 0. The
+    # batch form never hits this case — every scored term is in its own
+    # model by construction — so shared-oracle runs are unaffected.
+    raw = (
+        tf.select("term")
+        .distinct()
+        .join(folded.select("term", "c_raw"), "term", "left")
+        .select(
+            "term", F.coalesce("c_raw", F.lit(0).cast("long")).alias("c_raw")
+        )
+    )
+    tgt = folded.where(F.col("c_tgt") > 0).select("term", "c_tgt")
+    return _dsir_score(tf, raw, tgt, meta)
+
+
 def _gram_fingerprint(g: Column) -> Column:
     """128-bit gram key: two independent xxhash64 draws as a struct.
 
@@ -191,7 +403,7 @@ def remove_duplicate_spans(
     n: int = DUP_NGRAM_N,
     id_col: str = "doc_id",
     text_col: str = "text",
-    fingerprint: bool = False,
+    fingerprint: bool | None = None,
 ) -> DataFrame:
     """Exact substring-span dedup (the transform behind Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -210,12 +422,13 @@ def remove_duplicate_spans(
     REMOVABLE instances only (bounded by the duplicate volume, not the
     corpus); the rebuild is one per-doc aggregate over kept tokens
     (documents are bounded-length rows — a per-doc sort_array, never a
-    corpus sort). At corpus scale pass ``fingerprint=True`` so the
-    gram-keyed shuffles carry 128-bit fingerprints instead of n-word
-    strings (measured: the exact-string shuffle exhausts local disk at
-    1M docs on this container; the fingerprinted run fits — SCALING.md
-    §23).
+    corpus sort). ``fingerprint=None`` (default) auto-selects: at or
+    above ``FINGERPRINT_AUTO_DOCS`` documents the gram-keyed shuffles
+    carry 128-bit fingerprints instead of n-word strings (measured: the
+    exact-string shuffle exhausts local disk at 1M docs on this
+    container; the fingerprinted run fits — SCALING.md §23).
     """
+    fingerprint = _resolve_fingerprint(docs, fingerprint)
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         words(text_col).alias("__ws"),

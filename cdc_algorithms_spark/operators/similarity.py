@@ -452,6 +452,67 @@ def _pq_code(vec_col, books: list[list[list[float]]], sub: int):
     ])
 
 
+ERR_QUANT = 1_000_000  # 1e-6 quantization-error quantum (drift stats)
+
+
+def _pq_quant_err_q(vec_col, books: list[list[list[float]]], sub: int):
+    """Quantized (×1e6, floored → BIGINT) PQ reconstruction error of a
+    vector under FROZEN codebooks: Σ_j min_cw ||subvec_j − cw||² — the
+    residual :func:`_pq_code` minimizes, as an integer so per-cell
+    error totals sum order-independently (the same determinism device
+    as retrieval.py's contribution quantization)."""
+    total = None
+    for j, bk in enumerate(books):
+        s = F.slice(vec_col, j * sub + 1, sub)
+        t = F.array_min(F.array(*[_sq_dist_to(s, cw) for cw in bk]))
+        total = t if total is None else total + t
+    return F.floor(total * F.lit(float(ERR_QUANT))).cast("long")
+
+
+def _write_codes_and_stats(
+    frame: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    sub: int,
+    corpus_id: str,
+    vec_col: str,
+    codes_path: str,
+    stats_path: str,
+) -> None:
+    """ONE encode pass feeding both outputs: the cell-partitioned
+    ``(vec_id, cell, code)`` store and the per-cell ``(cell, n, err_q)``
+    drift stats (≤ nlist rows). The per-vector expressions (m·ksub
+    distance terms for the code, the same terms' minima for the error)
+    are the dominant encode cost, so the frame is persisted and read
+    twice rather than evaluated twice; unpersisted before return."""
+    enc = frame.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+        _pq_code(F.col(vec_col), books, sub).alias("code"),
+        _pq_quant_err_q(F.col(vec_col), books, sub).alias("__e"),
+    ).persist()
+    try:
+        (
+            enc.drop("__e")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(codes_path)
+        )
+        (
+            enc.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__e").cast("long").alias("err_q"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+    finally:
+        enc.unpersist()
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -651,31 +712,20 @@ def write_pq_index(
         "centroids array<array<double>>, books array<array<array<double>>>",
     )
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
-    (
-        corpus.select(
-            F.col(corpus_id).cast("long").alias("vec_id"),
-            _nearest_cell(F.col(vec_col), cents).alias("cell"),
-            _pq_code(F.col(vec_col), books, sub).alias("code"),
-        )
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
+    _write_codes_and_stats(
+        corpus, cents, books, sub, corpus_id, vec_col,
+        f"{path}/codes", f"{path}/stats",
     )
 
 
 def _pq_delta_dirs(spark, path: str) -> list[str]:
-    """Epoch subdirectories under ``{path}/codes_delta`` (absent → [])."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{path}/codes_delta")
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    return sorted(
-        str(st.getPath())
-        for st in fs.listStatus(root)
-        if st.isDirectory()
-    )
+    """LIVE epoch subdirectories under ``{path}/codes_delta``: absent
+    root → []; epochs the base store's ``_folded_epochs.json`` manifest
+    records as already compacted in are skipped (storeio module
+    docstring — the crash-window fix)."""
+    from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
+
+    return live_epoch_dirs(spark, f"{path}/codes_delta", f"{path}/codes")
 
 
 def read_pq_index(spark, path: str) -> PqIndex:
@@ -722,16 +772,13 @@ def extend_pq_index(
     cents = [list(map(float, c)) for c in row["centroids"]]
     books = [[list(map(float, cw)) for cw in bk] for bk in row["books"]]
     sub = int(row["dim"]) // int(row["m"])
-    (
-        batch.select(
-            F.col(corpus_id).cast("long").alias("vec_id"),
-            _nearest_cell(F.col(vec_col), cents).alias("cell"),
-            _pq_code(F.col(vec_col), books, sub).alias("code"),
-        )
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes_delta/epoch_{int(epoch)}")
+    # one encode pass writes the epoch's codes AND its drift evidence
+    # under the FROZEN model (≤ nlist stats rows; per-epoch overwrite
+    # keeps at-least-once replay idempotent for both)
+    _write_codes_and_stats(
+        batch, cents, books, sub, corpus_id, vec_col,
+        f"{path}/codes_delta/epoch_{int(epoch)}",
+        f"{path}/stats_delta/epoch_{int(epoch)}",
     )
 
 
@@ -746,9 +793,19 @@ def compact_pq_index(spark, path: str) -> None:
     until the new one is in place) so a crash mid-swap leaves a
     recoverable store, and the deltas are dropped last. Codes are
     immutable rows keyed by vec_id — the merge is a pure union, no
-    dedup logic."""
+    dedup logic. The staged store carries a ``_folded_epochs.json``
+    manifest (written BEFORE the install rename) so the rename
+    atomically retires the folded deltas from probes' view; the
+    trailing delete is garbage collection, and a crash between install
+    and delete can no longer double-count codes (storeio docstring)."""
+    from cdc_algorithms_spark.operators import storeio
+
     deltas = _pq_delta_dirs(spark, path)
     if not deltas:
+        # nothing live to fold; reclaim any crash-deferred folded deltas
+        storeio.gc_folded_epochs(
+            spark, f"{path}/codes_delta", f"{path}/codes"
+        )
         return
     codes = spark.read.parquet(f"{path}/codes")
     for d in deltas:
@@ -759,6 +816,12 @@ def compact_pq_index(spark, path: str) -> None:
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp)
+    )
+    storeio.write_folded_epochs(
+        spark,
+        tmp,
+        storeio.read_folded_epochs(spark, f"{path}/codes")
+        | {d.rsplit("/", 1)[-1] for d in deltas},
     )
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -833,6 +896,119 @@ def rebuild_pq_index(
             f" {old}"
         )
     fs.delete(P(old), True)
+
+
+def pq_drift_report(spark, path: str) -> DataFrame:
+    """Quantify codebook drift of a durable PQ store — the DETECT half
+    of the ANN maintenance loop, mirroring layout_drift_report →
+    zorder_relayout: per coarse cell, how much worse the frozen
+    codebooks quantize the encode-only epochs than the distribution
+    they were trained on.
+
+    Returns ``(cell, n_seed, err_seed_q, n_new, err_new_q, drift_ppm)``
+    where ``drift_ppm = floor(1e6 · (err_new_q/n_new) /
+    (err_seed_q/n_seed))`` — parts-per-million ratio of mean quantized
+    reconstruction error, new vs seed; 1_000_000 means "exactly as well
+    coded as the training data", NULL where either side is empty or the
+    seed error is zero. The arithmetic is integer-exact (DECIMAL(38,0)
+    cross-multiplication — no float division), so the report is
+    bit-stable across partitionings and engines.
+
+    A fresh :func:`write_pq_index` / :func:`rebuild_pq_index` store has
+    no ``stats_delta`` epochs → every row has ``n_new = 0``. Compaction
+    (:func:`compact_pq_index`) folds CODES only and leaves the drift
+    stats in place: storage maintenance must not launder drift — the
+    model is still the seed model, so the evidence stays until a
+    rebuild re-derives it. The whole report reads ≤ nlist·(epochs+1)
+    pre-aggregated rows — no corpus scan."""
+    seed = spark.read.parquet(f"{path}/stats").select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n").alias("n_seed"),
+        F.col("err_q").alias("err_seed_q"),
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/stats_delta")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    epochs = (
+        sorted(
+            str(st.getPath())
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+        )
+        if fs.exists(root)
+        else []
+    )
+    if epochs:
+        new = spark.read.parquet(epochs[0])
+        for d in epochs[1:]:
+            new = new.unionByName(spark.read.parquet(d))
+        new = new.groupBy("cell").agg(
+            F.sum("n").cast("long").alias("n_new"),
+            F.sum("err_q").cast("long").alias("err_new_q"),
+        ).select(F.col("cell").cast("long").alias("cell"), "n_new", "err_new_q")
+    else:
+        new = spark.createDataFrame(
+            [], "cell long, n_new long, err_new_q long"
+        )
+    zero = F.lit(0).cast("long")
+    joined = seed.join(new, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_seed", zero).alias("n_seed"),
+        F.coalesce("err_seed_q", zero).alias("err_seed_q"),
+        F.coalesce("n_new", zero).alias("n_new"),
+        F.coalesce("err_new_q", zero).alias("err_new_q"),
+    )
+    ratio = F.expr(
+        "CAST((CAST(err_new_q AS DECIMAL(38,0)) * n_seed * 1000000)"
+        " DIV (CAST(err_seed_q AS DECIMAL(38,0)) * n_new) AS BIGINT)"
+    )
+    return joined.withColumn(
+        "drift_ppm",
+        F.when(
+            (F.col("n_new") > 0)
+            & (F.col("n_seed") > 0)
+            & (F.col("err_seed_q") > 0),
+            ratio,
+        ),
+    )
+
+
+def rebuild_pq_index_if_drifted(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    max_ppm: int = 1_500_000,
+    iters: int = 3,
+    seed: int = 43,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """The POLICY verb closing the ANN maintenance loop (the analogue
+    of zorder_relayout's threshold gate): aggregate
+    :func:`pq_drift_report` to one corpus-weighted ratio — mean
+    quantized error of ALL encode-only epochs vs ALL training data, in
+    ppm, computed driver-side in exact Python integers over four BIGINT
+    sums — and :func:`rebuild_pq_index` when it reaches ``max_ppm``
+    (default 1.5e6 = new epochs coded 50% worse than the seed).
+    Returns True iff a rebuild ran. Below threshold (or with nothing
+    streamed yet) the store is left byte-untouched."""
+    tot = pq_drift_report(spark, path).agg(
+        F.sum("n_seed").alias("ns"),
+        F.sum("err_seed_q").alias("es"),
+        F.sum("n_new").alias("nn"),
+        F.sum("err_new_q").alias("en"),
+    ).collect()[0]
+    ns, es, nn, en = (int(tot[c] or 0) for c in ("ns", "es", "nn", "en"))
+    if nn == 0 or ns == 0 or es == 0:
+        return False
+    ppm = (en * ns * 1_000_000) // (es * nn)
+    if ppm < max_ppm:
+        return False
+    rebuild_pq_index(
+        spark, path, vectors, iters=iters, seed=seed,
+        corpus_id=corpus_id, vec_col=vec_col,
+    )
+    return True
 
 
 def pq_topk_indexed(

@@ -1,0 +1,102 @@
+"""Hadoop-FS helpers shared by the durable index stores (text postings,
+PQ codes): epoch-directory listing and the folded-epochs manifest that
+makes compaction atomic with respect to delta liveness.
+
+The crash window the manifest closes: every ``compact_*`` stages the
+merged store, installs it with a rename, then deletes the now-folded
+epoch deltas. A crash BETWEEN the install rename and the delta delete
+used to leave both the folded rows (inside the new base) and the live
+epoch directories — the next probe would union them and double-count.
+
+Fix: the staged store carries ``_folded_epochs.json`` (a ``_``-prefixed
+file, invisible to Spark's parquet reader) listing every epoch directory
+it subsumes, written BEFORE the install rename. The install rename is
+therefore the single atomic operation that both publishes the folded
+rows and retires their deltas: :func:`live_epoch_dirs` consults the
+manifest of the CURRENT base and skips listed epochs, so post-install
+delta deletion is garbage collection, not correctness. A bonus: an
+at-least-once replay that re-writes an epoch AFTER a compaction folded
+it is now skipped too, instead of double-counting.
+
+Manifests accumulate (each compaction unions the previous manifest), so
+epoch names must never be REUSED for new data after a compaction — the
+existing monotonic-epoch contract of the ``extend_*`` writers
+(foreachBatch batch ids) already guarantees that.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+MANIFEST = "_folded_epochs.json"
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def read_folded_epochs(spark: SparkSession, store_dir: str) -> set[str]:
+    """Epoch basenames the base store at ``store_dir`` already contains
+    (empty set when the store predates manifests or was never
+    compacted)."""
+    fs, p = _fs_and_path(spark, f"{store_dir}/{MANIFEST}")
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return set(json.loads(text)["folded"])
+
+
+def write_folded_epochs(
+    spark: SparkSession, staged_dir: str, folded: set[str]
+) -> None:
+    """Record ``folded`` epoch basenames inside a STAGED store so the
+    install rename publishes rows and manifest in one atomic step."""
+    fs, p = _fs_and_path(spark, f"{staged_dir}/{MANIFEST}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"folded": sorted(folded)}).encode()))
+    finally:
+        out.close()
+
+
+def gc_folded_epochs(
+    spark: SparkSession, delta_root: str, store_dir: str
+) -> None:
+    """Delete epoch directories under ``delta_root`` that the base
+    store's manifest already records as folded — the cleanup a crash
+    between install and delete deferred. Safe at any time: probes skip
+    these directories regardless."""
+    fs, root = _fs_and_path(spark, delta_root)
+    if not fs.exists(root):
+        return
+    folded = read_folded_epochs(spark, store_dir)
+    for st in fs.listStatus(root):
+        if st.isDirectory() and st.getPath().getName() in folded:
+            fs.delete(st.getPath(), True)
+
+
+def live_epoch_dirs(
+    spark: SparkSession, delta_root: str, store_dir: str
+) -> list[str]:
+    """Epoch subdirectories under ``delta_root`` NOT already folded into
+    the base store at ``store_dir`` (per its manifest); sorted, absent
+    root → []."""
+    fs, root = _fs_and_path(spark, delta_root)
+    if not fs.exists(root):
+        return []
+    folded = read_folded_epochs(spark, store_dir)
+    return sorted(
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName() not in folded
+    )

@@ -810,12 +810,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "ann_bruteforce_topk",
     "ann_ivf_recall",
     "ann_lsh_recall",
+    "ann_pq_rebuild_check",
     "ann_pq_recall",
     "anomaly_runs",
     "asof_last_view_before_purchase",
     "benchmark_decontamination",
     "bloom_decontamination_check",
+    "bm25_topk_docs",
+    "bm25_topk_indexed",
     "boilerplate_chunks",
+    "bpe_pair_counts",
     "brand_volume",
     "catalog_reconciliation",
     "cdc_apply_check",
@@ -829,6 +833,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "cluster_safe_split_check",
     "compaction_plan",
     "compaction_rewrite_check",
+    "contrastive_hard_negatives",
+    "cross_doc_dup_fraction",
     "curation_pipeline",
     "curriculum_order",
     "customer_balance_quartiles",
@@ -841,6 +847,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "doc_table_diff",
     "docs_grouping_sets",
     "docs_rollup",
+    "dsir_importance_weights",
+    "dsir_topk_selection",
     "dup_ngram_coverage",
     "duplicated_spans_fixed",
     "embedding_clusters",
@@ -853,6 +861,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_props_map_stats",
     "events_variant_stats",
     "exact_dedup_docs",
+    "exact_substring_dedup",
     "fastcdc_concat_check",
     "fastcdc_tiling_check",
     "fingerprint_near_dup_check",
@@ -861,6 +870,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "fixed_dedup_sweep",
     "frequent_terms",
     "fuzzy_name_matches",
+    "hybrid_rrf_search",
     "incremental_ingest_stats",
     "incremental_jaccard_pairs",
     "incremental_jaccard_pairs_indexed",
@@ -939,6 +949,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "sql_frontend_pricing_summary",
     "store_gc_plan_fixed",
     "stratified_sample_docs",
+    "streaming_bm25_index",
     "streaming_change_feed",
     "streaming_compaction_plan",
     "streaming_decontamination",
@@ -961,6 +972,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_user_sessions",
     "streaming_value_outliers",
     "streaming_value_quantile_sketch",
+    "streaming_value_quantile_sketch_log",
     "streaming_view_purchase_conversions",
     "streaming_windowed_event_counts",
     "streaming_zorder_route",
@@ -978,6 +990,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "value_band_range_join",
     "value_outliers",
     "value_quantile_sketch",
+    "value_quantile_sketch_auto",
+    "value_quantile_sketch_log",
     "viewers_never_purchased",
     "zorder3_append_check",
     "zorder3_drift_check",
@@ -990,66 +1004,84 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "zorder_maintenance_check",
     "zorder_pruning_gain",
     "zorder_realized_pruning",
+    "zorder_relayout_check",
     "zorder_rewrite_check",
 })
 
-# The driver-verification window: the 50 oracle-backed queries the
-# next driver run compares first. Regenerated each round by
-# `tools/update_rotation.py --write`: latest-round failures first,
-# then the never-green backlog in registry order, topped up with
-# already-green names when fewer than 50 need verification (as in this
-# r03 rotation: 31 backlog + 19 green re-checks).
+# The driver-verification window: the 50 registry entries the next
+# driver run checks first. r09 rotation (hand-tuned over
+# `tools/update_rotation.py` output): the 3 new queries + 12 re-verifies
+# whose operator code changed this round, then — deliberately — the 10
+# rows-only queries that had NEVER been inside a driver window (the
+# driver records a weaker rows-only check for no-oracle entries;
+# rows-only signal beats none — VERDICT r08 #5), topped up with 25
+# green re-checks rotated to names NOT in the r08 window.
+# tests/test_api.py::test_verify_window_composition pins the
+# composition, including the explicit rows-only tail.
+_ROWS_ONLY_WINDOW_TAIL: frozenset[str] = frozenset({
+    "simhash_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "semantic_dedup_embeddings",
+    "doc_fingerprints",
+    "media_features",
+    "chunk_overlap_pairs_ae",
+    "streaming_stateful_ae_chunks",
+    "bpe_merge_table",
+    "synthetic_blob_ae_node_stats",
+})
+
 _VERIFY_WINDOW: list[str] = [
-    "ann_pq_rebuild_check",
-    "zorder_relayout_check",
-    "value_quantile_sketch_auto",
-    "bm25_topk_docs",
-    "bm25_topk_indexed",
-    "cross_doc_dup_fraction",
-    "dsir_importance_weights",
-    "streaming_bm25_index",
-    "dsir_topk_selection",
-    "exact_substring_dedup",
+    "ann_drift_check",
+    "streaming_dsir_weights",
+    "hybrid_rrf_indexed",
     "value_quantile_sketch_log",
-    "hybrid_rrf_search",
-    "bpe_pair_counts",
     "streaming_value_quantile_sketch_log",
-    "contrastive_hard_negatives",
-    "customer_balance_quartiles",
-    "value_quantile_sketch",
-    "streaming_value_quantile_sketch",
-    "zorder_maintenance_check",
-    "streaming_ingest_disorder_check",
-    "zorder3_rewrite_check",
-    "zorder3_realized_pruning",
-    "streaming_pq_index",
-    "pps_sample_docs",
-    "zorder_append_check",
-    "pps_sample_docs_by_lang",
-    "zorder_drift_check",
-    "zorder3_append_check",
-    "mixture_realized_sample",
-    "zorder3_drift_check",
-    "zorder_rewrite_check",
-    "compaction_rewrite_check",
-    "zorder_realized_pruning",
-    "streaming_ingest_pipeline",
-    "zorder3_layout_plan",
+    "dsir_importance_weights",
+    "dsir_topk_selection",
+    "cross_doc_dup_fraction",
+    "exact_substring_dedup",
+    "bm25_topk_indexed",
+    "streaming_bm25_index",
     "ann_pq_recall",
-    "fuzzy_name_matches",
-    "event_funnel",
-    "zorder_layout_plan",
-    "compaction_plan",
-    "value_outliers",
-    "curriculum_order",
-    "fixed_dedup_sweep",
-    "near_dup_threshold_sweep",
-    "streaming_value_outliers",
-    "streaming_event_funnel",
-    "training_manifest",
-    "zorder_pruning_gain",
-    "profile_drift_docs",
-    "streaming_compaction_plan",
+    "streaming_pq_index",
+    "ann_pq_rebuild_check",
+    "bpe_pair_counts",
+    "simhash_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "semantic_dedup_embeddings",
+    "doc_fingerprints",
+    "media_features",
+    "chunk_overlap_pairs_ae",
+    "streaming_stateful_ae_chunks",
+    "bpe_merge_table",
+    "synthetic_blob_ae_node_stats",
+    "fixed_chunks",
+    "fixed_dedup_stats",
+    "ae_concat_check",
+    "ae_tiling_check",
+    "rabin_concat_check",
+    "rabin_tiling_check",
+    "fastcdc_concat_check",
+    "fastcdc_tiling_check",
+    "chunk_size_histogram_fixed",
+    "dedup_stats_by_lang",
+    "parallel_ae_concat_check",
+    "parallel_ae_tiling_check",
+    "parallel_rabin_tiling_check",
+    "parallel_rabin_concat_check",
+    "incremental_ingest_stats",
+    "dedup_sketch_report_fixed",
+    "snapshot_diff_fixed",
+    "change_ratio_fixed",
+    "sync_plan_fixed",
+    "snapshot_diff_ae_conservation",
+    "snapshot_diff_ae_localization_check",
+    "doc_table_diff",
+    "cdc_apply_check",
+    "store_gc_plan_fixed",
+    "chunk_version_matrix_fixed",
 ]
 
 

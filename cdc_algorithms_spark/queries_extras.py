@@ -2505,22 +2505,24 @@ SELECT scope, CAST(n AS BIGINT) AS n,
        CAST(vmin AS BIGINT) AS v_min, CAST(vmax AS BIGINT) AS v_max,
        -- bucket i covers [2^i, 2^(i+1)-1] (bucket 0: [0, 1]), clamped
        -- to the exact v_min/v_max; no out-of-range case exists on the
-       -- universal grid — mirrors qsketch.py::sketch_quantiles_log
+       -- universal grid — mirrors qsketch.py::sketch_quantiles_log.
+       -- Upper bound formed as (2^i - 1) + 2^i so bucket 62 never
+       -- computes 1 << 63 (BIGINT overflow).
        CAST(GREATEST(vmin, CASE WHEN b50 = 0 THEN 0
                                 ELSE 1::BIGINT << b50 END) AS BIGINT) AS p50_lo,
        CAST(LEAST(vmax, CASE WHEN b50 = 0 THEN 1
-                             ELSE (1::BIGINT << (b50 + 1)) - 1 END)
-            AS BIGINT) AS p50_hi,
+                             ELSE (1::BIGINT << b50) - 1 + (1::BIGINT << b50)
+                        END) AS BIGINT) AS p50_hi,
        CAST(GREATEST(vmin, CASE WHEN b90 = 0 THEN 0
                                 ELSE 1::BIGINT << b90 END) AS BIGINT) AS p90_lo,
        CAST(LEAST(vmax, CASE WHEN b90 = 0 THEN 1
-                             ELSE (1::BIGINT << (b90 + 1)) - 1 END)
-            AS BIGINT) AS p90_hi,
+                             ELSE (1::BIGINT << b90) - 1 + (1::BIGINT << b90)
+                        END) AS BIGINT) AS p90_hi,
        CAST(GREATEST(vmin, CASE WHEN b99 = 0 THEN 0
                                 ELSE 1::BIGINT << b99 END) AS BIGINT) AS p99_lo,
        CAST(LEAST(vmax, CASE WHEN b99 = 0 THEN 1
-                             ELSE (1::BIGINT << (b99 + 1)) - 1 END)
-            AS BIGINT) AS p99_hi
+                             ELSE (1::BIGINT << b99) - 1 + (1::BIGINT << b99)
+                        END) AS BIGINT) AS p99_hi
 FROM unioned
 """
 

@@ -109,22 +109,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-@register("bm25_topk_indexed", _BM25_ORACLE)
-def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 through the DURABLE index path (operators/retrieval.py::
-    write_text_index → bm25_topk_indexed): postings live as term-bucket-
-    partitioned parquet; the probe statically prunes its read to the
-    ≤ #query-term buckets the query hashes into and derives df/avgdl
-    from exactly what it reads. Same oracle as bm25_topk_docs — the
-    index changes where the postings are read from, not what they
-    say."""
+def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Durable BM25 posting index over ``sf_dir``'s documents, built
+    once per (session, corpus) — shared by every indexed-retrieval
+    query so a session pays the tokenize+write exactly once."""
     import tempfile
 
-    from cdc_algorithms_spark.operators.retrieval import (
-        bm25_topk_indexed,
-        query_terms,
-        write_text_index,
-    )
+    from cdc_algorithms_spark.operators.retrieval import write_text_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _BM25_INDEX_CACHE.get(key)
@@ -134,8 +125,28 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_text_index(docs, path)
         _BM25_INDEX_CACHE.clear()
         _BM25_INDEX_CACHE[key] = path
+    return path
+
+
+@register("bm25_topk_indexed", _BM25_ORACLE)
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the DURABLE index path (operators/retrieval.py::
+    write_text_index → bm25_topk_indexed): postings live as term-bucket-
+    partitioned parquet; the probe statically prunes its read to the
+    ≤ #query-term buckets the query hashes into and derives df/avgdl
+    from exactly what it reads. Same oracle as bm25_topk_docs — the
+    index changes where the postings are read from, not what they
+    say."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_terms,
+    )
+
     return bm25_topk_indexed(
-        spark, path, query_terms(spark, BM25_QUERIES), k=BM25_K
+        spark,
+        bm25_index_path(spark, sf_dir),
+        query_terms(spark, BM25_QUERIES),
+        k=BM25_K,
     )
 
 
@@ -271,6 +282,58 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         load_table(spark, "documents", sf_dir), F.col("lang") == "en"
     )
+
+
+# One streamed DSIR count store per (session, corpus dir) — the build
+# (seed write + two streamed extension epochs) happens once; every call
+# after scores against the durable store, same contract as the BM25 /
+# PQ index caches.
+_DSIR_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("streaming_dsir_weights", _DSIR_ORACLE)
+def q_streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weights through a STREAM-MAINTAINED durable term-count
+    store (streaming/dsir_stream.py → operators/selection.py::
+    dsir_weights_indexed): the unigram models seed on a 2/3 corpus, the
+    remaining third arrives as two foreachBatch epochs appended as
+    bucket-partitioned count deltas with exact token totals. Because
+    the store holds nothing but integer counts and scoring derives
+    every model quantity (c_raw, c_tgt, totals, vocabulary size) from
+    the folded generations through the SAME expression tree as the
+    batch form, the streamed store scores the corpus BIT-IDENTICALLY —
+    so this row shares the batch DSIR oracle verbatim, closing the
+    selection tier's streaming loop (every standing pipeline here now
+    has a maintained form)."""
+    from cdc_algorithms_spark.operators.selection import dsir_weights_indexed
+    from cdc_algorithms_spark.streaming.dsir_stream import (
+        run_streaming_dsir_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DSIR_STREAM_CACHE.get(key)
+    if path is None:
+        seed = docs.where(F.col("doc_id") % 3 != 0)
+        stages = [
+            docs.where(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == par)
+            ).select("doc_id", "text", "lang")
+            for par in (0, 1)
+        ]
+        path = tempfile_mkdtemp_dsir()
+        run_streaming_dsir_counts(
+            spark, seed, stages, path, F.col("lang") == "en"
+        )
+        _DSIR_STREAM_CACHE.clear()
+        _DSIR_STREAM_CACHE[key] = path
+    return dsir_weights_indexed(spark, path, docs)
+
+
+def tempfile_mkdtemp_dsir() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="cdc_dsir_stream_") + "/counts_store"
 
 
 _DSIR_TOPK_M = 50
@@ -437,10 +500,153 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=_HYBRID_K, k0=_RRF_K0)
 
 
+# Indexed hybrid: the standing-pipeline form — both legs probe their
+# durable stores. The lexical leg is BIT-identical to the batch one
+# (pure counts → df/avgdl derived at read time), pinned by count +
+# checksum the oracle recomputes from scratch; the semantic leg is the
+# IVF-PQ probe, so the FUSED top-k carries the module's standard
+# recall-floor contract instead of bit-identity (measured fused overlap
+# vs the brute fusion: 0.70 / 0.70 / 0.87 at sf0.001/0.01/0.1).
+HYBRID_IDX_RECALL_FLOOR = 0.5
+
+_HYBRID_IDX_ORACLE = f"""{_BM25_CTES},
+lex AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {_RRF_DEPTH}),
+qv AS (SELECT * FROM (VALUES {_QV_VALUES}) AS t(query_id, qvec_id)),
+qq AS (
+  SELECT qv.query_id, e.embedding
+  FROM qv JOIN embeddings e ON e.vec_id = qv.qvec_id
+),
+pairs AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qa,
+         CAST(FLOOR(CAST(unnest(d.embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS da
+  FROM qq q, embeddings d
+),
+dots AS (SELECT query_id, doc_id, SUM(qa * da) AS dot FROM pairs GROUP BY 1, 2),
+sem AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY dot DESC, doc_id
+           ) AS rank
+    FROM dots
+  ) WHERE rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(FLOOR(1000000000.0 / ({_RRF_K0} + rank)) AS BIGINT)) AS rrf_q
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf_q DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT CAST((SELECT COUNT(*) FROM lex) AS BIGINT) AS n_lex,
+       CAST((SELECT SUM(query_id * 1000000000000 + rank * 100000000
+                        + doc_id) FROM lex) AS BIGINT) AS lex_checksum,
+       CAST((SELECT COUNT(*) FROM final WHERE rank <= {_HYBRID_K})
+            AS BIGINT) AS n_fused_exact,
+       CAST({HYBRID_IDX_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+       TRUE AS recall_ok
+"""
+
+
+@register("hybrid_rrf_indexed", _HYBRID_IDX_ORACLE)
+def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search composed over the DURABLE indexes — the form a
+    standing 100 TB pipeline actually runs (contrast hybrid_rrf_search,
+    which re-tokenizes the corpus and brute-scans the embeddings per
+    query set): the lexical leg probes the term-bucket BM25 store
+    (bm25_topk_indexed — reads pruned to the query terms' buckets), the
+    semantic leg probes the cell-partitioned IVF-PQ store
+    (pq_topk_indexed — training-free, cell-pruned ADC + exact re-rank;
+    both prunings plan-pinned in tests), and the legs fuse by RRF.
+
+    Verification tiers per leg: the lexical leg is count+checksum
+    BIT-identical to the DuckDB-recomputed batch ranks (the index holds
+    pure counts); the fused top-k is recall-floored against the brute
+    fusion, whose size the oracle also recomputes — the ann_pq_recall
+    contract applied to fusion."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        mips_topk,
+        query_terms,
+        rrf_fuse,
+    )
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_topk_indexed,
+        read_pq_index,
+    )
+    from cdc_algorithms_spark.queries_text import pq_index_path
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qt = query_terms(spark, BM25_QUERIES)
+    lex = bm25_topk_indexed(
+        spark, bm25_index_path(spark, sf_dir), qt, k=_RRF_DEPTH
+    ).select("query_id", "doc_id", "rank")
+    qmap = spark.createDataFrame(HYBRID_QVECS, "query_id long, qvec_id long")
+    qvecs = qmap.join(emb, qmap["qvec_id"] == emb["vec_id"]).select(
+        "query_id", "embedding"
+    )
+    index = read_pq_index(spark, pq_index_path(spark, sf_dir))
+    sem_idx = pq_topk_indexed(
+        qvecs, index, emb, k=_RRF_DEPTH, nprobe=6, rerank=6
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    fused_idx = rrf_fuse([lex, sem_idx], k=_HYBRID_K, k0=_RRF_K0).select(
+        "query_id", "doc_id"
+    )
+    # the exact side of the recall check (same brute legs the
+    # hybrid_rrf_search query fuses)
+    sem_brute = mips_topk(emb, qvecs, k=_RRF_DEPTH)
+    fused_exact = rrf_fuse([lex, sem_brute], k=_HYBRID_K, k0=_RRF_K0).select(
+        "query_id", "doc_id"
+    )
+    hits = fused_exact.join(fused_idx, ["query_id", "doc_id"], "left_semi")
+    checksum = F.sum(
+        F.col("query_id") * F.lit(1_000_000_000_000)
+        + F.col("rank") * F.lit(100_000_000)
+        + F.col("doc_id")
+    ).cast("long")
+    return (
+        lex.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lex"),
+            checksum.alias("lex_checksum"),
+        )
+        .crossJoin(
+            fused_exact.agg(
+                F.count(F.lit(1)).cast("long").alias("n_fused_exact")
+            )
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_lex",
+            "lex_checksum",
+            "n_fused_exact",
+            F.lit(HYBRID_IDX_RECALL_FLOOR).cast("double").alias(
+                "recall_floor"
+            ),
+            (
+                F.round(F.col("__n_hit") / F.col("n_fused_exact"), 4)
+                >= HYBRID_IDX_RECALL_FLOOR
+            ).alias("recall_ok"),
+        )
+    )
+
+
 # --- BPE tokenizer induction --------------------------------------------------
 
 _BPE_TOPK = 50
-_BPE_MERGES = 12
+# production-scale request: learning is driver-side over the collected
+# vocabulary (operators/bpe.py::learn_bpe_from_counts), so the merge
+# count no longer costs Spark jobs — the fixtures' synthetic vocabulary
+# exhausts earlier and the learner stops at the true fixpoint
+_BPE_MERGES = 1000
 
 _BPE_PAIRS_ORACLE = f"""
 WITH {_WORDS_CTE},
@@ -501,12 +707,17 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bpe_merge_table")
 def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned merge table (operators/bpe.py::learn_bpe, 12 rounds).
-    Merge selection is iterative and content-defined — not
-    SQL-expressible, so this row is rows-only for the driver; the table
-    is pinned EXACTLY against a pure-Python reference implementation
-    and the encoder's reassembly conservation in tests/test_bpe.py
-    (the same oracle strategy as the CDC cut tables)."""
+    """The learned merge table (operators/bpe.py::learn_bpe) at a
+    PRODUCTION merge request (1000; the synthetic fixture vocabulary
+    exhausts earlier, so the table is the corpus's true fixpoint).
+    Spark folds the corpus to the word-frequency table; the merges are
+    learned driver-side in one pass (learn_bpe_from_counts — no
+    per-round Spark jobs). Merge selection is iterative and
+    content-defined — not SQL-expressible, so this row is rows-only
+    for the driver; the table is pinned EXACTLY against an independent
+    from-scratch reference implementation and the encoder's reassembly
+    conservation in tests/test_bpe.py (the same oracle strategy as the
+    CDC cut tables)."""
     from cdc_algorithms_spark.operators.bpe import learn_bpe
 
     merges = learn_bpe(load_table(spark, "documents", sf_dir), _BPE_MERGES)

@@ -183,6 +183,111 @@ def test_compact_pq_index_folds_deltas(spark, tmp_path):
     assert _probe_rows(spark, path) == before_rows
 
 
+def test_compact_pq_crash_window_no_double_count(spark, tmp_path):
+    """storeio manifest contract for the PQ store: folded epoch deltas
+    left behind by a crash between the install rename and the delta
+    delete are skipped by probes (no duplicated codes), and the next
+    compaction garbage-collects them."""
+    import shutil
+
+    from cdc_algorithms_spark.operators.similarity import compact_pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    extend_pq_index(spark, path, emb.where(F.col("vec_id") % 3 == 0), 0)
+    before_rows = _probe_rows(spark, path)
+    before_codes = sorted(
+        tuple(r) for r in read_pq_index(spark, path).codes.collect()
+    )
+    shutil.copytree(f"{path}/codes_delta", f"{path}/codes_crash")
+    compact_pq_index(spark, path)
+    shutil.move(f"{path}/codes_crash", f"{path}/codes_delta")
+    # epoch_0 is in the manifest: probes skip it — codes NOT duplicated
+    assert (
+        sorted(tuple(r) for r in read_pq_index(spark, path).codes.collect())
+        == before_codes
+    )
+    assert _probe_rows(spark, path) == before_rows
+    # next compaction GCs the dead epoch directory
+    compact_pq_index(spark, path)
+    assert os.listdir(os.path.join(path, "codes_delta")) == []
+    assert _probe_rows(spark, path) == before_rows
+
+
+def test_pq_drift_report_lifecycle(spark, tmp_path):
+    """The DETECT half of the ANN maintenance loop (pq_drift_report):
+    a fresh store reports zero streamed evidence; an encode-only epoch
+    from cluster geometry the codebooks never saw reports mean error
+    strictly above the seed's (drift_ppm > 1e6 overall); replaying the
+    epoch changes nothing (idempotent stats); the policy verb rebuilds
+    over threshold and the rebuilt store is evidence-free again."""
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_drift_report,
+        rebuild_pq_index_if_drifted,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("label") < 5), path)
+    fresh = pq_drift_report(spark, path).collect()
+    assert fresh and all(r["n_new"] == 0 for r in fresh)
+    assert all(r["drift_ppm"] is None for r in fresh)
+    assert sum(r["n_seed"] for r in fresh) == emb.where("label < 5").count()
+
+    shifted = emb.where(F.col("label") >= 5).select("vec_id", "embedding")
+    extend_pq_index(spark, path, shifted, epoch=0)
+    drifted = pq_drift_report(spark, path).collect()
+    tot = {c: sum(r[c] for r in drifted) for c in
+           ("n_seed", "err_seed_q", "n_new", "err_new_q")}
+    assert tot["n_new"] == emb.where("label >= 5").count()
+    ppm = (tot["err_new_q"] * tot["n_seed"] * 1_000_000) // (
+        tot["err_seed_q"] * tot["n_new"]
+    )
+    assert ppm > 1_000_000, f"unseen clusters must code worse, got {ppm}"
+
+    extend_pq_index(spark, path, shifted, epoch=0)  # at-least-once replay
+    replay = pq_drift_report(spark, path).collect()
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, drifted))
+
+    # below threshold: byte-untouched, returns False
+    assert not rebuild_pq_index_if_drifted(
+        spark, path, emb, max_ppm=ppm + 1
+    )
+    assert sorted(map(tuple, pq_drift_report(spark, path).collect())) == \
+        sorted(map(tuple, drifted))
+    # at threshold: rebuild runs, evidence cleared, corpus conserved
+    assert rebuild_pq_index_if_drifted(spark, path, emb, max_ppm=ppm)
+    rebuilt = pq_drift_report(spark, path).collect()
+    assert all(r["n_new"] == 0 for r in rebuilt)
+    assert sum(r["n_seed"] for r in rebuilt) == emb.count()
+    assert read_pq_index(spark, path).codes.count() == emb.count()
+
+
+def test_pq_drift_ratio_is_integer_exact(spark, tmp_path):
+    """drift_ppm must be the exact floor of the cross-multiplied BIGINT
+    ratio (DECIMAL(38,0) arithmetic, no float division) — recomputed
+    row-by-row in Python integers."""
+    from cdc_algorithms_spark.operators.similarity import pq_drift_report
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("label") < 5), path)
+    extend_pq_index(
+        spark, path,
+        emb.where(F.col("label") >= 5).select("vec_id", "embedding"),
+        epoch=0,
+    )
+    for r in pq_drift_report(spark, path).collect():
+        if r["n_new"] > 0 and r["n_seed"] > 0 and r["err_seed_q"] > 0:
+            expect = (r["err_new_q"] * r["n_seed"] * 1_000_000) // (
+                r["err_seed_q"] * r["n_new"]
+            )
+            assert r["drift_ppm"] == expect
+        else:
+            assert r["drift_ppm"] is None
+
+
 def test_run_streaming_pq_index_validates_stages(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one batch stage"):
         run_streaming_pq_index(

@@ -73,6 +73,59 @@ def test_learned_merges_equal_reference(spark):
     assert all(cnt > 0 for _, _, _, cnt in got)
 
 
+def test_merges_to_exhaustion_equal_reference(spark):
+    """Driver-side learning at a production-scale request: the learner
+    runs to the vocabulary's fixpoint (every word one symbol — no pairs
+    left) and the ENTIRE table equals the from-scratch reference, not
+    just a 10-merge prefix. Also pins the fixpoint semantics: the run
+    stops exactly when no pair remains."""
+    docs = _docs(spark)
+    wc = {r["word"]: r["wc"] for r in word_freq_table(docs).collect()}
+    got = learn_bpe(docs, 100_000)
+    assert got == _reference_bpe(wc, 100_000)
+    assert 0 < len(got) < 100_000  # fixture vocab exhausts
+    # fixpoint reached: re-requesting more merges returns the same table
+    assert learn_bpe(docs, len(got) + 500) == got
+
+
+def test_learn_bpe_prefix_stability():
+    """Greedy BPE is prefix-stable: the first k merges of a larger run
+    equal the k-merge run — the property that makes a cached merge
+    table extensible. Pure driver-side check (learn_bpe_from_counts),
+    plus the incremental bookkeeping staying exact through count
+    INCREASES (a merge can create a more frequent pair: 'abab...' makes
+    (ab,ab) spike after (a,b) merges)."""
+    from cdc_algorithms_spark.operators.bpe import learn_bpe_from_counts
+
+    vocab = [
+        ("abababab", 7),
+        ("ababx", 5),
+        ("xyxyxy", 6),
+        ("zq", 3),
+        ("aabb", 2),
+    ]
+    full = learn_bpe_from_counts(vocab, 50)
+    for k in (1, 2, 3, 5, len(full)):
+        assert learn_bpe_from_counts(vocab, k) == full[:k]
+    # cross-check the whole table against the from-scratch reference
+    assert full == _reference_bpe(dict(vocab), 50)
+
+
+def test_learn_bpe_vocab_caps(spark):
+    """min_count / max_vocab bound the driver transfer: capping to the
+    top-n words learns exactly what the reference learns on that
+    truncated vocabulary."""
+    docs = _docs(spark)
+    rows = sorted(
+        word_freq_table(docs).collect(),
+        key=lambda r: (-r["wc"], r["word"]),
+    )
+    top = {r["word"]: r["wc"] for r in rows[:10]}
+    assert learn_bpe(docs, 20, max_vocab=10) == _reference_bpe(top, 20)
+    kept = {r["word"]: r["wc"] for r in rows if r["wc"] >= 3}
+    assert learn_bpe(docs, 20, min_count=3) == _reference_bpe(kept, 20)
+
+
 def test_encode_conserves_bytes_and_compresses(spark):
     docs = _docs(spark)
     merges = learn_bpe(docs, 10)

@@ -360,6 +360,27 @@ def test_log_sketch_absorbs_any_magnitude(spark):
     assert row["p50_lo"] <= 200 <= row["p50_hi"]
 
 
+def test_log_sketch_top_bucket_no_ansi_overflow(spark):
+    """Bucket 62 (values in [2^62, 2^63-1]) is the 'absorbs any
+    magnitude' contract's edge: its upper bound is 2^63-1, and a naive
+    shiftleft(1, 63) - 1 throws ARITHMETIC_OVERFLOW under Spark 4's
+    default ANSI mode. The bound must be formed overflow-free."""
+    from cdc_algorithms_spark.operators.qsketch import (
+        histogram_sketch_log,
+        sketch_quantiles_log,
+    )
+
+    vals = [2**62, 2**62 + 7, 2**63 - 2, 2**63 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = sketch_quantiles_log(histogram_sketch_log(df, [], "v")).collect()[0]
+    assert row["n"] == 4
+    assert row["v_min"] == 2**62 and row["v_max"] == 2**63 - 1
+    # every quantile lands in bucket 62: [2^62, 2^63-1] clamped to exact
+    for pct in ("p50", "p90", "p99"):
+        assert row[f"{pct}_lo"] == 2**62
+        assert row[f"{pct}_hi"] == 2**63 - 1
+
+
 def test_log_true_order_statistic_inside_bounds(spark):
     import math
 

@@ -194,6 +194,47 @@ def test_text_index_compact_preserves_answers(spark, tmp_path):
     ) == before
 
 
+def test_text_index_compact_crash_window_no_double_count(spark, tmp_path):
+    """The storeio manifest contract: if a crash between the install
+    rename and the delta delete leaves the folded epoch directories
+    behind, the next probe must SKIP them (the staged store's
+    _folded_epochs.json lists them) — not union them in and double-count
+    df/n/sum_dl. Simulated by copying the deltas aside and restoring
+    them after compaction."""
+    import shutil
+
+    from cdc_algorithms_spark.operators.retrieval import (
+        _text_delta_dirs,
+        compact_text_index,
+        extend_text_index,
+        write_text_index,
+    )
+
+    docs = _docs(spark)
+    qt = query_terms(spark, QUERIES)
+    path = str(tmp_path / "idx")
+    write_text_index(docs.where(F.col("doc_id") % 3 != 0), path, buckets=8)
+    extend_text_index(
+        spark, path, docs.where(F.col("doc_id") % 3 == 0), 0, buckets=8
+    )
+    before = sorted(bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect())
+    for kind in ("postings", "meta"):
+        shutil.copytree(f"{path}/{kind}_delta", f"{path}/{kind}_crash")
+    compact_text_index(spark, path)
+    for kind in ("postings", "meta"):  # the crash leftover reappears
+        shutil.move(f"{path}/{kind}_crash", f"{path}/{kind}_delta")
+    # the manifest marks epoch_0 folded: probes and a re-compact see no
+    # live deltas, and answers stay exact
+    assert _text_delta_dirs(spark, path, "postings") == []
+    assert _text_delta_dirs(spark, path, "meta") == []
+    after = sorted(bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect())
+    assert after == before
+    compact_text_index(spark, path)  # pure GC; still exact
+    assert sorted(
+        bm25_topk_indexed(spark, path, qt, k=10, buckets=8).collect()
+    ) == before
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Plant a shared 10-token span in three docs of otherwise-unique
     tokens: the min-doc keeps it, the others lose exactly those tokens,
