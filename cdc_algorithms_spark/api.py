@@ -941,8 +941,8 @@ def dup_text_fraction(docs: DataFrame, n: int = 8, **kw) -> DataFrame:
     positional word n-gram instances occurring in ≥ 2 documents — the
     C4/RefinedWeb threshold signal (operators/selection.py::
     cross_doc_dup_fraction; oracle-checked by cross_doc_dup_fraction).
-    Pass fingerprint=True at corpus scale to shuffle 8-byte gram
-    fingerprints instead of strings."""
+    At/above 200k docs the gram shuffles auto-switch to 128-bit
+    fingerprints (fingerprint=True/False forces either path)."""
     from cdc_algorithms_spark.operators.selection import cross_doc_dup_fraction
 
     return cross_doc_dup_fraction(docs, n=n, **kw)
@@ -1013,17 +1013,20 @@ def hybrid_search(
     return rrf_fuse([lex, sem], k=k)
 
 
-def learn_tokenizer(docs: DataFrame, n_merges: int = 32) -> list:
+def learn_tokenizer(docs: DataFrame, n_merges: int = 32000, **kw) -> list:
     """Learn a BPE merge table over the corpus (operators/bpe.py::
-    learn_bpe): the corpus collapses to the distinct-word frequency
-    table before any iteration, each round is two vocabulary-scale jobs
-    and one 1-row collect, merges apply as Catalyst folds — no UDF.
-    Merge selection is pinned exactly against a reference
-    implementation (tests/test_bpe.py); the first round's pair counts
-    are oracle-checked (bpe_pair_counts)."""
+    learn_bpe): Spark folds the corpus to the distinct-word frequency
+    table — the only corpus-sized work — and the merge loop runs
+    driver-side over the collected vocabulary (incremental pair counts
+    + lazy heap: production merge counts in seconds, where per-round
+    Spark jobs cost hours). ``min_count`` / ``max_vocab`` bound the
+    driver transfer for pathological vocabularies. Merge selection is
+    pinned exactly against a from-scratch reference to vocabulary
+    exhaustion (tests/test_bpe.py); the first round's pair counts are
+    oracle-checked (bpe_pair_counts)."""
     from cdc_algorithms_spark.operators.bpe import learn_bpe
 
-    return learn_bpe(docs, n_merges)
+    return learn_bpe(docs, n_merges, **kw)
 
 
 def encode_tokens(docs: DataFrame, merges: list) -> DataFrame:
@@ -1045,3 +1048,100 @@ def mine_hard_negatives(lex: DataFrame, sem: DataFrame, k: int = 10) -> DataFram
     from cdc_algorithms_spark.operators.retrieval import hard_negatives
 
     return hard_negatives(lex, sem, k=k)
+
+
+def hybrid_search_indexed(
+    spark,
+    text_index: str,
+    pq_index_path: str,
+    embeddings: DataFrame,
+    queries: list,
+    query_vec_ids: list,
+    k: int = 10,
+    depth: int = 50,
+    nprobe: int = 6,
+    rerank: int = 6,
+) -> DataFrame:
+    """Hybrid retrieval over the DURABLE stores — the standing-pipeline
+    form of :func:`hybrid_search`: the lexical leg probes a
+    :func:`build_text_index` store (bucket-pruned, bit-identical to the
+    batch ranks), the semantic leg probes a write_pq_index store
+    (cell-pruned, training-free), fused by RRF (verification contract
+    in the hybrid_rrf_indexed driver row: lexical checksum-exact, fused
+    top-k recall-floored vs the brute fusion)."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_terms,
+        rrf_fuse,
+    )
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_topk_indexed,
+        read_pq_index,
+    )
+    from pyspark.sql import functions as F
+
+    lex = bm25_topk_indexed(
+        spark, text_index, query_terms(spark, queries), k=depth
+    ).select("query_id", "doc_id", "rank")
+    qmap = spark.createDataFrame(query_vec_ids, "query_id long, qvec_id long")
+    qvecs = qmap.join(
+        embeddings, qmap["qvec_id"] == embeddings["vec_id"]
+    ).select("query_id", "embedding")
+    sem = pq_topk_indexed(
+        qvecs, read_pq_index(spark, pq_index_path), embeddings,
+        k=depth, nprobe=nprobe, rerank=rerank,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k=k)
+
+
+def ann_drift_report(spark, pq_index_path: str) -> DataFrame:
+    """Per-cell codebook-drift report for a durable PQ store
+    (operators/similarity.py::pq_drift_report): integer-exact ppm
+    ratio of mean quantized reconstruction error, encode-only epochs
+    vs the model's training data — the DETECT half of the ANN
+    maintenance loop (oracle-checked lifecycle: ann_drift_check)."""
+    from cdc_algorithms_spark.operators.similarity import pq_drift_report
+
+    return pq_drift_report(spark, pq_index_path)
+
+
+def rebuild_index_if_drifted(
+    spark, pq_index_path: str, vectors: DataFrame, max_ppm: int = 1_500_000,
+    **kw,
+) -> bool:
+    """Threshold-gated ANN refresh (operators/similarity.py::
+    rebuild_pq_index_if_drifted): rebuilds the PQ store when the
+    corpus-weighted drift ratio reaches ``max_ppm``; True iff a rebuild
+    ran. The policy verb consuming :func:`ann_drift_report`."""
+    from cdc_algorithms_spark.operators.similarity import (
+        rebuild_pq_index_if_drifted,
+    )
+
+    return rebuild_pq_index_if_drifted(
+        spark, pq_index_path, vectors, max_ppm=max_ppm, **kw
+    )
+
+
+def build_dsir_store(
+    docs: DataFrame, target_pred, path: str, **kw
+) -> None:
+    """Write the durable DSIR term-count store (operators/selection.py::
+    write_dsir_counts): bucket-partitioned unigram counts + exact token
+    totals — the standing form of :func:`importance_weights`; extend
+    with extend_dsir_counts / streaming/dsir_stream.py, compact with
+    compact_dsir_counts."""
+    from cdc_algorithms_spark.operators.selection import write_dsir_counts
+
+    return write_dsir_counts(docs, target_pred, path, **kw)
+
+
+def importance_weights_indexed(
+    spark, path: str, docs: DataFrame, **kw
+) -> DataFrame:
+    """Score documents against a :func:`build_dsir_store` store
+    (operators/selection.py::dsir_weights_indexed): bit-identical to
+    the batch :func:`importance_weights` when the store folds to the
+    same corpus (oracle-shared driver row streaming_dsir_weights)."""
+    from cdc_algorithms_spark.operators.selection import dsir_weights_indexed
+
+    return dsir_weights_indexed(spark, path, docs, **kw)

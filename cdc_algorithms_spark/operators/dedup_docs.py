@@ -1130,6 +1130,7 @@ def connected_components(
     )
     changed = 0
     converged = False
+    rounds = 0
     for rounds in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -1164,6 +1165,10 @@ def connected_components(
             changed,
         )
     edges.unpersist()
+    # diagnostic only (NOT part of the result): lets tests pin the
+    # O(diameter) convergence claim so a regression shows up as a test
+    # failure, not a silent bench drift
+    connected_components.last_rounds = rounds
     return labels.select(
         F.col("doc_id").cast("long"), F.col("component_id").cast("long")
     )

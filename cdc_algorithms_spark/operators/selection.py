@@ -165,14 +165,24 @@ def dsir_importance_weights(
     # never auto-released (CacheManager holds it for the session), and a
     # plan-building function has no post-materialization hook to
     # unpersist from — the leak outweighs re-reading one shuffle.
-    raw = tf.groupBy("term").agg(F.sum("tf").alias("c_raw"))
-    tgt = tf.where("__tgt").groupBy("term").agg(F.sum("tf").alias("c_tgt"))
-    meta = tf.agg(
-        F.sum("tf").alias("total_raw"),
+    # ONE vocabulary fold feeds everything: raw + target counts come
+    # from a single groupBy(term) (the same frame the durable store
+    # persists), and the totals/vocabulary-size row aggregates THAT
+    # vocab-sized frame, not the corpus-sized tf — so the only
+    # corpus-sized exchange (tf's) has two consumers (model + scoring
+    # join) instead of four, and ReusedExchange dedupes both tiers
+    model = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_raw"),
         F.coalesce(
             F.sum(F.when(F.col("__tgt"), F.col("tf"))), F.lit(0)
-        ).alias("total_tgt"),
-        F.count_distinct("term").alias("v"),
+        ).alias("c_tgt"),
+    )
+    raw = model.select("term", "c_raw")
+    tgt = model.where(F.col("c_tgt") > 0).select("term", "c_tgt")
+    meta = model.agg(
+        F.sum("c_raw").alias("total_raw"),
+        F.sum("c_tgt").alias("total_tgt"),
+        F.count(F.lit(1)).alias("v"),
     )
     return _dsir_score(tf, raw, tgt, meta)
 
@@ -318,6 +328,73 @@ def extend_dsir_counts(
     ).parquet(f"{path}/meta_delta/epoch_{int(epoch)}")
 
 
+def compact_dsir_counts(spark, path: str) -> None:
+    """Fold epoch deltas back into one base count store — the DSIR
+    OPTIMIZE, same discipline as compact_text_index: counts pre-fold by
+    term (so probes read one row per term again), token-total meta rows
+    sum, the staged stores carry ``_folded_epochs.json`` manifests
+    written BEFORE the install rename (storeio docstring — the install
+    atomically retires the folded deltas; the trailing delete is GC),
+    and a crash at any point leaves a readable, never-double-counting
+    store."""
+    from cdc_algorithms_spark.operators import storeio
+
+    cdirs = storeio.live_epoch_dirs(
+        spark, f"{path}/counts_delta", f"{path}/counts"
+    )
+    mdirs = storeio.live_epoch_dirs(
+        spark, f"{path}/meta_delta", f"{path}/meta"
+    )
+    if not cdirs and not mdirs:
+        for kind in ("counts", "meta"):
+            storeio.gc_folded_epochs(
+                spark, f"{path}/{kind}_delta", f"{path}/{kind}"
+            )
+        return
+    counts = spark.read.parquet(f"{path}/counts")
+    for d in cdirs:
+        counts = counts.unionByName(spark.read.parquet(d))
+    folded = counts.groupBy("bucket", "term").agg(
+        F.sum("c_raw").cast("long").alias("c_raw"),
+        F.sum("c_tgt").cast("long").alias("c_tgt"),
+    ).select("term", "c_raw", "c_tgt", "bucket")
+    meta = spark.read.parquet(f"{path}/meta")
+    for d in mdirs:
+        meta = meta.unionByName(spark.read.parquet(d))
+    folded_meta = meta.agg(
+        F.sum("total_raw").cast("long").alias("total_raw"),
+        F.sum("total_tgt").cast("long").alias("total_tgt"),
+    )
+    (
+        folded.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/counts_tmp")
+    )
+    folded_meta.write.mode("overwrite").parquet(f"{path}/meta_tmp")
+    for kind, dirs in (("counts", cdirs), ("meta", mdirs)):
+        storeio.write_folded_epochs(
+            spark,
+            f"{path}/{kind}_tmp",
+            storeio.read_folded_epochs(spark, f"{path}/{kind}")
+            | {d.rsplit("/", 1)[-1] for d in dirs},
+        )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    P = jvm.org.apache.hadoop.fs.Path
+    for kind in ("counts", "meta"):
+        old = P(f"{path}/{kind}_old")
+        fs.delete(old, True)
+        if not fs.rename(P(f"{path}/{kind}"), old):
+            raise IOError(f"could not park the old {kind} store")
+        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
+            raise IOError(f"could not install the compacted {kind} store")
+        fs.delete(P(f"{path}/{kind}_delta"), True)
+        fs.delete(old, True)
+
+
 def dsir_weights_indexed(
     spark,
     path: str,
@@ -332,10 +409,15 @@ def dsir_weights_indexed(
     from the folded integer counts through the shared
     :func:`_dsir_score` expression tree. Terms absent from the store
     contribute with c_raw = 0 smoothing (a genuinely-new token scores
-    against the add-one floor rather than erroring). The counts join
-    carries the store's ``bucket`` partition column on both sides so
-    Spark can dynamically prune the partitioned scan to the buckets
-    the scored batch's terms hash into."""
+    against the add-one floor rather than erroring).
+
+    Scale shape: scoring needs the GLOBAL totals and vocabulary size,
+    so the count store is read in full once per scoring batch — it is
+    vocabulary-sized (the same frame the batch form shuffles), never
+    corpus-sized; the term join is AQE-sized like tfidf's. The bucket
+    partitioning exists for the writers (one hash exchange per epoch)
+    and for future term-subset probes, not for this whole-model
+    read."""
     from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
 
     counts = spark.read.parquet(f"{path}/counts")

@@ -978,31 +978,56 @@ def rebuild_pq_index_if_drifted(
     path: str,
     vectors: DataFrame,
     max_ppm: int = 1_500_000,
+    skew_factor: int = 3,
+    skew_floor_ppm: int = 250_000,
     iters: int = 3,
     seed: int = 43,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> bool:
     """The POLICY verb closing the ANN maintenance loop (the analogue
-    of zorder_relayout's threshold gate): aggregate
-    :func:`pq_drift_report` to one corpus-weighted ratio — mean
-    quantized error of ALL encode-only epochs vs ALL training data, in
-    ppm, computed driver-side in exact Python integers over four BIGINT
-    sums — and :func:`rebuild_pq_index` when it reaches ``max_ppm``
-    (default 1.5e6 = new epochs coded 50% worse than the seed).
-    Returns True iff a rebuild ran. Below threshold (or with nothing
+    of zorder_relayout's threshold gate). Codebook drift has TWO
+    measured failure modes, and the verb triggers on either — all
+    arithmetic driver-side in exact Python integers over the report's
+    ≤ nlist BIGINT rows:
+
+    1. **Error inflation**: mean quantized reconstruction error of ALL
+       encode-only epochs vs ALL training data reaches ``max_ppm``
+       (default 1.5e6 = coded 50% worse) — a wide/far distribution the
+       codebooks can't represent (the ann_drift_check fixture:
+       unseen clusters measure ≈1.21e6).
+    2. **Cell collapse**: the coarse quantizer funnels the new
+       distribution into a few cells — ADC ordering degenerates into
+       ties and recall erodes even though absolute error can be LOW
+       (a tight shifted cluster measures ppm ≈ 0.46e6 while 90% of its
+       codes land in ONE cell; tools/ann_rebuild_scale_run.py). Trigger:
+       the new codes' top-cell share is ≥ ``skew_factor``× the seed's
+       AND ≥ ``skew_floor_ppm``. A same-distribution stream's shares
+       match the seed's (ratio ≈ 1 ± sampling noise), so 3× is far
+       from false-positive territory while a genuine collapse is
+       typically ≥ 5×.
+
+    Both statistics aggregate ALL encode-only epochs against the seed,
+    so a long history of healthy epochs dilutes one drifted epoch —
+    deliberately the layout-drift semantics (cumulative evidence, not
+    per-batch alarm); a standing pipeline runs this verb on the same
+    periodic cadence as compaction, which bounds the window. Returns
+    True iff a rebuild ran. Below both thresholds (or with nothing
     streamed yet) the store is left byte-untouched."""
-    tot = pq_drift_report(spark, path).agg(
-        F.sum("n_seed").alias("ns"),
-        F.sum("err_seed_q").alias("es"),
-        F.sum("n_new").alias("nn"),
-        F.sum("err_new_q").alias("en"),
-    ).collect()[0]
-    ns, es, nn, en = (int(tot[c] or 0) for c in ("ns", "es", "nn", "en"))
-    if nn == 0 or ns == 0 or es == 0:
+    rows = pq_drift_report(spark, path).collect()
+    ns = sum(int(r["n_seed"]) for r in rows)
+    es = sum(int(r["err_seed_q"]) for r in rows)
+    nn = sum(int(r["n_new"]) for r in rows)
+    en = sum(int(r["err_new_q"]) for r in rows)
+    if nn == 0 or ns == 0:
         return False
-    ppm = (en * ns * 1_000_000) // (es * nn)
-    if ppm < max_ppm:
+    err_fired = es > 0 and (en * ns * 1_000_000) // (es * nn) >= max_ppm
+    new_top = (max(int(r["n_new"]) for r in rows) * 1_000_000) // nn
+    seed_top = (max(int(r["n_seed"]) for r in rows) * 1_000_000) // ns
+    skew_fired = (
+        new_top >= skew_floor_ppm and new_top >= skew_factor * seed_top
+    )
+    if not err_fired and not skew_fired:
         return False
     rebuild_pq_index(
         spark, path, vectors, iters=iters, seed=seed,

@@ -842,8 +842,11 @@ def q_ann_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean quantized reconstruction error, new vs seed — DECIMAL(38,0)
     cross-multiplication, no float division) flags them against the 5%
     threshold; the policy verb rebuilds; the rebuilt store reports zero
-    evidence again. The oracle recomputes both population counts and
-    pins all three lifecycle verdicts TRUE."""
+    evidence again. (The verb's SECOND trigger — occupancy collapse for
+    tight shifted clusters whose error DEFLATES — is pinned in
+    tests/test_ann_streaming.py and measured in
+    tools/ann_rebuild_scale_run.py.) The oracle recomputes both
+    population counts and pins all three lifecycle verdicts TRUE."""
     from cdc_algorithms_spark.operators.similarity import (
         extend_pq_index,
         pq_drift_report,

@@ -250,18 +250,91 @@ def test_pq_drift_report_lifecycle(spark, tmp_path):
     replay = pq_drift_report(spark, path).collect()
     assert sorted(map(tuple, replay)) == sorted(map(tuple, drifted))
 
-    # below threshold: byte-untouched, returns False
+    # below the error threshold (skew path disabled by an impossible
+    # floor — it is exercised by test_pq_rebuild_triggers_on_cell_collapse):
+    # byte-untouched, returns False
     assert not rebuild_pq_index_if_drifted(
-        spark, path, emb, max_ppm=ppm + 1
+        spark, path, emb, max_ppm=ppm + 1, skew_floor_ppm=1_000_001
     )
     assert sorted(map(tuple, pq_drift_report(spark, path).collect())) == \
         sorted(map(tuple, drifted))
     # at threshold: rebuild runs, evidence cleared, corpus conserved
-    assert rebuild_pq_index_if_drifted(spark, path, emb, max_ppm=ppm)
+    assert rebuild_pq_index_if_drifted(
+        spark, path, emb, max_ppm=ppm, skew_floor_ppm=1_000_001
+    )
     rebuilt = pq_drift_report(spark, path).collect()
     assert all(r["n_new"] == 0 for r in rebuilt)
     assert sum(r["n_seed"] for r in rebuilt) == emb.count()
     assert read_pq_index(spark, path).codes.count() == emb.count()
+
+
+def test_pq_rebuild_triggers_on_cell_collapse(spark, tmp_path):
+    """The SECOND drift mode (the §19a geometry): a tight displaced
+    cluster codes with LOW absolute error — the error-ratio trigger
+    stays silent — but the coarse quantizer funnels ~all of it into
+    one cell and ADC ordering degenerates. The occupancy-skew trigger
+    must fire exactly here, and must NOT fire for a same-distribution
+    stream (whose cell shares match the seed's)."""
+    import random
+
+    from cdc_algorithms_spark.operators.similarity import (
+        pq_drift_report,
+        rebuild_pq_index_if_drifted,
+    )
+
+    dim = 64
+
+    def uniform(i):
+        r = random.Random(7_000_000 + i)
+        return [r.uniform(-1.0, 1.0) for _ in range(dim)]
+
+    shift = [2.5 / (dim ** 0.5)] * dim  # displaced, outside base support
+
+    def tight(i):
+        r = random.Random(11_000_000 + i)
+        return [s + 0.1 * r.uniform(-1, 1) for s in shift]
+
+    seed_df = spark.createDataFrame(
+        [(i, uniform(i)) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # store A — same-distribution stream: neither trigger fires (its
+    # cell shares match the seed's)
+    path_a = str(tmp_path / "same")
+    write_pq_index(seed_df, path_a, dim=dim, m=8, ksub=8, nlist=8, iters=1)
+    same = spark.createDataFrame(
+        [(1000 + i, uniform(100_000 + i)) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    extend_pq_index(spark, path_a, same, epoch=0)
+    assert not rebuild_pq_index_if_drifted(spark, path_a, seed_df)
+
+    # store B — tight displaced cluster: error DEFLATES (ratio < 1e6)
+    # but occupancy collapses into ~one cell; the skew trigger fires
+    path_b = str(tmp_path / "collapse")
+    write_pq_index(seed_df, path_b, dim=dim, m=8, ksub=8, nlist=8, iters=1)
+    shifted = spark.createDataFrame(
+        [(2000 + i, tight(i)) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    extend_pq_index(spark, path_b, shifted, epoch=0)
+    rows = pq_drift_report(spark, path_b).collect()
+    nn = sum(r["n_new"] for r in rows)
+    ns = sum(r["n_seed"] for r in rows)
+    en = sum(r["err_new_q"] for r in rows)
+    es = sum(r["err_seed_q"] for r in rows)
+    assert (en * ns * 1_000_000) // (es * nn) < 1_000_000, (
+        "the planted geometry must DEFLATE error — else this test "
+        "stops exercising the skew path"
+    )
+    new_top = max(r["n_new"] for r in rows) * 1_000_000 // nn
+    assert new_top >= 250_000, f"collapse not planted (top {new_top} ppm)"
+    full = seed_df.unionByName(shifted)
+    assert rebuild_pq_index_if_drifted(spark, path_b, full)
+    assert all(
+        r["n_new"] == 0 for r in pq_drift_report(spark, path_b).collect()
+    )
 
 
 def test_pq_drift_ratio_is_integer_exact(spark, tmp_path):

@@ -846,3 +846,39 @@ def test_hybrid_rrf_windows_are_group_limited(spark):
     plan = P.physical_plan(df, "simple")
     assert plan.count("WindowGroupLimit") >= 5, "partial top-k missing"
     assert P.python_eval_count(df) == 0
+
+
+def test_hybrid_rrf_indexed_probes_are_pruned(spark):
+    """The standing-pipeline hybrid (hybrid_rrf_indexed): BOTH durable
+    probes must be statically partition-pruned — every postings scan of
+    the BM25 store carries a bucket PartitionFilter and every codes
+    scan of the PQ store carries a cell PartitionFilter — and the
+    LEXICAL leg must not re-tokenize the corpus (no documents.parquet
+    scan anywhere in the plan; the embeddings scans belong to the
+    semantic leg's re-rank and the fused recall check, which are
+    candidate/corpus-proportional by design and measured)."""
+    df = _q(spark, "hybrid_rrf_indexed")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        line for line in plan.splitlines() if "documents.parquet" in line
+    ]
+    assert not doc_scans, f"indexed hybrid re-reads the corpus: {doc_scans}"
+    store_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line
+        and ("cdc_bm25_index_" in line or "cdc_pq_index_" in line)
+        and "/model" not in line
+        and "/meta" not in line
+        and "/stats" not in line
+    ]
+    assert len(store_scans) >= 2, "both durable stores must be probed"
+    unpruned = [
+        s[:160]
+        for s in store_scans
+        if "PartitionFilters: [" not in s
+        or ("INSET" not in s and " IN (" not in s)
+    ]
+    assert not unpruned, f"store scans without pruning: {unpruned}"
+    assert P.python_eval_count(df) == 0

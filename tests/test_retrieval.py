@@ -235,6 +235,107 @@ def test_text_index_compact_crash_window_no_double_count(spark, tmp_path):
     ) == before
 
 
+def test_dsir_store_extend_exact_and_idempotent(spark, tmp_path):
+    """The durable DSIR term-count store (selection.py::
+    write_dsir_counts / extend_dsir_counts / dsir_weights_indexed): a
+    seed + two extension epochs must score every document BIT-identically
+    to the batch dsir_importance_weights over the full corpus (counts
+    are integers; the probe derives c_raw/c_tgt/totals/V from the
+    folded generations through the shared expression tree), and
+    per-epoch overwrite keeps replay idempotent."""
+    from cdc_algorithms_spark.operators.selection import (
+        dsir_weights_indexed,
+        extend_dsir_counts,
+        write_dsir_counts,
+    )
+
+    docs = _docs(spark)
+    tgt = F.col("lang") == "en"
+    path = str(tmp_path / "dsir")
+    write_dsir_counts(docs.where(F.col("doc_id") % 3 != 0), tgt, path)
+    b0 = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0))
+    b1 = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 1))
+    extend_dsir_counts(spark, path, b0, tgt, 0)
+    extend_dsir_counts(spark, path, b0, tgt, 0)  # at-least-once replay
+    extend_dsir_counts(spark, path, b1, tgt, 1)
+
+    got = sorted(map(tuple, dsir_weights_indexed(spark, path, docs).collect()))
+    expect = sorted(map(tuple, dsir_importance_weights(docs, tgt).collect()))
+    assert got == expect
+
+
+def test_dsir_store_compact_preserves_and_survives_crash(spark, tmp_path):
+    """compact_dsir_counts folds deltas into one-row-per-term base
+    stores with answers unchanged, and the storeio manifest makes the
+    crash window (deltas left behind after install) harmless — same
+    contract as the text/PQ stores."""
+    import shutil
+
+    from cdc_algorithms_spark.operators.selection import (
+        compact_dsir_counts,
+        dsir_weights_indexed,
+        extend_dsir_counts,
+        write_dsir_counts,
+    )
+
+    docs = _docs(spark)
+    tgt = F.col("lang") == "en"
+    path = str(tmp_path / "dsir")
+    write_dsir_counts(docs.where(F.col("doc_id") % 3 != 0), tgt, path)
+    extend_dsir_counts(
+        spark, path, docs.where(F.col("doc_id") % 3 == 0), tgt, 0
+    )
+    before = sorted(
+        map(tuple, dsir_weights_indexed(spark, path, docs).collect())
+    )
+    for kind in ("counts", "meta"):
+        shutil.copytree(f"{path}/{kind}_delta", f"{path}/{kind}_crash")
+    compact_dsir_counts(spark, path)
+    # compacted base holds exactly one row per term
+    folded = spark.read.parquet(f"{path}/counts")
+    assert folded.count() == folded.select("term").distinct().count()
+    assert sorted(
+        map(tuple, dsir_weights_indexed(spark, path, docs).collect())
+    ) == before
+    # crash leftover reappears: manifest keeps probes exact, next
+    # compaction GCs it
+    for kind in ("counts", "meta"):
+        shutil.move(f"{path}/{kind}_crash", f"{path}/{kind}_delta")
+    assert sorted(
+        map(tuple, dsir_weights_indexed(spark, path, docs).collect())
+    ) == before
+    compact_dsir_counts(spark, path)
+    import os
+
+    assert os.listdir(f"{path}/counts_delta") == []
+    assert sorted(
+        map(tuple, dsir_weights_indexed(spark, path, docs).collect())
+    ) == before
+
+
+def test_dsir_indexed_scores_unseen_terms_at_smoothing_floor(spark, tmp_path):
+    """A document whose terms the store has never seen must score (the
+    add-one floor applies with c_raw = c_tgt = 0), not silently drop or
+    error — the standing-pipeline case where a probe batch arrives
+    before its counts are folded."""
+    from cdc_algorithms_spark.operators.selection import (
+        dsir_weights_indexed,
+        write_dsir_counts,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "dsir")
+    write_dsir_counts(docs, F.col("lang") == "en", path)
+    novel = spark.createDataFrame(
+        [(99_000_001, "zzzunseen qqqnovel zzzunseen", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = dsir_weights_indexed(spark, path, novel).collect()
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["weight"] is not None
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Plant a shared 10-token span in three docs of otherwise-unique
     tokens: the min-doc keeps it, the others lose exactly those tokens,
@@ -334,6 +435,38 @@ def test_remove_duplicate_spans_fingerprint_equals_exact(spark):
         )
     )
     assert a == b
+
+
+def test_span_operators_auto_fingerprint_above_threshold(spark, monkeypatch):
+    """fingerprint=None auto-selects by document count: below
+    FINGERPRINT_AUTO_DOCS the exact-string path runs (oracle fixtures
+    unchanged); at/above it both span operators switch to the 128-bit
+    fingerprint path — pinned by dropping the threshold to 1 and
+    asserting (a) the plan carries the xxhash64 gram keys and (b) the
+    results still equal the exact path (the measured 1M-doc disk cliff
+    can't be hit by a default caller; SCALING §23)."""
+    from cdc_algorithms_spark.operators import selection as sel
+
+    docs = _docs(spark).limit(60)
+    exact = sorted(
+        map(tuple, sel.cross_doc_dup_fraction(docs, fingerprint=False).collect())
+    )
+    # default on a small frame: exact path (no gram hashing in the plan)
+    small = sel.cross_doc_dup_fraction(docs)
+    assert "xxhash64" not in small._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, small.collect())) == exact
+
+    monkeypatch.setattr(sel, "FINGERPRINT_AUTO_DOCS", 1)
+    auto = sel.cross_doc_dup_fraction(docs)
+    assert "xxhash64" in auto._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, auto.collect())) == exact
+    spans_exact = sorted(
+        map(tuple, sel.remove_duplicate_spans(docs, fingerprint=False).collect())
+    )
+    assert (
+        sorted(map(tuple, sel.remove_duplicate_spans(docs).collect()))
+        == spans_exact
+    )
 
 
 def test_hard_negatives_exclude_semantic_hits(spark):

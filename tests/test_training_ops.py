@@ -363,6 +363,39 @@ def test_components_pathological_star_graph(spark):
     assert {r["component_id"] for r in rows} == {0}
 
 
+def test_components_round_count_pinned_on_fixture_graph(spark):
+    """Pin the O(diameter) convergence claim on the DRIVER-WINDOW graph
+    (the exact Jaccard pair graph of the sf0.001 documents, as
+    dedup_components / dedup_cluster_reps build it): near-dup clusters
+    are shallow, so min-label must converge within a handful of rounds
+    — a future regression in the propagation (or a fixture change that
+    makes clusters deep) fails HERE as a test, not as a silent 2×
+    bench drift on the two ~2.3 s iterative queries. Budget = measured
+    rounds (2: one propagation + one fixpoint confirmation) + 2 slack.
+    Also pins the star-graph case at its diameter bound."""
+    from cdc_algorithms_spark import queries as _registry  # noqa: F401
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from cdc_algorithms_spark.queries_text import JACCARD_N, JACCARD_THRESHOLD
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    connected_components(pairs).collect()
+    assert 1 <= connected_components.last_rounds <= 4, (
+        f"fixture dup graph took {connected_components.last_rounds} "
+        "min-label rounds — convergence regressed"
+    )
+    # star graph (diameter 2): 2 propagation rounds + fixpoint check
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 50)], ["id_a", "id_b"]
+    )
+    connected_components(star).collect()
+    assert connected_components.last_rounds <= 3
+
+
 def test_components_nonconvergence_warns_not_hangs(spark, caplog):
     """A path graph with diameter > max_iter must stop at the cap,
     return partial (never wrongly merged) labels, and log the residual

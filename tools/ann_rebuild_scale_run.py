@@ -255,9 +255,35 @@ def main() -> None:
         cell_skew("drifted")
         probe("drifted")
 
+        # r09 DETECT verb: the integer-exact drift statistic over the
+        # per-cell stats the build/extends wrote alongside the codes —
+        # the trigger that makes the rebuild below policy, not manual
+        def drift_totals(tag):
+            t0 = time.monotonic()
+            tot = S.pq_drift_report(spark, idx_dir).agg(
+                F.sum("n_seed").alias("ns"),
+                F.sum("err_seed_q").alias("es"),
+                F.sum("n_new").alias("nn"),
+                F.sum("err_new_q").alias("en"),
+            ).collect()[0]
+            report[f"{tag}_drift_report_s"] = round(time.monotonic() - t0, 1)
+            ns, es, nn, en = (
+                int(tot[c] or 0) for c in ("ns", "es", "nn", "en")
+            )
+            report[f"{tag}_drift_n_new"] = nn
+            report[f"{tag}_drift_ppm"] = (
+                (en * ns * 1_000_000) // (es * nn) if nn and es else None
+            )
+
+        drift_totals("drifted")
+
         t0 = time.monotonic()
-        S.rebuild_pq_index(spark, idx_dir, corpus, iters=args.iters)
+        rebuilt = S.rebuild_pq_index_if_drifted(
+            spark, idx_dir, corpus, max_ppm=1_050_000, iters=args.iters
+        )
         report["rebuild_s"] = round(time.monotonic() - t0, 1)
+        report["rebuild_triggered"] = bool(rebuilt)
+        drift_totals("rebuilt")
         cell_skew("rebuilt")
         probe("rebuilt")
 

@@ -53,7 +53,7 @@ def main() -> None:
     )
     ap.add_argument("--avg-tokens", type=int, default=700)
     ap.add_argument("--partitions", type=int, default=128)
-    ap.add_argument("--merges", type=int, default=12)
+    ap.add_argument("--merges", type=int, default=32000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--driver-mem", default="48g")
     args = ap.parse_args()
@@ -93,10 +93,13 @@ def main() -> None:
         # clones of base doc_id - (doc_id % 10 - 7) ... (clone marker)
         is_clone = F.col("doc_id") % 10 >= 8
 
-        # cross-doc duplicate fraction (fingerprinted grams — the
-        # documented corpus-scale path: 8-byte shuffles, same counts)
+        # cross-doc duplicate fraction on the DEFAULT path: above
+        # FINGERPRINT_AUTO_DOCS the operator auto-selects the 128-bit
+        # fingerprint grams (16-byte shuffles, same counts) — the r09
+        # change that stops a default caller hitting the measured
+        # exact-string disk cliff
         t0 = time.monotonic()
-        frac = cross_doc_dup_fraction(docs, n=8, fingerprint=True).persist()
+        frac = cross_doc_dup_fraction(docs, n=8).persist()
         stats = (
             frac.join(docs.select("doc_id"), "doc_id")
             .groupBy(is_clone.alias("clone"))
@@ -118,9 +121,7 @@ def main() -> None:
         span_docs = docs.where(F.col("doc_id") < args.span_docs)
         report["span_docs"] = args.span_docs
         t0 = time.monotonic()
-        spans = remove_duplicate_spans(
-            span_docs, n=8, fingerprint=True
-        ).persist()
+        spans = remove_duplicate_spans(span_docs, n=8).persist()  # default path
         agg = spans.agg(
             F.sum("n_tokens").alias("tok"),
             F.sum("n_removed").alias("rem"),
@@ -164,7 +165,10 @@ def main() -> None:
         report["dsir_wall_s"] = round(time.monotonic() - t0, 1)
         report["dsir_rows"] = n_w
 
-        # BPE induction: vocabulary collapse + per-round economics
+        # BPE induction at a PRODUCTION merge request: Spark folds the
+        # corpus to the word-frequency frame; the merge loop runs
+        # driver-side over the collected vocabulary (r09 — the old
+        # 2-jobs-per-round form cost ~3 s/round, i.e. ~27 h at 32k)
         t0 = time.monotonic()
         vocab_rows = word_freq_table(docs).count()
         report["vocab_rows"] = vocab_rows
