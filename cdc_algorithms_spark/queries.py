@@ -1035,6 +1035,7 @@ _VERIFY_WINDOW: list[str] = [
     "ann_drift_check",
     "streaming_dsir_weights",
     "hybrid_rrf_indexed",
+    "streaming_hybrid_index",
     "value_quantile_sketch_log",
     "streaming_value_quantile_sketch_log",
     "dsir_importance_weights",
@@ -1081,7 +1082,6 @@ _VERIFY_WINDOW: list[str] = [
     "doc_table_diff",
     "cdc_apply_check",
     "store_gc_plan_fixed",
-    "chunk_version_matrix_fixed",
 ]
 
 

@@ -573,6 +573,22 @@ def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure counts); the fused top-k is recall-floored against the brute
     fusion, whose size the oracle also recomputes — the ann_pq_recall
     contract applied to fusion."""
+    from cdc_algorithms_spark.queries_text import pq_index_path
+
+    return _hybrid_indexed_check(
+        spark, sf_dir, bm25_index_path(spark, sf_dir),
+        pq_index_path(spark, sf_dir),
+    )
+
+
+def _hybrid_indexed_check(
+    spark: SparkSession, sf_dir: str, text_path: str, pq_path: str
+) -> DataFrame:
+    """Shared check frame for the indexed-hybrid driver rows: probe the
+    given durable stores, fuse, and report (n_lex, lex_checksum,
+    n_fused_exact, recall_floor, recall_ok) — the lexical quantities
+    are DuckDB-recomputable exactly; the fused recall is floored
+    against the brute fusion."""
     from cdc_algorithms_spark.operators.retrieval import (
         bm25_topk_indexed,
         mips_topk,
@@ -583,18 +599,17 @@ def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk_indexed,
         read_pq_index,
     )
-    from cdc_algorithms_spark.queries_text import pq_index_path
 
     emb = load_table(spark, "embeddings", sf_dir)
     qt = query_terms(spark, BM25_QUERIES)
-    lex = bm25_topk_indexed(
-        spark, bm25_index_path(spark, sf_dir), qt, k=_RRF_DEPTH
-    ).select("query_id", "doc_id", "rank")
+    lex = bm25_topk_indexed(spark, text_path, qt, k=_RRF_DEPTH).select(
+        "query_id", "doc_id", "rank"
+    )
     qmap = spark.createDataFrame(HYBRID_QVECS, "query_id long, qvec_id long")
     qvecs = qmap.join(emb, qmap["qvec_id"] == emb["vec_id"]).select(
         "query_id", "embedding"
     )
-    index = read_pq_index(spark, pq_index_path(spark, sf_dir))
+    index = read_pq_index(spark, pq_path)
     sem_idx = pq_topk_indexed(
         qvecs, index, emb, k=_RRF_DEPTH, nprobe=6, rerank=6
     ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
@@ -637,6 +652,69 @@ def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+# One streamed hybrid store pair per (session, corpus dir) — the build
+# (both seeds + two combined foreachBatch epochs) happens once; every
+# call after probes the durable stores, same contract as the other
+# index caches.
+_HYBRID_STREAM_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+@register("streaming_hybrid_index", _HYBRID_IDX_ORACLE)
+def q_streaming_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over STREAM-MAINTAINED stores (streaming/
+    hybrid_index.py): both halves seed on a 2/3 corpus (text index +
+    PQ model), the remaining third arrives as two foreachBatch epochs
+    of combined (doc_id, text, embedding) rows, and ONE loop extends
+    BOTH stores per micro-batch under a shared epoch id — so replay
+    re-lands the two halves in lockstep and no document is findable by
+    one leg and invisible to the other. The probe is the
+    hybrid_rrf_indexed check verbatim: the streamed text store answers
+    BIT-identically to the batch build (pure counts), so the lexical
+    checksum shares that oracle; the streamed PQ store is frozen-model
+    encode-only, so the fused top-k carries the recall-floor tier
+    (measured fused overlap ≥ 0.70 at sf0.001/0.01 with the seed-
+    trained model)."""
+    from cdc_algorithms_spark.streaming.hybrid_index import (
+        run_streaming_hybrid_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    paths = _HYBRID_STREAM_CACHE.get(key)
+    if paths is None:
+        import tempfile
+
+        docs = load_table(spark, "documents", sf_dir)
+        emb = load_table(spark, "embeddings", sf_dir)
+        # LEFT join: every document streams into the lexical store even
+        # when it has no embedding row (at sf0.1 only 2000 of 5000 do) —
+        # the loop treats a NULL embedding as partial modality
+        combined = docs.select("doc_id", "text").join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        seed = combined.where(F.col("doc_id") % 3 != 0)
+        stages = [
+            combined.where(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == par)
+            )
+            for par in (0, 1)
+        ]
+        root = tempfile.mkdtemp(prefix="cdc_hybrid_stream_") + "/stores"
+        paths = run_streaming_hybrid_index(
+            spark,
+            seed.select("doc_id", "text"),
+            seed.where(F.col("embedding").isNotNull()).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            stages,
+            root,
+        )
+        _HYBRID_STREAM_CACHE.clear()
+        _HYBRID_STREAM_CACHE[key] = paths
+    return _hybrid_indexed_check(spark, sf_dir, paths[0], paths[1])
 
 
 # --- BPE tokenizer induction --------------------------------------------------

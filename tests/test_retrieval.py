@@ -336,6 +336,69 @@ def test_dsir_indexed_scores_unseen_terms_at_smoothing_floor(spark, tmp_path):
     assert out[0]["weight"] is not None
 
 
+def test_streaming_hybrid_index_lockstep_and_partial_modality(spark, tmp_path):
+    """One foreachBatch loop maintains BOTH hybrid stores: the streamed
+    text store answers bit-identically to a one-shot build over
+    seed ∪ batches (full corpus, including docs WITHOUT embeddings);
+    the PQ store holds exactly one code per embedded doc — a doc
+    arriving without an embedding is lexically findable and
+    semantically absent, never an error."""
+    from cdc_algorithms_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_text_index,
+    )
+    from cdc_algorithms_spark.operators.similarity import read_pq_index
+    from cdc_algorithms_spark.streaming.hybrid_index import (
+        run_streaming_hybrid_index,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = _docs(spark).select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # plant partial modality: docs divisible by 7 lose their embedding
+    combined = docs.join(
+        emb.where(F.col("vec_id") % 7 != 0).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+        "left",
+    )
+    seed = combined.where(F.col("doc_id") % 3 != 0)
+    stages = [
+        combined.where(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == par)
+        )
+        for par in (0, 1)
+    ]
+    text_path, pq_path = run_streaming_hybrid_index(
+        spark,
+        seed.select("doc_id", "text"),
+        seed.where(F.col("embedding").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        stages,
+        str(tmp_path / "stores"),
+    )
+    # lexical: streamed == one-shot over the FULL doc corpus
+    qt = query_terms(spark, QUERIES)
+    oneshot = str(tmp_path / "oneshot")
+    write_text_index(docs, oneshot)
+    assert sorted(
+        bm25_topk_indexed(spark, text_path, qt, k=10).collect()
+    ) == sorted(bm25_topk_indexed(spark, oneshot, qt, k=10).collect())
+    # semantic: exactly one code per EMBEDDED doc, none for the others
+    codes = read_pq_index(spark, pq_path).codes
+    embedded = combined.where(F.col("embedding").isNotNull())
+    assert codes.count() == embedded.count()
+    assert codes.select("vec_id").distinct().count() == embedded.count()
+    missing = codes.join(
+        embedded.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_anti",
+    )
+    assert missing.count() == 0
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Plant a shared 10-token span in three docs of otherwise-unique
     tokens: the min-doc keeps it, the others lose exactly those tokens,
