@@ -85,6 +85,63 @@ def gc_folded_epochs(
             fs.delete(st.getPath(), True)
 
 
+def compact_epoch_store(spark: SparkSession, store_dir: str) -> bool:
+    """Fold every live generation of an epoch-SUBDIR store (the
+    ``seed`` + ``batch_<id>`` layout of streaming/sync.py,
+    streaming/near_dup.py, streaming/ingest_pipeline.py — distinct from
+    the ``*_delta`` layout the ``compact_*`` verbs own) into ONE
+    consolidated ``seed`` generation.
+
+    Same discipline as every other compaction here: the staged root
+    carries the manifest BEFORE the install rename, so the rename
+    atomically retires the folded generations; a crash between install
+    and cleanup leaves probes exact. The manifest also closes the
+    replay-after-compaction hole this layout uniquely has: an
+    at-least-once replay of ``batch_k`` AFTER ``batch_k`` was folded
+    into seed re-creates its subdirectory — without the manifest every
+    reader would double-count it; with it the name is dead forever
+    (epoch ids are never reused for NEW data — the foreachBatch batch-id
+    contract). Returns True iff a fold ran; a store with ≤ 1 live
+    generation only garbage-collects dead subdirectories."""
+    fs, root = _fs_and_path(spark, store_dir)
+    if not fs.exists(root):
+        return False
+    folded = read_folded_epochs(spark, store_dir)
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and (st.getPath().getName() == "seed"
+             or st.getPath().getName().startswith("batch_"))
+    ]
+    live = [n for n in names if n not in folded]
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    if len(live) <= 1:
+        for n in names:
+            if n in folded:
+                fs.delete(P(f"{store_dir}/{n}"), True)
+        return False
+    df = spark.read.parquet(*[f"{store_dir}/{n}" for n in sorted(live)])
+    tmp = f"{store_dir}__compact_tmp"
+    fs.delete(P(tmp), True)
+    df.write.mode("overwrite").parquet(f"{tmp}/seed")
+    write_folded_epochs(
+        spark, tmp, (folded | set(live)) - {"seed"}
+    )
+    old = f"{store_dir}__compact_old"
+    fs.delete(P(old), True)
+    if not fs.rename(root, P(old)):
+        raise IOError(f"could not park the live store at {old}")
+    if not fs.rename(P(tmp), root):
+        raise IOError(
+            f"could not install the compacted store; live data parked"
+            f" at {old}"
+        )
+    fs.delete(P(old), True)
+    return True
+
+
 def live_epoch_dirs(
     spark: SparkSession, delta_root: str, store_dir: str
 ) -> list[str]:

@@ -1036,6 +1036,7 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_dsir_weights",
     "hybrid_rrf_indexed",
     "streaming_hybrid_index",
+    "streaming_near_dup_compacted",
     "value_quantile_sketch_log",
     "streaming_value_quantile_sketch_log",
     "dsir_importance_weights",
@@ -1081,7 +1082,6 @@ _VERIFY_WINDOW: list[str] = [
     "snapshot_diff_ae_localization_check",
     "doc_table_diff",
     "cdc_apply_check",
-    "store_gc_plan_fixed",
 ]
 
 

@@ -270,6 +270,57 @@ def streaming_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register("streaming_near_dup_compacted", _INCR_JACCARD_ORACLE)
+def streaming_near_dup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline with its store OPTIMIZE exercised
+    MID-STREAM: after the first micro-batch, storeio.compact_epoch_store
+    folds the band-index and doc-store generations into one ``seed``
+    each (manifest-guarded rename-first swap — the same crash-window
+    discipline as every durable store here), and the remaining batches
+    probe the FOLDED stores. The converged pair set must still equal
+    the one-shot exact join — compaction is storage maintenance, not
+    semantics — so this row shares streaming_near_dup_index's oracle
+    verbatim. Scale point: without periodic folding the per-batch probe
+    accumulates one scan branch per epoch forever (the §19 economics,
+    restated for the 4th durable store)."""
+    import tempfile
+
+    from cdc_algorithms_spark.queries_text import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+    )
+    from cdc_algorithms_spark.streaming.near_dup import (
+        run_streaming_near_dup_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    incoming = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    stages = [incoming.where(F.col("doc_id") % 9 == 3 * i) for i in range(3)]
+    workdir = tempfile.mkdtemp(prefix="cdc_neardup_compact_")
+    try:
+        result = run_streaming_near_dup_index(
+            spark,
+            corpus,
+            stages,
+            workdir,
+            n=JACCARD_N,
+            num_hashes=32,
+            bands=8,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket=LSH_MAX_BUCKET,
+            compact_after={0, 1},
+        )
+        rows = result.collect()  # small pair frame; outlives the tempdir
+        schema = result.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end streaming ingest: dedup -> keep -> compaction manifest
 # ---------------------------------------------------------------------------

@@ -100,11 +100,19 @@ def run_streaming_near_dup_index(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    compact_after: set[int] | None = None,
 ) -> DataFrame:
     """Seed the band index and doc store from ``corpus``, stream the
     stages' (doc_id, text) documents through :func:`near_dup_batch`,
     and return the accumulated near-dup pairs (id_a, id_b, jaccard).
-    doc_ids must be unique across corpus and all stages."""
+    doc_ids must be unique across corpus and all stages.
+
+    ``compact_after`` (stage indices) runs the store OPTIMIZE between
+    micro-batches — storeio.compact_epoch_store folds the index and doc
+    generations into one ``seed`` each (manifest-guarded rename-first
+    swap), bounding the per-batch scan-branch count exactly like
+    compact_pq_index bounds the ANN probe's (§19); the pair stream is
+    untouched and later batches probe the folded stores."""
     from cdc_algorithms_spark.operators.dedup_docs import minhash_band_index
 
     if not batch_stages:
@@ -139,10 +147,21 @@ def run_streaming_near_dup_index(
             .start()
         )
         try:
+            from cdc_algorithms_spark.operators.storeio import (
+                compact_epoch_store,
+            )
+
+            def _maybe_compact(stage_i: int) -> None:
+                if compact_after and stage_i in compact_after:
+                    compact_epoch_store(spark, index_dir)
+                    compact_epoch_store(spark, docs_dir)
+
             query.processAllAvailable()
-            for stage in batch_stages[1:]:
+            _maybe_compact(0)
+            for i, stage in enumerate(batch_stages[1:], start=1):
                 stage.write.mode("append").parquet(in_dir)
                 query.processAllAvailable()
+                _maybe_compact(i)
         finally:
             query.stop()
             query.awaitTermination()

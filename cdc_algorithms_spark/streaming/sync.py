@@ -48,7 +48,14 @@ def _list_store_subdirs(
     it to a driver-local filesystem. Only the names this module writes
     (``seed``, ``batch_<id>``) are returned: a stray ``_SUCCESS`` marker
     or temp directory in ``store_dir`` must not end up in a
-    ``read.parquet`` call."""
+    ``read.parquet`` call. Generations recorded as folded by the
+    store's ``_folded_epochs.json`` manifest (written by
+    storeio.compact_epoch_store) are skipped — including a folded
+    ``batch_<id>`` re-created by an at-least-once replay AFTER the
+    compaction that subsumed it."""
+    from cdc_algorithms_spark.operators.storeio import read_folded_epochs
+
+    folded = read_folded_epochs(spark, store_dir)
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -57,7 +64,7 @@ def _list_store_subdirs(
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
-        if name == exclude or not (
+        if name == exclude or name in folded or not (
             name == "seed" or name.startswith("batch_")
         ):
             continue
