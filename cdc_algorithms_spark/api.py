@@ -113,6 +113,11 @@ __all__ = [
     "importance_weights",
     "learn_tokenizer",
     "encode_tokens",
+    "hybrid_search_indexed",
+    "ann_drift_report",
+    "rebuild_index_if_drifted",
+    "build_dsir_store",
+    "importance_weights_indexed",
 ]
 
 

@@ -1131,6 +1131,9 @@ def connected_components(
     changed = 0
     converged = False
     rounds = 0
+    # reset the diagnostic BEFORE iterating so a run that dies
+    # mid-loop can never be misread as the previous run's round count
+    connected_components.last_rounds = None
     for rounds in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)

@@ -274,9 +274,10 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
     Each staged store carries a ``_folded_epochs.json`` manifest listing
     the epochs it subsumes (written BEFORE the install rename), so the
     rename atomically retires those deltas from probes' view; the
-    trailing delta delete is garbage collection — a crash between
-    install and delete can no longer double-count postings or meta
-    (storeio module docstring)."""
+    trailing GC deletes ONLY manifest-folded epochs — a crash between
+    install and GC can no longer double-count postings or meta, and an
+    epoch a concurrent extend lands mid-compaction survives as live
+    (install/crash contract: storeio.install_staged_store)."""
     from cdc_algorithms_spark.operators import storeio
 
     pdirs = _text_delta_dirs(spark, path, "postings")
@@ -312,20 +313,7 @@ def compact_text_index(spark: SparkSession, path: str) -> None:
             storeio.read_folded_epochs(spark, f"{path}/{kind}")
             | {d.rsplit("/", 1)[-1] for d in dirs},
         )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    P = jvm.org.apache.hadoop.fs.Path
-    for kind in ("postings", "meta"):
-        old = P(f"{path}/{kind}_old")
-        fs.delete(old, True)
-        if not fs.rename(P(f"{path}/{kind}"), old):
-            raise IOError(f"could not park the old {kind} store")
-        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
-            raise IOError(f"could not install the compacted {kind} store")
-        fs.delete(P(f"{path}/{kind}_delta"), True)
-        fs.delete(old, True)
+    storeio.install_staged_store(spark, path, ["postings", "meta"])
 
 
 def bm25_topk_indexed(

@@ -58,15 +58,21 @@ DUP_NGRAM_N = 8
 # Exact-string gram shuffles are measured to exhaust local shuffle disk
 # at 1M docs (SCALING.md §23); at/above this many input documents the
 # span operators default to 128-bit fingerprint grams so the first
-# corpus-scale caller cannot rediscover that cliff. One metadata-cheap
-# count() job per call when the caller leaves fingerprint=None.
+# corpus-scale caller cannot rediscover that cliff.
 FINGERPRINT_AUTO_DOCS = 200_000
 
 
 def _resolve_fingerprint(docs: DataFrame, fingerprint: bool | None) -> bool:
     if fingerprint is not None:
         return fingerprint
-    return docs.count() >= FINGERPRINT_AUTO_DOCS
+    # probe row count with a LIMIT so the decision job stops at the
+    # threshold instead of materializing the whole upstream plan (a
+    # derived/filtered input would otherwise pay its full cost twice —
+    # once here, once in the gram job); callers who know their size
+    # pass fingerprint explicitly and skip the job entirely
+    return (
+        docs.limit(FINGERPRINT_AUTO_DOCS).count() >= FINGERPRINT_AUTO_DOCS
+    )
 
 
 def cross_doc_dup_fraction(
@@ -333,10 +339,10 @@ def compact_dsir_counts(spark, path: str) -> None:
     OPTIMIZE, same discipline as compact_text_index: counts pre-fold by
     term (so probes read one row per term again), token-total meta rows
     sum, the staged stores carry ``_folded_epochs.json`` manifests
-    written BEFORE the install rename (storeio docstring — the install
-    atomically retires the folded deltas; the trailing delete is GC),
-    and a crash at any point leaves a readable, never-double-counting
-    store."""
+    written BEFORE the install rename (the install atomically retires
+    the folded deltas; the trailing GC deletes only manifest-folded
+    epochs, so a concurrent extend's fresh epoch survives —
+    install/crash contract: storeio.install_staged_store)."""
     from cdc_algorithms_spark.operators import storeio
 
     cdirs = storeio.live_epoch_dirs(
@@ -379,20 +385,7 @@ def compact_dsir_counts(spark, path: str) -> None:
             storeio.read_folded_epochs(spark, f"{path}/{kind}")
             | {d.rsplit("/", 1)[-1] for d in dirs},
         )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    P = jvm.org.apache.hadoop.fs.Path
-    for kind in ("counts", "meta"):
-        old = P(f"{path}/{kind}_old")
-        fs.delete(old, True)
-        if not fs.rename(P(f"{path}/{kind}"), old):
-            raise IOError(f"could not park the old {kind} store")
-        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
-            raise IOError(f"could not install the compacted {kind} store")
-        fs.delete(P(f"{path}/{kind}_delta"), True)
-        fs.delete(old, True)
+    storeio.install_staged_store(spark, path, ["counts", "meta"])
 
 
 def dsir_weights_indexed(

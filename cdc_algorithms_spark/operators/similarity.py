@@ -823,19 +823,7 @@ def compact_pq_index(spark, path: str) -> None:
         storeio.read_folded_epochs(spark, f"{path}/codes")
         | {d.rsplit("/", 1)[-1] for d in deltas},
     )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    P = jvm.org.apache.hadoop.fs.Path
-    old = P(f"{path}/codes_old")
-    fs.delete(old, True)
-    if not fs.rename(P(f"{path}/codes"), old):
-        raise IOError("could not park the old codes store")
-    if not fs.rename(P(tmp), P(f"{path}/codes")):
-        raise IOError("could not install the compacted codes store")
-    fs.delete(old, True)
-    fs.delete(P(f"{path}/codes_delta"), True)
+    storeio.install_staged_store(spark, path, ["codes"])
 
 
 def rebuild_pq_index(

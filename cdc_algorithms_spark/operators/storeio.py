@@ -85,6 +85,39 @@ def gc_folded_epochs(
             fs.delete(st.getPath(), True)
 
 
+def install_staged_store(
+    spark: SparkSession, path: str, kinds: list[str]
+) -> None:
+    """Shared install tail for the ``*_delta`` compactors
+    (compact_text_index / compact_pq_index / compact_dsir_counts): for
+    each ``kind``, park the live ``{path}/{kind}`` at ``{kind}_old``,
+    install ``{kind}_tmp`` (whose manifest was written by the caller
+    BEFORE this call), then garbage-collect ONLY the manifest-folded
+    epochs under ``{kind}_delta`` — never the whole delta root, so an
+    epoch a concurrent extend landed after the caller's listing
+    survives (it is live: not in the manifest, still probed).
+
+    Crash honesty: no byte is deleted before its replacement is
+    installed, and the delta GC is correctness-free (probes skip folded
+    epochs via the manifest) — but between the park rename and the
+    install rename the store directory is ABSENT, so a crash in that
+    instant leaves probes failing path-not-found until the parked
+    ``{kind}_old`` is renamed back by hand. Every other crash point
+    leaves a readable, never-double-counting store."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for kind in kinds:
+        old = P(f"{path}/{kind}_old")
+        fs.delete(old, True)
+        if not fs.rename(P(f"{path}/{kind}"), old):
+            raise IOError(f"could not park the old {kind} store")
+        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
+            raise IOError(f"could not install the compacted {kind} store")
+        gc_folded_epochs(spark, f"{path}/{kind}_delta", f"{path}/{kind}")
+        fs.delete(old, True)
+
+
 def compact_epoch_store(spark: SparkSession, store_dir: str) -> bool:
     """Fold every live generation of an epoch-SUBDIR store (the
     ``seed`` + ``batch_<id>`` layout of streaming/sync.py,

@@ -171,7 +171,9 @@ def test_compact_pq_index_folds_deltas(spark, tmp_path):
         tuple(r) for r in read_pq_index(spark, path).codes.collect()
     )
     compact_pq_index(spark, path)
-    assert not os.path.exists(os.path.join(path, "codes_delta"))
+    # folded epochs are GC'd individually (never the whole delta root —
+    # a concurrent extend's fresh epoch must survive a compaction)
+    assert os.listdir(os.path.join(path, "codes_delta")) == []
     assert not os.path.exists(os.path.join(path, "codes_old"))
     assert (
         sorted(tuple(r) for r in read_pq_index(spark, path).codes.collect())
@@ -202,6 +204,7 @@ def test_compact_pq_crash_window_no_double_count(spark, tmp_path):
     )
     shutil.copytree(f"{path}/codes_delta", f"{path}/codes_crash")
     compact_pq_index(spark, path)
+    shutil.rmtree(f"{path}/codes_delta", ignore_errors=True)
     shutil.move(f"{path}/codes_crash", f"{path}/codes_delta")
     # epoch_0 is in the manifest: probes skip it — codes NOT duplicated
     assert (

@@ -222,6 +222,7 @@ def test_text_index_compact_crash_window_no_double_count(spark, tmp_path):
         shutil.copytree(f"{path}/{kind}_delta", f"{path}/{kind}_crash")
     compact_text_index(spark, path)
     for kind in ("postings", "meta"):  # the crash leftover reappears
+        shutil.rmtree(f"{path}/{kind}_delta", ignore_errors=True)
         shutil.move(f"{path}/{kind}_crash", f"{path}/{kind}_delta")
     # the manifest marks epoch_0 folded: probes and a re-compact see no
     # live deltas, and answers stay exact
@@ -300,6 +301,7 @@ def test_dsir_store_compact_preserves_and_survives_crash(spark, tmp_path):
     # crash leftover reappears: manifest keeps probes exact, next
     # compaction GCs it
     for kind in ("counts", "meta"):
+        shutil.rmtree(f"{path}/{kind}_delta", ignore_errors=True)
         shutil.move(f"{path}/{kind}_crash", f"{path}/{kind}_delta")
     assert sorted(
         map(tuple, dsir_weights_indexed(spark, path, docs).collect())

@@ -74,6 +74,31 @@ def test_compact_epoch_store_replay_after_fold_is_dead(spark, tmp_path):
     assert _rows(spark, store) == before
 
 
+def test_gc_folded_epochs_spares_unlisted_epochs(spark, tmp_path):
+    """The concurrent-extend guarantee: post-install GC deletes ONLY
+    manifest-folded epochs — an epoch landed after the compactor's
+    listing (so absent from the manifest) must survive as live."""
+    from cdc_algorithms_spark.operators.storeio import (
+        gc_folded_epochs,
+        live_epoch_dirs,
+        write_folded_epochs,
+    )
+
+    base = str(tmp_path / "counts")
+    delta = str(tmp_path / "counts_delta")
+    spark.createDataFrame([(1,)], "v long").write.parquet(base)
+    for name in ("epoch_0", "epoch_7"):
+        spark.createDataFrame([(2,)], "v long").write.parquet(
+            f"{delta}/{name}"
+        )
+    write_folded_epochs(spark, base, {"epoch_0"})  # 7 landed concurrently
+    gc_folded_epochs(spark, delta, base)
+    assert not os.path.exists(f"{delta}/epoch_0")
+    assert os.path.exists(f"{delta}/epoch_7")
+    live = live_epoch_dirs(spark, delta, base)
+    assert len(live) == 1 and live[0].endswith("epoch_7")
+
+
 def test_compact_epoch_store_new_batches_keep_folding(spark, tmp_path):
     """Epoch ids advance past a compaction: batch_2 arriving after the
     fold is live, reads union it, and a second compaction folds it in
