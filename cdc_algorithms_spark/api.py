@@ -118,6 +118,7 @@ __all__ = [
     "rebuild_index_if_drifted",
     "build_dsir_store",
     "importance_weights_indexed",
+    "compact_dsir_store",
 ]
 
 
@@ -1150,3 +1151,13 @@ def importance_weights_indexed(
     from cdc_algorithms_spark.operators.selection import dsir_weights_indexed
 
     return dsir_weights_indexed(spark, path, docs, **kw)
+
+
+def compact_dsir_store(spark, path: str) -> None:
+    """Fold a :func:`build_dsir_store` store's epoch deltas into one
+    base generation (operators/selection.py::compact_dsir_counts) —
+    manifest-guarded rename-first swap, same OPTIMIZE discipline as
+    :func:`compact_text_index` / :func:`compact_ann_index`."""
+    from cdc_algorithms_spark.operators.selection import compact_dsir_counts
+
+    return compact_dsir_counts(spark, path)
