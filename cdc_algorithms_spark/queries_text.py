@@ -449,8 +449,24 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_features")
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (feature values come from an Arrow UDF; the oracle-green
+    `media_features_check` twin below carries the value proof). The window
+    entry projects driver-canonicalizable columns ONLY — the raw
+    array<float> features column breaks the harness' pandas sort
+    (unhashable list), so it is folded to a deterministic per-row digest:
+    features quantized to micro-units (exact for float32 values in [0,1])
+    then xxhash64'd as a bigint array."""
     media = synthesize_media(load_table(spark, "documents", sf_dir))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("n_dims"),
+        F.xxhash64(
+            F.expr(
+                "transform(features, f -> CAST(ROUND(CAST(f AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("features_digest"),
+    )
 
 
 # Invariant twin for the rows-only media_features (r04 pattern — e.g.

@@ -215,6 +215,28 @@ def test_media_features_check_detects_tampered_features(spark, sf_dir):
     assert bad["dims_ok"]  # only the value moved, not the shape
 
 
+def test_media_features_window_entry_is_canonicalizable(spark, sf_dir):
+    """The driver harness canonicalizes every window query through a pandas
+    sort, which cannot factorize list/map values (r09's one red row:
+    `TypeError: unhashable type: 'list'`). Pin that the media_features
+    WINDOW entry projects only atomic columns and that the digest is
+    deterministic across runs (same plan, same UDF, same quantization)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from cdc_algorithms_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["media_features"](spark, sf_dir)
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"non-canonicalizable column {f.name}: {f.dataType}"
+    p1 = df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+    p2 = df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+    assert (p1["n_dims"] == 16).all()
+
+
 def test_media_features_strict_raises(spark, sf_dir):
     from cdc_algorithms_spark.operators import multimodal
 
