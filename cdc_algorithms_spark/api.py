@@ -854,10 +854,11 @@ def compact_stream_store(spark, store_dir: str) -> int:
     """Fold an epoch-keyed foreachBatch store (band index / doc store /
     manifests / watermarks) into one seed directory — the maintenance
     verb that stops per-batch directories accumulating into
-    10k-branch scans. Run with the stream stopped and its checkpoint
-    past every folded epoch
-    (streaming/sync.py::compact_epoch_store)."""
-    from cdc_algorithms_spark.streaming.sync import compact_epoch_store
+    10k-branch scans. Run with readers quiesced (between micro-batches)
+    — routes to operators/storeio.py::compact_epoch_store, whose
+    ``_folded_epochs.json`` manifest makes an at-least-once replay of a
+    folded ``batch_<id>`` dead instead of double-counted."""
+    from cdc_algorithms_spark.operators.storeio import compact_epoch_store
 
     return compact_epoch_store(spark, store_dir)
 

@@ -123,7 +123,21 @@ def learn_bpe_from_counts(
     counts equal a from-scratch recount every round); the heap pops
     stale entries lazily and the key ``(-count, left, right)`` IS the
     (count DESC, left ASC, right ASC) selection order. ~32k merges
-    over a 100k-word vocabulary are seconds of driver CPU."""
+    over a 100k-word vocabulary are seconds of driver CPU.
+
+    Determinism contract: the ASC tie-break compares Python strings,
+    i.e. Unicode CODE POINTS. That differs from Spark/Java's ``F.asc``
+    (UTF-16 code units) exactly when a vocabulary mixes
+    supplementary-plane symbols (≥ U+10000) with U+E000–U+FFFF: code
+    points order the BMP private-use/CJK-compat range BELOW the
+    supplementary planes, UTF-16 code units order it ABOVE (surrogates
+    start at 0xD800). The merge table is therefore deterministic and
+    reproducible under THIS trainer, but a count-tied merge over such a
+    vocabulary may differ from a SQL-side recomputation; normalize to a
+    byte-wise UTF-8 comparison on both engines if cross-engine parity
+    of the merge table itself ever matters (UTF-8 bytes and code points
+    order identically, so this trainer is already UTF-8-byte-order
+    consistent — the caveat is only about Spark's UTF-16 F.asc)."""
     import heapq
 
     words = [list(w) for w, _ in word_counts]

@@ -62,17 +62,51 @@ DUP_NGRAM_N = 8
 FINGERPRINT_AUTO_DOCS = 200_000
 
 
+# memoized auto-switch decisions keyed by (analyzed plan semantic hash,
+# threshold): repeated default calls over the same input (the common
+# measure-then-transform pattern: cross_doc_dup_fraction followed by
+# remove_duplicate_spans) pay the probe once, not per call
+_FP_DECISIONS: dict[tuple[int, int], bool] = {}
+
+
 def _resolve_fingerprint(docs: DataFrame, fingerprint: bool | None) -> bool:
     if fingerprint is not None:
         return fingerprint
-    # probe row count with a LIMIT so the decision job stops at the
-    # threshold instead of materializing the whole upstream plan (a
-    # derived/filtered input would otherwise pay its full cost twice —
-    # once here, once in the gram job); callers who know their size
-    # pass fingerprint explicitly and skip the job entirely
-    return (
-        docs.limit(FINGERPRINT_AUTO_DOCS).count() >= FINGERPRINT_AUTO_DOCS
-    )
+    try:
+        key = (
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            FINGERPRINT_AUTO_DOCS,
+        )
+    except Exception:  # non-JVM-backed frame (e.g. connect) — no memo
+        key = None
+    if key is not None and key in _FP_DECISIONS:
+        return _FP_DECISIONS[key]
+    # cheapest first: Catalyst's optimized-plan row-count statistic is
+    # free (no job) when the source carries it (CBO stats, a LocalRelation,
+    # or a LIMIT-capped plan); only when it's absent fall back to a
+    # LIMIT-bounded count probe, which stops at the threshold instead of
+    # materializing the whole upstream plan. Callers who know their size
+    # pass fingerprint explicitly and skip both. NOTE (API semantics):
+    # the default silently switches ≥ FINGERPRINT_AUTO_DOCS callers from
+    # exact-string to collision-bounded fingerprint grams — documented
+    # in the module docstring and README; results at scale differ from
+    # fingerprint=False by at most the 2^-128 collision mass.
+    decided: bool | None = None
+    try:
+        rc = docs._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            decided = int(rc.get().longValue()) >= FINGERPRINT_AUTO_DOCS
+    except Exception:
+        decided = None
+    if decided is None:
+        decided = (
+            docs.limit(FINGERPRINT_AUTO_DOCS).count() >= FINGERPRINT_AUTO_DOCS
+        )
+    if key is not None:
+        if len(_FP_DECISIONS) > 256:  # bound the memo for long sessions
+            _FP_DECISIONS.clear()
+        _FP_DECISIONS[key] = decided
+    return decided
 
 
 def cross_doc_dup_fraction(

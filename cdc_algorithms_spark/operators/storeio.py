@@ -102,8 +102,11 @@ def install_staged_store(
     epochs via the manifest) — but between the park rename and the
     install rename the store directory is ABSENT, so a crash in that
     instant leaves probes failing path-not-found until the parked
-    ``{kind}_old`` is renamed back by hand. Every other crash point
-    leaves a readable, never-double-counting store."""
+    ``{kind}_old`` is renamed back by hand. A FAILED install rename (as
+    opposed to a crash) rolls the parked store back into place before
+    raising, so only a crash or a double failure needs manual recovery.
+    Every other crash point leaves a readable, never-double-counting
+    store."""
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -113,17 +116,31 @@ def install_staged_store(
         if not fs.rename(P(f"{path}/{kind}"), old):
             raise IOError(f"could not park the old {kind} store")
         if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
-            raise IOError(f"could not install the compacted {kind} store")
+            if fs.rename(old, P(f"{path}/{kind}")):
+                raise IOError(
+                    f"could not install the compacted {kind} store; the"
+                    f" previous store was rolled back into place"
+                )
+            raise IOError(
+                f"could not install the compacted {kind} store; live"
+                f" data parked at {path}/{kind}_old"
+            )
         gc_folded_epochs(spark, f"{path}/{kind}_delta", f"{path}/{kind}")
         fs.delete(old, True)
 
 
-def compact_epoch_store(spark: SparkSession, store_dir: str) -> bool:
+def _is_generation(name: str) -> bool:
+    return name == "seed" or name.startswith("batch_")
+
+
+def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
     """Fold every live generation of an epoch-SUBDIR store (the
     ``seed`` + ``batch_<id>`` layout of streaming/sync.py,
     streaming/near_dup.py, streaming/ingest_pipeline.py — distinct from
     the ``*_delta`` layout the ``compact_*`` verbs own) into ONE
-    consolidated ``seed`` generation.
+    consolidated ``seed`` generation. Returns the number of generations
+    folded (0 when a store with ≤ 1 live generation only
+    garbage-collects dead subdirectories).
 
     Same discipline as every other compaction here: the staged root
     carries the manifest BEFORE the install rename, so the rename
@@ -134,18 +151,30 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> bool:
     into seed re-creates its subdirectory — without the manifest every
     reader would double-count it; with it the name is dead forever
     (epoch ids are never reused for NEW data — the foreachBatch batch-id
-    contract). Returns True iff a fold ran; a store with ≤ 1 live
-    generation only garbage-collects dead subdirectories."""
+    contract).
+
+    Concurrency contract: READERS must be quiesced (run between
+    micro-batches / with the stream's foreachBatch not mid-probe) — the
+    root-swap is the only single-commit-point publish a rename-based FS
+    offers, and between the park rename and the install rename the root
+    is briefly absent. Concurrent EXTENDS are survived: an epoch
+    directory a writer landed between this verb's listing and the park
+    rename travels with the parked root, is NOT in the new manifest, and
+    is rescued — renamed back into the installed root — before the
+    parked copy is deleted. If a writer recreates the root itself inside
+    the swap window, the staged store's children are installed INTO that
+    recreated root (a plain rename would nest the staged root inside it
+    on Hadoop FS semantics). A failed install rename rolls the parked
+    root back into place before raising, so only a double failure leaves
+    the store at ``__compact_old`` needing manual recovery."""
     fs, root = _fs_and_path(spark, store_dir)
     if not fs.exists(root):
-        return False
+        return 0
     folded = read_folded_epochs(spark, store_dir)
     names = [
         st.getPath().getName()
         for st in fs.listStatus(root)
-        if st.isDirectory()
-        and (st.getPath().getName() == "seed"
-             or st.getPath().getName().startswith("batch_"))
+        if st.isDirectory() and _is_generation(st.getPath().getName())
     ]
     live = [n for n in names if n not in folded]
     jvm = spark._jvm
@@ -154,25 +183,60 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> bool:
         for n in names:
             if n in folded:
                 fs.delete(P(f"{store_dir}/{n}"), True)
-        return False
+        return 0
     df = spark.read.parquet(*[f"{store_dir}/{n}" for n in sorted(live)])
     tmp = f"{store_dir}__compact_tmp"
     fs.delete(P(tmp), True)
     df.write.mode("overwrite").parquet(f"{tmp}/seed")
-    write_folded_epochs(
-        spark, tmp, (folded | set(live)) - {"seed"}
-    )
+    new_manifest = (folded | set(live)) - {"seed"}
+    write_folded_epochs(spark, tmp, new_manifest)
     old = f"{store_dir}__compact_old"
     fs.delete(P(old), True)
     if not fs.rename(root, P(old)):
         raise IOError(f"could not park the live store at {old}")
-    if not fs.rename(P(tmp), root):
+    if fs.exists(root):
+        # a concurrent writer recreated the root inside the swap window;
+        # rename(tmp, root) would NEST tmp under it — install the staged
+        # children into the recreated root instead (the writer's fresh
+        # epoch dirs are not in the manifest, so they stay live)
+        if not fs.rename(P(f"{tmp}/seed"), P(f"{store_dir}/seed")):
+            fs.rename(P(old), root)  # best-effort rollback
+            raise IOError(
+                f"could not install the compacted seed into the"
+                f" recreated root; live data parked at {old}"
+            )
+        fs.delete(P(f"{store_dir}/{MANIFEST}"), False)
+        fs.rename(P(f"{tmp}/{MANIFEST}"), P(f"{store_dir}/{MANIFEST}"))
+        fs.delete(P(tmp), True)
+    elif not fs.rename(P(tmp), root):
+        # roll the parked root back so probes keep working; only a
+        # double failure strands the store at __compact_old
+        if fs.rename(P(old), root):
+            raise IOError(
+                "could not install the compacted store; the previous"
+                " store was rolled back into place"
+            )
         raise IOError(
             f"could not install the compacted store; live data parked"
             f" at {old}"
         )
-    fs.delete(P(old), True)
-    return True
+    # rescue concurrent-extend epochs that travelled with the parked
+    # root: any generation in the parked copy that is neither in the
+    # fold snapshot nor already folded arrived during the swap — rename
+    # it into the installed root (not in the manifest ⇒ still live)
+    oldp = P(old)
+    if fs.exists(oldp):
+        for st in fs.listStatus(oldp):
+            n = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and _is_generation(n)
+                and n not in names
+                and n not in new_manifest
+            ):
+                fs.rename(st.getPath(), P(f"{store_dir}/{n}"))
+        fs.delete(oldp, True)
+    return len(live)
 
 
 def live_epoch_dirs(

@@ -201,37 +201,17 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
     directory, and after 10k batches every reader's listing and scan
     carries 10k branches. Returns the number of directories folded.
 
-    Same staged-swap discipline as the PQ index compaction
-    (operators/similarity.py::compact_pq_index): the merged rows are
-    written to a sibling temp directory, the old epoch directories are
-    PARKED by rename (metadata-only, bounded by the directory count),
-    the new ``seed`` is renamed into place, and the parked originals
-    are deleted last — a crash mid-swap leaves a recoverable store.
+    Delegates to :func:`cdc_algorithms_spark.operators.storeio.
+    compact_epoch_store` — the single implementation with the
+    ``_folded_epochs.json`` manifest (replay-after-compaction
+    dead-lettering), concurrent-extend rescue, and install-failure
+    rollback. This module used to carry its own manifest-less compactor;
+    the two are now one so every caller (including the public
+    ``api.compact_stream_store`` verb) gets the same guarantees. Run
+    with readers quiesced (between micro-batches) — see the storeio
+    docstring for the exact contract."""
+    from cdc_algorithms_spark.operators.storeio import (
+        compact_epoch_store as _compact,
+    )
 
-    Contract: run at a maintenance window with the stream STOPPED and
-    its checkpoint committed past every folded epoch. A replay of a
-    folded epoch after compaction would re-write its ``batch_<id>``
-    directory NEXT TO the compacted seed that already contains those
-    rows — the same duplicate-on-stale-replay hazard any table
-    OPTIMIZE has with concurrent writers (pinned in tests).
-    """
-    dirs = _list_store_subdirs(spark, store_dir, exclude="")
-    if len(dirs) <= 1:
-        return 0
-    merged = spark.read.parquet(*dirs)
-    tmp = f"{store_dir}__compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(store_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-    park = P(f"{store_dir}__compact_old")
-    fs.delete(park, True)
-    fs.mkdirs(park)
-    for d in dirs:
-        name = d.rstrip("/").rsplit("/", 1)[-1]
-        if not fs.rename(P(d), P(f"{store_dir}__compact_old/{name}")):
-            raise IOError(f"could not park epoch directory {name}")
-    if not fs.rename(P(tmp), P(f"{store_dir}/seed")):
-        raise IOError("could not install the compacted seed")
-    fs.delete(park, True)
-    return len(dirs)
+    return _compact(spark, store_dir)

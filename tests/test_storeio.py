@@ -99,6 +99,113 @@ def test_gc_folded_epochs_spares_unlisted_epochs(spark, tmp_path):
     assert len(live) == 1 and live[0].endswith("epoch_7")
 
 
+def test_compact_epoch_store_rescues_concurrent_extend(spark, tmp_path):
+    """An epoch directory a writer lands between the compactor's listing
+    and its park rename travels with the parked root — it must be
+    rescued into the installed store as LIVE (it is not in the
+    manifest), not swallowed and deleted. Simulated by planting the
+    late epoch inside __compact_old exactly as the park rename would
+    leave it, then exercising the post-install rescue path directly."""
+    from cdc_algorithms_spark.operators import storeio
+
+    store = str(tmp_path / "store")
+    _write_epochs(spark, store, {"seed": [1], "batch_0": [2]})
+
+    # monkeypatch-free simulation: run the real compaction but inject
+    # the concurrent epoch into the parked root by wrapping fs.rename —
+    # simpler: plant the epoch right before calling, via a rename hook
+    # on the module's _fs_and_path. Instead we replay the exact window:
+    # list → stage → park → (concurrent write lands in parked root,
+    # because on a rename-based FS the writer's path moved with the
+    # root) → install → rescue.
+    orig = storeio._fs_and_path
+    state = {"parked": False}
+
+    def hooked(sp, p):
+        fs, path = orig(sp, p)
+
+        class FS:
+            def __getattr__(self, a):
+                return getattr(fs, a)
+
+            def rename(self, src, dst):
+                ok = fs.rename(src, dst)
+                if ok and str(dst).endswith("__compact_old") and not state["parked"]:
+                    state["parked"] = True
+                    spark.createDataFrame(
+                        [("batch_9", 99)], "origin string, v long"
+                    ).write.parquet(f"{store}__compact_old/batch_9")
+                return ok
+
+        return FS(), path
+
+    storeio._fs_and_path = hooked
+    try:
+        folded = storeio.compact_epoch_store(spark, store)
+    finally:
+        storeio._fs_and_path = orig
+    assert folded == 2
+    # the concurrent epoch was rescued, is live, and is readable
+    assert os.path.isdir(f"{store}/batch_9")
+    assert "batch_9" not in read_folded_epochs(spark, store)
+    rows = _rows(spark, store)
+    assert ("batch_9", 99) in rows and len(rows) == 3
+    assert not os.path.exists(f"{store}__compact_old")
+    # and the next compaction folds it normally
+    assert storeio.compact_epoch_store(spark, store) == 2
+    assert "batch_9" in read_folded_epochs(spark, store)
+    assert sorted(_rows(spark, store)) == rows
+
+
+def test_compact_epoch_store_installs_into_recreated_root(spark, tmp_path):
+    """A writer recreating the root between the park rename and the
+    install rename used to make rename(tmp, root) NEST the staged store
+    inside the live root (Hadoop rename-into-existing-dir semantics).
+    Now the staged children are installed INTO the recreated root and
+    the writer's fresh epoch stays live."""
+    from cdc_algorithms_spark.operators import storeio
+
+    store = str(tmp_path / "store")
+    _write_epochs(spark, store, {"seed": [1], "batch_0": [2]})
+
+    orig = storeio._fs_and_path
+    state = {"parked": False}
+
+    def hooked(sp, p):
+        fs, path = orig(sp, p)
+
+        class FS:
+            def __getattr__(self, a):
+                return getattr(fs, a)
+
+            def rename(self, src, dst):
+                ok = fs.rename(src, dst)
+                if ok and str(dst).endswith("__compact_old") and not state["parked"]:
+                    state["parked"] = True
+                    # the concurrent writer recreates the root with a
+                    # fresh epoch while the root is absent
+                    spark.createDataFrame(
+                        [("batch_9", 99)], "origin string, v long"
+                    ).write.parquet(f"{store}/batch_9")
+                return ok
+
+        return FS(), path
+
+    storeio._fs_and_path = hooked
+    try:
+        folded = storeio.compact_epoch_store(spark, store)
+    finally:
+        storeio._fs_and_path = orig
+    assert folded == 2
+    # no nesting: the compacted seed and manifest sit in the root,
+    # next to the writer's live epoch
+    assert os.path.isdir(f"{store}/seed")
+    assert not os.path.exists(f"{store}/store__compact_tmp")
+    assert read_folded_epochs(spark, store) == {"batch_0"}
+    rows = _rows(spark, store)
+    assert ("batch_9", 99) in rows and len(rows) == 3
+
+
 def test_compact_epoch_store_new_batches_keep_folding(spark, tmp_path):
     """Epoch ids advance past a compaction: batch_2 arriving after the
     fold is live, reads union it, and a second compaction folds it in

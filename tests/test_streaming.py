@@ -1043,7 +1043,10 @@ def test_compact_epoch_store_folds_without_changing_answers(spark, tmp_path):
     assert compact_epoch_store(spark, docs_dir) >= 3
     import os as _os
 
-    assert _os.listdir(index_dir) == ["seed"]
+    # one generation dir afterward (plus the _folded_epochs.json
+    # manifest, which Spark's reader treats as hidden)
+    gens = [n for n in _os.listdir(index_dir) if _os.path.isdir(f"{index_dir}/{n}")]
+    assert gens == ["seed"]
     assert (
         sorted(tuple(r) for r in spark.read.parquet(f"{index_dir}/seed").collect())
         == before
@@ -1068,11 +1071,19 @@ def test_compact_epoch_store_folds_without_changing_answers(spark, tmp_path):
     )
     assert got == want and got
 
-    # the documented stale-replay hazard: replaying a folded epoch
-    # re-adds rows the seed already holds — duplicates, which is WHY
-    # the contract requires the checkpoint to be past folded epochs
-    n_before = spark.read.parquet(f"{index_dir}/*").count()
+    # the replay-after-compaction hole is CLOSED by the manifest: a
+    # stale replay of a folded epoch re-creates its batch_<id>
+    # directory on disk, but every manifest-aware reader skips the dead
+    # name — the store's effective row set is unchanged (it used to
+    # double-count; pinned red before the storeio unification)
+    from cdc_algorithms_spark.streaming.sync import _list_store_subdirs
+
+    live_before = _list_store_subdirs(spark, index_dir, "")
+    n_before = spark.read.parquet(*live_before).count()
     near_dup_batch(
         spark, stages[0], index_dir, f"{work}/docs", f"{work}/pairs", 1
     )
-    assert spark.read.parquet(f"{index_dir}/*").count() > n_before
+    assert _os.path.isdir(f"{index_dir}/batch_1")  # replay wrote the dir
+    live_after = _list_store_subdirs(spark, index_dir, "")
+    assert live_after == live_before  # ...but the name stays dead
+    assert spark.read.parquet(*live_after).count() == n_before
