@@ -560,6 +560,161 @@ def q_media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Media near-dup: multimodal content through the dedup machinery --------
+#
+# Perceptual-fingerprint LSH pairs and CDC chunk-overlap resemblance over
+# binary payloads (operators/media_dedup.py). The pairs queries are
+# rows-only by construction (blockhash bits / AE cut positions aren't
+# SQL-expressible); each has a planted-clone oracle twin in the
+# chunk_overlap_ae_clone_check style whose guarantees are mathematical:
+# byte-identical payloads fingerprint/chunk identically, and the stub
+# resize is EXACTLY fingerprint-invariant (PHASH_RESAMPLE divides the
+# resize target — the NN-composition theorem in media_dedup.py).
+
+_MEDIA_CLONE_EXACT_OFFSET = 1 << 40
+_MEDIA_CLONE_RESIZED_OFFSET = 1 << 41
+
+
+@register("media_phash_pairs")
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (perceptual-hash bits aren't SQL-expressible; the
+    oracle conversion is media_phash_clone_check). Banded 4×16
+    pigeonhole join — never an all-pairs product."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_fingerprint_pairs,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return media_fingerprint_pairs(media, max_hamming=3)
+
+
+_MEDIA_PHASH_CLONE_ORACLE = """
+SELECT CAST(SUM(CASE WHEN doc_id % 13 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_clones,
+       CAST(0 AS BIGINT) AS n_exact_missing,
+       CAST(0 AS BIGINT) AS n_exact_nonzero_hamming,
+       CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resized_clones,
+       CAST(0 AS BIGINT) AS n_resized_missing,
+       CAST(0 AS BIGINT) AS n_resized_nonzero_hamming
+FROM documents
+"""
+
+
+@register("media_phash_clone_check", _MEDIA_PHASH_CLONE_ORACLE)
+def q_media_phash_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle conversion for media_phash_pairs: the corpus is extended
+    with BYTE-IDENTICAL clones (doc_id %13==1, +2^40) and STUB-RESIZED
+    clones (doc_id %13==2, +2^41, via resize_media's 64×64
+    nearest-neighbor stub); both clone families MUST pair with their
+    original at hamming EXACTLY 0 — byte-identical trivially, resized by
+    the exact NN-composition invariance theorem (media_dedup.py). DuckDB
+    independently counts the planted clones; a missing or
+    nonzero-hamming pair flags any id-dependence, nondeterminism, or
+    banding-recall bug."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_fingerprint_pairs,
+    )
+    from cdc_algorithms_spark.operators.multimodal import resize_media
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    exact_clones = media.where(F.col("media_id") % 13 == 1).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)
+    )
+    resized_clones = resize_media(
+        media.where(F.col("media_id") % 13 == 2)
+    ).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_RESIZED_OFFSET)
+    )
+    corpus = media.unionByName(exact_clones).unionByName(resized_clones)
+    pairs = media_fingerprint_pairs(corpus, max_hamming=3)
+
+    def clone_stats(mod: int, offset: int, tag: str) -> DataFrame:
+        expected = media.where(F.col("media_id") % 13 == mod).select(
+            F.col("media_id").alias("id_a"),
+            (F.col("media_id") + F.lit(offset)).alias("id_b"),
+        )
+        got = expected.join(pairs, ["id_a", "id_b"], "left")
+        return got.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}_clones"),
+            F.sum(F.col("hamming").isNull().cast("long"))
+            .cast("long")
+            .alias(f"n_{tag}_missing"),
+            F.sum((F.coalesce(F.col("hamming"), F.lit(0)) != 0).cast("long"))
+            .cast("long")
+            .alias(f"n_{tag}_nonzero_hamming"),
+        )
+
+    return clone_stats(1, _MEDIA_CLONE_EXACT_OFFSET, "exact").crossJoin(
+        clone_stats(2, _MEDIA_CLONE_RESIZED_OFFSET, "resized")
+    )
+
+
+@register("media_chunk_overlap_pairs")
+def q_media_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (AE cut positions aren't SQL-expressible; the oracle
+    conversion is media_chunk_overlap_clone_check). CDC chunk-set Broder
+    resemblance over raw binary payloads — only 8-byte chunk identities
+    leave the scan-side UDF."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_chunk_overlap_pairs,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return media_chunk_overlap_pairs(media, "ae", 320, threshold=0.3)
+
+
+_MEDIA_OVERLAP_CLONE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clone_pairs,
+       CAST(0 AS BIGINT) AS n_clone_pairs_missing,
+       CAST(0 AS BIGINT) AS n_clone_pairs_inexact
+FROM documents WHERE doc_id % 13 = 1 AND length(text) > 0
+"""
+
+
+@register("media_chunk_overlap_clone_check", _MEDIA_OVERLAP_CLONE_ORACLE)
+def q_media_chunk_overlap_clone_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle conversion for media_chunk_overlap_pairs: AE cuts are a
+    pure function of payload BYTES, so planted byte-identical media
+    clones (doc_id %13==1, +2^40, nonempty payloads — empty payloads
+    chunk to nothing and have no chunk-set resemblance) MUST pair with
+    chunk-set jaccard EXACTLY 1.0. DuckDB independently counts the
+    planted clones."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_chunk_overlap_pairs,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    clones = media.where(F.col("media_id") % 13 == 1).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)
+    )
+    ov = media_chunk_overlap_pairs(
+        media.unionByName(clones), "ae", 320, threshold=0.3
+    )
+    expected = media.where(
+        (F.col("media_id") % 13 == 1) & (F.length("content") > 0)
+    ).select(
+        F.col("media_id").alias("id_a"),
+        (F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)).alias("id_b"),
+    )
+    got = expected.join(ov, ["id_a", "id_b"], "left").select("id_a", "jaccard")
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone_pairs"),
+        F.sum(F.col("jaccard").isNull().cast("long"))
+        .cast("long")
+        .alias("n_clone_pairs_missing"),
+        F.sum(
+            (F.coalesce(F.abs(F.col("jaccard") - 1.0), F.lit(0.0)) > 1e-9).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_clone_pairs_inexact"),
+    )
+
+
 # --- ANN quality metrics (recall vs exact top-k) ---------------------------
 
 

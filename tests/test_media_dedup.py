@@ -1,0 +1,162 @@
+"""Media near-dup: perceptual-fingerprint LSH + CDC chunk-overlap over
+binary payloads (operators/media_dedup.py).
+
+The load-bearing pins:
+* the EXACT resize-invariance theorem (NN-resample composition under
+  divisibility) that makes the planted-resized-clone oracle mathematical;
+* pigeonhole completeness of the 4×16 banding (found pairs == brute-force
+  hamming ≤ 3 pairs, not a sample of them);
+* byte-conservation of the binary chunker and exact jaccard 1.0 for
+  byte-identical payloads;
+* CDC shift-robustness: a prefix-perturbed payload still pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.media_dedup import (
+    media_chunk_keys,
+    media_chunk_overlap_pairs,
+    media_fingerprint_pairs,
+    media_fingerprints,
+)
+from cdc_algorithms_spark.operators.multimodal import (
+    resize_media,
+    synthesize_media,
+)
+from cdc_algorithms_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _media(spark, limit=None):
+    docs = load_table(spark, "documents", SF_DIR)
+    if limit:
+        docs = docs.limit(limit)
+    return synthesize_media(docs)
+
+
+def test_phash_resize_invariance_is_exact(spark):
+    """fp(resize_media(x)) == fp(x) bit-for-bit: PHASH_RESAMPLE (256)
+    divides the 64×64 stub target (4096), so the NN index arithmetic
+    composes exactly — the theorem the planted-clone oracle leans on."""
+    media = _media(spark)
+    fp = {r.media_id: r.phash for r in media_fingerprints(media).collect()}
+    fp_resized = {
+        r.media_id: r.phash
+        for r in media_fingerprints(resize_media(media)).collect()
+    }
+    assert fp == fp_resized
+    # and a non-divisible target would break it — pin that the default
+    # geometry satisfies the precondition instead of relying on luck
+    from cdc_algorithms_spark.operators.media_dedup import PHASH_RESAMPLE
+
+    assert (64 * 64) % PHASH_RESAMPLE == 0
+
+
+def test_phash_determinism_and_discrimination(spark):
+    media = _media(spark)
+    f1 = {r.media_id: r.phash for r in media_fingerprints(media).collect()}
+    f2 = {r.media_id: r.phash for r in media_fingerprints(media).collect()}
+    assert f1 == f2
+    # distinct text payloads should rarely collide (observed: 0/500)
+    n = len(f1)
+    assert len(set(f1.values())) > 0.95 * n
+
+
+def test_phash_empty_and_null_payloads_fingerprint_zero(spark):
+    media = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"abc")], "media_id long, content binary"
+    )
+    got = {r.media_id: r.phash for r in media_fingerprints(media).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] != 0
+
+
+def test_phash_banding_is_pigeonhole_complete(spark):
+    """Found pairs must equal the brute-force hamming ≤ 3 pair set
+    EXACTLY: ≤ 3 differing bits cannot touch all 4 bands, so at least
+    one band matches and the equality join finds the pair."""
+    media = _media(spark, limit=120)
+    fps = media_fingerprints(media).collect()
+    brute = set()
+    for i, a in enumerate(fps):
+        for b in fps[i + 1 :]:
+            h = bin((a.phash ^ b.phash) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                lo, hi = sorted((a.media_id, b.media_id))
+                brute.add((lo, hi))
+    got = {
+        (r.id_a, r.id_b)
+        for r in media_fingerprint_pairs(media, max_hamming=3).collect()
+    }
+    assert got == brute
+
+
+def test_phash_rejects_incomplete_banding_request(spark):
+    with pytest.raises(ValueError):
+        media_fingerprint_pairs(_media(spark, limit=5), max_hamming=4)
+
+
+def test_media_chunk_keys_conserve_bytes(spark):
+    """Per-payload: chunk lengths sum to the payload length, offsets are
+    contiguous from 0 — the byte-conservation invariant every chunker
+    query in this repo pins, now over binary content."""
+    media = _media(spark, limit=80)
+    chunks = media_chunk_keys(media, "ae", 320)
+    per_doc = chunks.groupBy("src_id").agg(
+        F.sum("length").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("offset") + F.col("length")).alias("end"),
+        F.min("offset").alias("start"),
+    )
+    src = media.select(
+        F.col("media_id").alias("src_id"), F.length("content").alias("len")
+    ).where(F.col("len") > 0)
+    j = src.join(per_doc, "src_id", "left")
+    bad = j.where(
+        F.col("total").isNull()
+        | (F.col("total") != F.col("len"))
+        | (F.col("end") != F.col("len"))
+        | (F.col("start") != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_media_chunk_overlap_identical_payloads_score_one(spark):
+    media = _media(spark, limit=60)
+    clones = media.withColumn("media_id", F.col("media_id") + F.lit(1 << 40))
+    ov = media_chunk_overlap_pairs(
+        media.unionByName(clones), "ae", 320, threshold=0.3
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in ov.collect()}
+    for r in media.select("media_id").where(F.length("content") > 0).collect():
+        j = got.get((r.media_id, r.media_id + (1 << 40)))
+        assert j is not None and abs(j - 1.0) < 1e-9
+
+
+def test_media_chunk_overlap_is_shift_robust(spark):
+    """The CDC property, over binary: prepending a header-sized blob
+    re-synchronizes within a window, so the perturbed copy still pairs —
+    the resemblance a fixed-size chunker would destroy (every boundary
+    moves). Deterministic for the fixed test corpus."""
+    media = _media(spark).where(F.length("content") > 1500).limit(20)
+    shifted = media.select(
+        (F.col("media_id") + F.lit(1 << 40)).alias("media_id"),
+        "kind",
+        F.concat(F.lit(b"\xdeadHEADERv2:" * 4), F.col("content")).alias(
+            "content"
+        ),
+        "meta",
+    )
+    ov = media_chunk_overlap_pairs(
+        media.unionByName(shifted), "ae", 320, threshold=0.3
+    )
+    got = {(r.id_a, r.id_b) for r in ov.collect()}
+    expected = {
+        (r.media_id, r.media_id + (1 << 40))
+        for r in media.select("media_id").collect()
+    }
+    found = expected & got
+    # every shifted copy must still pair at jaccard ≥ 0.3
+    assert found == expected
