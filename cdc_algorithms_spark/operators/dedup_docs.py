@@ -463,6 +463,187 @@ def read_jaccard_index(
     )
 
 
+def read_jaccard_index_live(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a durable Jaccard index INCLUDING live extend epochs:
+    ``sets``/``prefix`` are base ∪ every epoch delta not yet folded per
+    the base's ``_folded_epochs.json`` manifest (storeio machinery — the
+    same liveness rule as the text/PQ/DSIR stores, so a replay of a
+    folded epoch is dead, not double-counted). ``df`` is the base alone:
+    the frozen total order never has deltas (see
+    :func:`extend_jaccard_index`). Partition columns survive the union,
+    so the bucket-pruned probe path engages per generation."""
+    from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
+
+    df_counts = spark.read.parquet(f"{path}/df")
+    out = [df_counts]
+    for kind in ("sets", "prefix"):
+        frame = spark.read.parquet(f"{path}/{kind}")
+        for d in live_epoch_dirs(spark, f"{path}/{kind}_delta", f"{path}/{kind}"):
+            # explicit schema: an EMPTY epoch (a batch with no docs still
+            # writes its directory, keeping replay idempotence uniform)
+            # has no files to infer from
+            frame = frame.unionByName(
+                spark.read.schema(frame.schema).parquet(d)
+            )
+        out.append(frame)
+    return tuple(out)
+
+
+def extend_jaccard_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    epoch: int,
+    n: int = 3,
+    threshold: float = 0.8,
+    sh_buckets: int = JACCARD_SH_BUCKETS,
+    id_buckets: int = JACCARD_ID_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add a batch of documents to a durable Jaccard index WITHOUT
+    rebuilding it — the maintenance verb this store was missing (every
+    other durable store here has one): the batch's sets/prefix rows land
+    as bucket-partitioned epoch deltas under ``sets_delta/epoch_<n>`` /
+    ``prefix_delta/epoch_<n>``, per-epoch OVERWRITE so foreachBatch's
+    at-least-once replay is idempotent.
+
+    Exactness: the frozen total order is ``(df_base(shingle) or 0,
+    shingle)`` — a FIXED function, independent of extensions, that every
+    generation (base build, every extend, every probe) sorts by. The
+    prefix-filter theorem holds for ANY fixed total order, so ``df``
+    never needs a delta: extension docs rank their never-seen shingles
+     0 (rarest), exactly as probes do, and probe results over the live
+    store equal a one-shot ``incremental_jaccard_pairs`` over
+    base ∪ every extension ∪ batch (the oracle states exactly that —
+    candidate sets differ by the order, exact verification does not).
+
+    Cost tracks the batch: one shingle pass, one bucket-pruned ``df``
+    lookup (the batch's own buckets only), two batch-sized writes. The
+    base store is never read in full, never rewritten.
+
+    ``threshold`` and the bucket counts must match the writer's
+    (prefix length depends on the threshold — same prober contract as
+    :func:`incremental_jaccard_pairs_indexed`).
+    """
+    batch_sh = doc_shingles(batch, n, id_col, text_col).persist()
+    try:
+        buckets = [
+            r[0]
+            for r in batch_sh.select(
+                _sh_bucket("shingle", sh_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ] or [-1]
+        df_index = (
+            spark.read.parquet(f"{path}/df")
+            .where(F.col("sh_bucket").isin(buckets))
+            .drop("sh_bucket")
+        )
+        ranked = batch_sh.join(df_index, "shingle", "left").select(
+            "doc_id", "shingle", F.coalesce("df", F.lit(0)).alias("df")
+        )
+        batch_sets = (
+            ranked.groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                    "ord"
+                )
+            )
+            .select(
+                "doc_id",
+                F.col("ord.shingle").alias("sh"),
+                F.size("ord").alias("sz"),
+            )
+            .persist()
+        )
+        (
+            batch_sets.select(
+                "doc_id",
+                "sh",
+                "sz",
+                F.pmod(F.col("doc_id"), F.lit(id_buckets)).alias("id_bucket"),
+            )
+            .repartition("id_bucket")
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(f"{path}/sets_delta/epoch_{int(epoch)}")
+        )
+        (
+            batch_sets.select(
+                "doc_id",
+                F.explode(
+                    F.expr(f"slice(sh, 1, sz - ceil({threshold} * sz) + 1)")
+                ).alias("shingle"),
+            )
+            .select(
+                "doc_id",
+                "shingle",
+                _sh_bucket("shingle", sh_buckets).alias("sh_bucket"),
+            )
+            .repartition("sh_bucket")
+            .sortWithinPartitions("shingle")
+            .write.mode("overwrite")
+            .partitionBy("sh_bucket")
+            .parquet(f"{path}/prefix_delta/epoch_{int(epoch)}")
+        )
+        batch_sets.unpersist()
+    finally:
+        batch_sh.unpersist()
+
+
+def compact_jaccard_index(spark, path: str) -> None:
+    """Fold extend epochs back into the base store — the Jaccard-index
+    OPTIMIZE (same staged-swap + manifest discipline as
+    compact_text_index): merged ``sets``/``prefix`` are staged with a
+    ``_folded_epochs.json`` naming the epochs they subsume (written
+    BEFORE the install rename), installed by
+    ``storeio.install_staged_store`` (park → install → GC only
+    manifest-folded deltas → rollback on failed install), so a crash at
+    any point leaves an exact, never-double-counting index and an epoch
+    a concurrent extend lands mid-compaction survives as live. ``df`` is
+    untouched — the frozen order is permanent by design."""
+    from cdc_algorithms_spark.operators import storeio
+
+    dirs = {
+        kind: storeio.live_epoch_dirs(
+            spark, f"{path}/{kind}_delta", f"{path}/{kind}"
+        )
+        for kind in ("sets", "prefix")
+    }
+    if not dirs["sets"] and not dirs["prefix"]:
+        for kind in ("sets", "prefix"):
+            storeio.gc_folded_epochs(
+                spark, f"{path}/{kind}_delta", f"{path}/{kind}"
+            )
+        return
+    for kind, part_col in (("sets", "id_bucket"), ("prefix", "sh_bucket")):
+        merged = spark.read.parquet(f"{path}/{kind}")
+        for d in dirs[kind]:
+            # explicit schema: empty epochs have no files to infer from
+            merged = merged.unionByName(
+                spark.read.schema(merged.schema).parquet(d)
+            )
+        writer = merged.repartition(part_col)
+        if kind == "prefix":
+            writer = writer.sortWithinPartitions("shingle")
+        (
+            writer.write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(f"{path}/{kind}_tmp")
+        )
+        storeio.write_folded_epochs(
+            spark,
+            f"{path}/{kind}_tmp",
+            storeio.read_folded_epochs(spark, f"{path}/{kind}")
+            | {d.rsplit("/", 1)[-1] for d in dirs[kind]},
+        )
+    storeio.install_staged_store(spark, path, ["sets", "prefix"])
+
+
 def incremental_jaccard_pairs_indexed(
     index: tuple[DataFrame, DataFrame, DataFrame],
     batch: DataFrame,

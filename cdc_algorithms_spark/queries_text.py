@@ -2225,6 +2225,62 @@ def q_incremental_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# One stream-maintained Jaccard index per (session, corpus dir) — the
+# build (seed write + two streamed extension epochs + one mid-stream
+# compaction) happens once; every call after probes the durable store,
+# same contract as the BM25 stream cache.
+_JACCARD_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("streaming_jaccard_index", _INCR_JACCARD_ORACLE)
+def q_streaming_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact near-dup through a STREAM-MAINTAINED durable
+    Jaccard index (streaming/jaccard_index.py): the index seeds on the
+    doc_id %3==1 third, the %3==2 third arrives as two foreachBatch
+    epochs appended as bucket-partitioned sets/prefix deltas (the frozen
+    total order needs no df deltas), with a mid-stream compaction folding
+    the first epoch while the stream is quiesced. The %3==0 batch then
+    probes the live store. Because the frozen order is a fixed function
+    and verification is exact, the probe equals the one-shot
+    incremental join over the whole corpus — this row shares the batch
+    incremental-Jaccard oracle VERBATIM, no approximation tier.
+    Replay idempotence and fold-then-extend exactness are pinned in
+    tests/test_streaming.py."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs_indexed,
+        read_jaccard_index_live,
+    )
+    from cdc_algorithms_spark.streaming.jaccard_index import (
+        run_streaming_jaccard_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JACCARD_STREAM_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        seed = docs.where(F.col("doc_id") % 3 == 1)
+        stages = [
+            docs.where(
+                (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == par)
+            ).select("doc_id", "text")
+            for par in (0, 1)
+        ]
+        path = tempfile.mkdtemp(prefix="cdc_jaccard_stream_") + "/index"
+        run_streaming_jaccard_index(
+            spark, seed, stages, path, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        )
+        _JACCARD_STREAM_CACHE.clear()
+        _JACCARD_STREAM_CACHE[key] = path
+    return incremental_jaccard_pairs_indexed(
+        read_jaccard_index_live(spark, path),
+        docs.where(F.col("doc_id") % 3 == 0),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 @register("incremental_minhash_pairs", _INCR_JACCARD_ORACLE)
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate incremental near-dup (operators/dedup_docs.py::

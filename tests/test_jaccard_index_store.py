@@ -1,0 +1,140 @@
+"""Durable exact-Jaccard index maintenance verbs
+(operators/dedup_docs.py::extend_jaccard_index / compact_jaccard_index /
+read_jaccard_index_live + streaming/jaccard_index.py).
+
+Pins: extend-exactness vs the one-shot incremental join, at-least-once
+replay idempotence (live epoch AND folded epoch), fold-then-extend
+exactness, and the streamed loop's verbatim equality with the batch
+path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_algorithms_spark.operators.dedup_docs import (
+    compact_jaccard_index,
+    extend_jaccard_index,
+    incremental_jaccard_pairs,
+    incremental_jaccard_pairs_indexed,
+    jaccard_prefix_index,
+    read_jaccard_index_live,
+    write_jaccard_index,
+)
+from cdc_algorithms_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+N, T = 3, 0.8
+
+
+def _splits(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    return (
+        docs.where(F.col("doc_id") % 3 == 1),
+        docs.where(F.col("doc_id") % 3 == 2),
+        docs.where(F.col("doc_id") % 3 == 0),
+    )
+
+
+def _probe(spark, path, batch):
+    return sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs_indexed(
+                read_jaccard_index_live(spark, path), batch, n=N, threshold=T
+            ).collect(),
+        )
+    )
+
+
+def _build(spark, path, seed):
+    index = jaccard_prefix_index(seed, n=N, threshold=T)
+    write_jaccard_index(index, path)
+    index[1].unpersist()
+
+
+def test_extend_probe_equals_one_shot_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    seed, ext, batch = _splits(spark)
+    path = str(tmp_path / "jidx")
+    _build(spark, path, seed)
+    extend_jaccard_index(spark, path, ext, epoch=1, n=N, threshold=T)
+    want = sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs(
+                seed.unionByName(ext), batch, n=N, threshold=T
+            ).collect(),
+        )
+    )
+    assert want  # fixture sanity: the oracle subset is non-empty
+    assert _probe(spark, path, batch) == want
+    # at-least-once replay of a LIVE epoch: per-epoch overwrite → no-op
+    extend_jaccard_index(spark, path, ext, epoch=1, n=N, threshold=T)
+    assert _probe(spark, path, batch) == want
+    # compaction folds the epoch; probe unchanged; delta dirs GC'd
+    compact_jaccard_index(spark, path)
+    assert _probe(spark, path, batch) == want
+    for kind in ("sets", "prefix"):
+        root = f"{path}/{kind}_delta"
+        assert not os.path.exists(root) or not os.listdir(root)
+    # replay of a FOLDED epoch: the manifest keeps the name dead —
+    # its rows are already in the base, re-unioning would double-count
+    extend_jaccard_index(spark, path, ext, epoch=1, n=N, threshold=T)
+    assert os.path.isdir(f"{path}/sets_delta/epoch_1")  # dir rewritten
+    assert _probe(spark, path, batch) == want  # ...but not live
+    # and a GENUINELY new epoch after the fold is live
+    extend_jaccard_index(
+        spark, path, batch.limit(0), epoch=2, n=N, threshold=T
+    )  # empty epoch: exercises the path without changing the answer
+    assert _probe(spark, path, batch) == want
+
+
+def test_fold_then_extend_then_probe_is_exact(spark, tmp_path):
+    """Compaction mid-life: fold epoch 1, extend epoch 2, probe — the
+    result must equal the one-shot join over everything, i.e. folding
+    changes where rows are read from, never what they say."""
+    seed, ext, batch = _splits(spark)
+    ext1 = ext.where(F.col("doc_id") % 2 == 0)
+    ext2 = ext.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "jidx")
+    _build(spark, path, seed)
+    extend_jaccard_index(spark, path, ext1, epoch=1, n=N, threshold=T)
+    compact_jaccard_index(spark, path)
+    extend_jaccard_index(spark, path, ext2, epoch=2, n=N, threshold=T)
+    want = sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs(
+                seed.unionByName(ext), batch, n=N, threshold=T
+            ).collect(),
+        )
+    )
+    assert _probe(spark, path, batch) == want
+
+
+def test_streaming_loop_matches_batch_path(spark, tmp_path):
+    seed, ext, batch = _splits(spark)
+    from cdc_algorithms_spark.streaming.jaccard_index import (
+        run_streaming_jaccard_index,
+    )
+
+    stages = [
+        ext.where(F.col("doc_id") % 2 == par).select("doc_id", "text")
+        for par in (0, 1)
+    ]
+    path = run_streaming_jaccard_index(
+        spark, seed, stages, str(tmp_path / "stream_jidx"), n=N, threshold=T
+    )
+    want = sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs(
+                seed.unionByName(ext), batch, n=N, threshold=T
+            ).collect(),
+        )
+    )
+    assert _probe(spark, path, batch) == want
