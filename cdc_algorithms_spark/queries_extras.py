@@ -648,6 +648,317 @@ register("training_manifest", _build_training_manifest_oracle())(
 
 
 # ---------------------------------------------------------------------------
+# FLAGSHIP: the full corpus-build pipeline as ONE plan with ONE oracle
+# quality filter -> near-dup keep-one -> DSIR weights -> realized PPS
+# selection -> cluster-safe splits -> per-split sequence packing
+# ---------------------------------------------------------------------------
+
+_CBM_QMIN = 0.65  # quality_score floor (drops ~25% of the fixture)
+_CBM_K = 60  # PPS picks
+_CBM_SEQ = 512  # packing sequence length
+_CBM_SEED = 29  # PPS draw seed
+_CBM_WQ = 1_000_000  # weight quantizer: DSIR weight has 6 decimals, so
+#                      ROUND(weight*1e6) is the exact integer both engines agree on
+_CBM_PHASE_M = 1 << 20  # sampling.PHASE_M
+_CBM_LCG = (1103515245, 12345, 1 << 31)  # shuffle.py LCG (A, C, M)
+
+
+def _build_corpus_build_oracle() -> str:
+    from cdc_algorithms_spark.queries_text import (
+        _COMPONENTS_CTE,
+        _QUALITY_ORACLE,
+        _shingles_cte,
+        _split_case_sql,
+        _split_lcg_sql,
+        JACCARD_N,
+    )
+
+    a, c, m = _CBM_LCG
+    r = ((_CBM_SEED * a + c) % m) % _CBM_PHASE_M  # sampling.sample_phase
+    skey = (
+        f"((((doc_id % {m}) * {a} + {c} + {_CBM_SEED}) % {m})"
+        f" * {a} + {c}) % {m}"
+    )
+    km = _CBM_K * _CBM_PHASE_M
+    # AS MATERIALIZED on the fan-out CTEs: DuckDB inlines plain CTEs,
+    # so the regex-heavy quality scorer and the word arrays would be
+    # recomputed inside every downstream self-join (measured: the
+    # un-hinted form runs minutes; materialized, seconds)
+    return rf"""
+WITH RECURSIVE
+qscore AS MATERIALIZED ({_QUALITY_ORACLE}),
+fdocs AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  JOIN qscore q ON q.doc_id = d.doc_id
+  WHERE q.quality_score >= {_CBM_QMIN}
+),
+w AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM fdocs
+),
+{_shingles_cte(JACCARD_N)},{_COMPONENTS_CTE},
+comp AS (
+  SELECT node AS doc_id, MIN(seen) AS component_id FROM reach GROUP BY node
+),
+kept AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.text
+  FROM fdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.component_id IS NULL OR c.component_id = d.doc_id
+),
+-- DSIR over the dedup survivors (same expression tree as the
+-- dsir_importance_weights oracle, population = kept)
+tf AS MATERIALIZED (
+  SELECT t.doc_id, k.lang, len(t.words) AS dl, lower(u.word) AS term,
+         COUNT(*) AS tf
+  FROM w t JOIN kept k USING (doc_id), UNNEST(t.words) AS u(word)
+  GROUP BY 1, 2, 3, 4
+),
+raw AS (SELECT term, SUM(tf) AS c_raw FROM tf GROUP BY 1),
+tgt AS (SELECT term, SUM(tf) AS c_tgt FROM tf WHERE lang = 'en' GROUP BY 1),
+meta AS (SELECT (SELECT SUM(tf) FROM tf) AS total_raw,
+                (SELECT COALESCE(SUM(tf), 0) FROM tf WHERE lang = 'en')
+                  AS total_tgt,
+                (SELECT COUNT(*) FROM raw) AS v),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(tf.tf * (
+           ln((COALESCE(tgt.c_tgt, 0) + 1) * 1.0 / (m.total_tgt + m.v))
+           - ln((raw.c_raw + 1) * 1.0 / (m.total_raw + m.v))
+         ) * 1000000000.0) AS BIGINT) AS cq
+  FROM tf
+  JOIN raw USING (term)
+  LEFT JOIN tgt USING (term)
+  CROSS JOIN meta m
+),
+weights AS (
+  SELECT doc_id, ROUND(SUM(cq) / 1000000000.0, 6) AS weight
+  FROM contrib GROUP BY 1
+),
+-- realized PPS selection: shifted-positive quantized DSIR weights,
+-- integer-exact systematic draw (sampling.py arithmetic verbatim)
+wmin AS (
+  SELECT MIN(CAST(ROUND(weight * {_CBM_WQ}) AS BIGINT)) AS mn FROM weights
+),
+pop AS (
+  SELECT doc_id AS id,
+         CAST(ROUND(weight * {_CBM_WQ}) AS BIGINT) - wmin.mn + 1 AS w,
+         {skey} AS skey
+  FROM weights, wmin
+),
+cum AS (
+  SELECT id, w,
+         COALESCE(SUM(w) OVER (
+             ORDER BY skey * {m} + id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM pop
+),
+tot AS (SELECT SUM(w) AS tw FROM pop),
+sel AS (
+  SELECT id,
+         LEAST({_CBM_K}, GREATEST(0,
+             ((cum_before + w) * {km} - {r} * t.tw
+              + {_CBM_PHASE_M} * t.tw - 1) // ({_CBM_PHASE_M} * t.tw)))
+       - LEAST({_CBM_K}, GREATEST(0,
+             (cum_before * {km} - {r} * t.tw
+              + {_CBM_PHASE_M} * t.tw - 1) // ({_CBM_PHASE_M} * t.tw)))
+           AS n_picks
+  FROM cum CROSS JOIN tot t
+),
+picked AS (SELECT id AS doc_id FROM sel WHERE n_picks > 0),
+-- cluster-safe split: survivors are their own component representative
+-- (keep-one), so the key is the doc's own LCG split key
+spl AS (
+  SELECT p.doc_id, {_split_case_sql("k")} AS split
+  FROM (SELECT doc_id, {_split_lcg_sql("doc_id")} AS k FROM picked) p
+),
+-- per-split sequence packing over the selected docs (packing.py
+-- arithmetic: chars/4 budget tokens, per-split seq_id space)
+ptoks AS (
+  SELECT s.split, s.doc_id,
+         CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS toks
+  FROM spl s JOIN documents d USING (doc_id)
+  WHERE length(d.text) > 0
+),
+run AS (
+  SELECT split, doc_id, toks,
+         SUM(toks) OVER (PARTITION BY split ORDER BY doc_id) AS running
+  FROM ptoks
+),
+spans AS (
+  SELECT split, doc_id, toks, running - toks AS tok_start,
+         CAST(FLOOR((running - toks) / {_CBM_SEQ}) AS BIGINT) AS first_seq,
+         CAST(FLOOR((running - 1) / {_CBM_SEQ}) AS BIGINT) AS last_seq
+  FROM run
+),
+per AS (
+  SELECT split, u.seq_id,
+         LEAST(s.tok_start + s.toks, (u.seq_id + 1) * {_CBM_SEQ})
+           - GREATEST(s.tok_start, u.seq_id * {_CBM_SEQ}) AS overlap,
+         CASE WHEN u.seq_id < s.last_seq THEN 1 ELSE 0 END AS straddles
+  FROM spans s, UNNEST(range(s.first_seq, s.last_seq + 1)) AS u(seq_id)
+),
+pack AS (
+  SELECT split, seq_id, SUM(overlap) AS n_tokens, SUM(straddles) AS straddles
+  FROM per GROUP BY 1, 2
+),
+census AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_input_docs,
+         (SELECT COUNT(*) FROM fdocs) AS n_quality_kept,
+         (SELECT COUNT(*) FROM kept) AS n_dedup_kept,
+         (SELECT COUNT(*) FROM picked) AS n_selected
+)
+SELECT s.split,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM_TOKENS.n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM_TOKENS.n_sequences AS BIGINT) AS n_sequences,
+       CAST(SUM_TOKENS.n_boundary_crossings AS BIGINT)
+         AS n_boundary_crossings,
+       CAST(c.n_input_docs AS BIGINT) AS n_input_docs,
+       CAST(c.n_quality_kept AS BIGINT) AS n_quality_kept,
+       CAST(c.n_dedup_kept AS BIGINT) AS n_dedup_kept,
+       CAST(c.n_selected AS BIGINT) AS n_selected
+FROM spl s
+CROSS JOIN census c
+LEFT JOIN (
+  SELECT split, SUM(n_tokens) AS n_tokens, COUNT(*) AS n_sequences,
+         SUM(straddles) AS n_boundary_crossings
+  FROM pack GROUP BY split
+) SUM_TOKENS ON SUM_TOKENS.split = s.split
+GROUP BY s.split, SUM_TOKENS.n_tokens, SUM_TOKENS.n_sequences,
+         SUM_TOKENS.n_boundary_crossings,
+         c.n_input_docs, c.n_quality_kept, c.n_dedup_kept, c.n_selected
+"""
+
+
+def q_corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANDATED corpus-build pipeline end to end, ONE declarative
+    plan per stage, ONE oracle for the whole composition: quality filter
+    (textstats.quality_scores ≥ {qmin}) → exact near-dup keep-one
+    (ngram_jaccard_pairs → connected_components → representatives) →
+    DSIR importance weights over the survivors (selection.py, target =
+    lang 'en') → REALIZED selection by integer-exact systematic PPS over
+    shifted quantized weights (sampling.py — the importance-resampling
+    realization) → cluster-safe split carve (splits.py; survivors are
+    their own component representative after keep-one) → per-split
+    sequence packing (packing.py, chars/4 budget, {seq}-token
+    sequences). Output: one manifest row per split with doc/token/
+    sequence/boundary totals plus the stage censuses, so every stage
+    moves the value hash.
+
+    Plan shape at 100 TB: each stage is the already-audited operator —
+    map-only scoring, the bucketed pair join, O(diameter) components,
+    exact-BIGINT DSIR aggregates, one bounded prefix sum for the PPS
+    line, a pure-projection split, and the two-phase packing prefix sum
+    — composed with nothing corpus-sized crossing the driver (the PPS
+    W-aggregate is 1 row; the weight-shift min is 1 row)."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+    from cdc_algorithms_spark.operators.sampling import pps_systematic_sample
+    from cdc_algorithms_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+    from cdc_algorithms_spark.operators.splits import split_assignment
+    from cdc_algorithms_spark.operators.textstats import quality_scores
+    from cdc_algorithms_spark.queries_text import (
+        _SPLIT_FRACTIONS,
+        _SPLIT_SEED,
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    good_ids = quality_scores(docs).where(
+        F.col("quality_score") >= _CBM_QMIN
+    ).select("doc_id")
+    fdocs = docs.join(good_ids, "doc_id", "left_semi")
+    comp = connected_components(
+        ngram_jaccard_pairs(fdocs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    )
+    kept = (
+        fdocs.select("doc_id", "lang", "text")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .where(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .drop("component_id")
+    )
+    weights = dsir_importance_weights(kept, F.col("lang") == "en").select(
+        "doc_id", F.round(F.col("weight") * _CBM_WQ).cast("long").alias("wq")
+    )
+    wmin = weights.agg(F.min("wq").alias("mn"))
+    pop = weights.crossJoin(F.broadcast(wmin)).select(
+        "doc_id", (F.col("wq") - F.col("mn") + 1).alias("w")
+    )
+    picked = pps_systematic_sample(
+        pop, "w", k=_CBM_K, id_col="doc_id", seed=_CBM_SEED
+    ).select(F.col("id").alias("doc_id"))
+    # cluster-safe by construction: keep-one made every survivor its own
+    # component representative, so the split keys off the doc's own id
+    carved = split_assignment(
+        picked.join(docs.select("doc_id", "text"), "doc_id"),
+        _SPLIT_FRACTIONS,
+        seed=_SPLIT_SEED,
+    )
+    pack = sequence_packing(carved, _CBM_SEQ, group_cols=["split"])
+    pack_tot = pack.groupBy("split").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum("n_boundary_docs").cast("long").alias("n_boundary_crossings"),
+    )
+    census = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_input_docs"))
+        .crossJoin(
+            F.broadcast(
+                fdocs.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_quality_kept")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                kept.agg(F.count(F.lit(1)).cast("long").alias("n_dedup_kept"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                picked.agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+            )
+        )
+    )
+    return (
+        carved.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(pack_tot, "split", "left")
+        .crossJoin(F.broadcast(census))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_sequences",
+            "n_boundary_crossings",
+            "n_input_docs",
+            "n_quality_kept",
+            "n_dedup_kept",
+            "n_selected",
+        )
+    )
+
+
+q_corpus_build_manifest.__doc__ = q_corpus_build_manifest.__doc__.format(
+    qmin=_CBM_QMIN, seq=_CBM_SEQ
+)
+register("corpus_build_manifest", _build_corpus_build_oracle())(
+    q_corpus_build_manifest
+)
+
+
+# ---------------------------------------------------------------------------
 # Layout pruning gain: Z-order vs 1-D sort, quantified
 # ---------------------------------------------------------------------------
 

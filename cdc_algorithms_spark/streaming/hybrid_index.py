@@ -50,6 +50,7 @@ def run_streaming_hybrid_index(
     m: int = 8,
     ksub: int = 16,
     nlist: int = 16,
+    iters: int = 3,
 ) -> tuple[str, str]:
     """Seed both stores (text index on ``seed_docs``, PQ index trained
     on ``seed_vectors``), then stream the stages' combined
@@ -74,7 +75,8 @@ def run_streaming_hybrid_index(
     pq_path = f"{path}/pq"
     write_text_index(seed_docs, text_path, buckets=buckets)
     write_pq_index(
-        seed_vectors, pq_path, dim=dim, m=m, ksub=ksub, nlist=nlist
+        seed_vectors, pq_path, dim=dim, m=m, ksub=ksub, nlist=nlist,
+        iters=iters,
     )
 
     def _extend_both(batch: DataFrame, epoch: int) -> None:
