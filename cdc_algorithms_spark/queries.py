@@ -808,6 +808,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "ae_concat_check",
     "ae_tiling_check",
     "ann_bruteforce_topk",
+    "ann_drift_check",
     "ann_ivf_recall",
     "ann_lsh_recall",
     "ann_pq_rebuild_check",
@@ -870,6 +871,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "fixed_dedup_sweep",
     "frequent_terms",
     "fuzzy_name_matches",
+    "hybrid_rrf_indexed",
     "hybrid_rrf_search",
     "incremental_ingest_stats",
     "incremental_jaccard_pairs",
@@ -954,12 +956,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_compaction_plan",
     "streaming_decontamination",
     "streaming_distinct_users_within_watermark",
+    "streaming_dsir_weights",
     "streaming_event_counts_update_mode",
     "streaming_event_funnel",
     "streaming_event_type_counts",
+    "streaming_hybrid_index",
     "streaming_ingest_disorder_check",
     "streaming_ingest_novelty",
     "streaming_ingest_pipeline",
+    "streaming_near_dup_compacted",
     "streaming_near_dup_index",
     "streaming_novel_chunks_by_lang",
     "streaming_pq_index",
@@ -1009,29 +1014,32 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 })
 
 # The driver-verification window: the 50 registry entries the next
-# driver run checks first. r09 rotation (hand-tuned over
-# `tools/update_rotation.py` output): the 3 new queries + 12 re-verifies
-# whose operator code changed this round, then — deliberately — the 10
-# rows-only queries that had NEVER been inside a driver window (the
-# driver records a weaker rows-only check for no-oracle entries;
-# rows-only signal beats none — VERDICT r08 #5), topped up with 25
-# green re-checks rotated to names NOT in the r08 window.
-# tests/test_api.py::test_verify_window_composition pins the
+# driver run checks first. r10 rotation (hand-tuned over
+# `tools/update_rotation.py` output): the 4 new oracle-backed queries
+# (media clone checks, the streamed Jaccard store, the corpus-build
+# flagship), then the 3 rows-only entries needing a driver row —
+# media_features (r09's one red row, fixed this round: the window entry
+# now projects driver-canonicalizable columns) and the two new media
+# near-dup pairs queries whose oracle twins are the clone checks — then
+# re-verifies for queries whose operator code changed this round (the
+# epoch-store compactor unification, the fingerprint auto-switch memo,
+# the sweep-sized ANN lifecycle fixtures), topped up with green
+# re-checks. tests/test_api.py::test_verify_window_composition pins the
 # composition, including the explicit rows-only tail.
 _ROWS_ONLY_WINDOW_TAIL: frozenset[str] = frozenset({
-    "simhash_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "semantic_dedup_embeddings",
-    "doc_fingerprints",
     "media_features",
-    "chunk_overlap_pairs_ae",
-    "streaming_stateful_ae_chunks",
-    "bpe_merge_table",
-    "synthetic_blob_ae_node_stats",
+    "media_phash_pairs",
+    "media_chunk_overlap_pairs",
 })
 
 _VERIFY_WINDOW: list[str] = [
+    "media_phash_clone_check",
+    "media_chunk_overlap_clone_check",
+    "streaming_jaccard_index",
+    "corpus_build_manifest",
+    "media_features",
+    "media_phash_pairs",
+    "media_chunk_overlap_pairs",
     "ann_drift_check",
     "streaming_dsir_weights",
     "hybrid_rrf_indexed",
@@ -1049,16 +1057,6 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_pq_index",
     "ann_pq_rebuild_check",
     "bpe_pair_counts",
-    "simhash_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "semantic_dedup_embeddings",
-    "doc_fingerprints",
-    "media_features",
-    "chunk_overlap_pairs_ae",
-    "streaming_stateful_ae_chunks",
-    "bpe_merge_table",
-    "synthetic_blob_ae_node_stats",
     "fixed_chunks",
     "fixed_dedup_stats",
     "ae_concat_check",
@@ -1082,6 +1080,9 @@ _VERIFY_WINDOW: list[str] = [
     "snapshot_diff_ae_localization_check",
     "doc_table_diff",
     "cdc_apply_check",
+    "store_gc_plan_fixed",
+    "chunk_version_matrix_fixed",
+    "sync_plan_budgeted_fixed",
 ]
 
 
