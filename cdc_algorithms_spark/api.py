@@ -708,6 +708,9 @@ def probe_near_dup_index(spark, path: str, batch: DataFrame, **kw) -> DataFrame:
     :func:`build_near_dup_index` store — every index read statically
     pruned to the batch's own shingle buckets
     (operators/dedup_docs.py::incremental_jaccard_pairs_indexed).
+    Reads the LIVE store: base plus every :func:`extend_near_dup_index`
+    epoch not yet folded by :func:`compact_near_dup_index` (identical
+    to the base-only read for a never-extended store).
 
     The probe persists three batch-scoped frames (shingles, ordered
     sets, candidates) that executors hold until released. A standing
@@ -716,12 +719,56 @@ def probe_near_dup_index(spark, path: str, batch: DataFrame, **kw) -> DataFrame:
     batch-scoped storage accumulates across batches."""
     from cdc_algorithms_spark.operators.dedup_docs import (
         incremental_jaccard_pairs_indexed,
-        read_jaccard_index,
+        read_jaccard_index_live,
     )
 
     return incremental_jaccard_pairs_indexed(
-        read_jaccard_index(spark, path), batch, **kw
+        read_jaccard_index_live(spark, path), batch, **kw
     )
+
+
+def extend_near_dup_index(
+    spark, path: str, batch: DataFrame, epoch: int, **kw
+) -> None:
+    """Add a batch of documents to a :func:`build_near_dup_index` store
+    WITHOUT rebuilding it (operators/dedup_docs.py::extend_jaccard_index):
+    sets/prefix rows land as bucket-partitioned epoch deltas, per-epoch
+    overwrite (at-least-once replay idempotent); the frozen total order
+    keeps every future probe EXACT. ``threshold`` must match the
+    builder's."""
+    from cdc_algorithms_spark.operators.dedup_docs import extend_jaccard_index
+
+    extend_jaccard_index(spark, path, batch, epoch, **kw)
+
+
+def compact_near_dup_index(spark, path: str) -> None:
+    """Fold extend epochs of a :func:`build_near_dup_index` store back
+    into its base (operators/dedup_docs.py::compact_jaccard_index) —
+    manifest-guarded staged swap: folded-epoch replays are dead,
+    concurrent extends survive, failed installs roll back."""
+    from cdc_algorithms_spark.operators.dedup_docs import compact_jaccard_index
+
+    compact_jaccard_index(spark, path)
+
+
+def media_near_dup_pairs(
+    media: DataFrame, method: str = "phash", **kw
+) -> DataFrame:
+    """Near-dup pairs over binary media payloads
+    (operators/media_dedup.py) — multimodal content through the dedup
+    machinery. ``method='phash'``: banded 64-bit blockhash perceptual
+    fingerprints, ``(id_a, id_b, hamming)`` with hamming ≤ 3 structural
+    recall (and EXACT invariance to the stub resize — see the module's
+    NN-composition theorem). ``method='chunks'``: content-defined
+    chunk-set Broder resemblance, ``(id_a, id_b, shared, jaccard)`` —
+    shift/container-offset robust. ``media`` needs (media_id, content)."""
+    from cdc_algorithms_spark.operators import media_dedup as M
+
+    if method == "phash":
+        return M.media_fingerprint_pairs(media, **kw)
+    if method == "chunks":
+        return M.media_chunk_overlap_pairs(media, **kw)
+    raise ValueError(f"unknown media near-dup method {method!r}")
 
 
 def release_probe_frames() -> int:

@@ -190,6 +190,62 @@ def test_layout_and_index_verbs(spark, tmp_path):
     release_cached_frames()
 
 
+def test_near_dup_index_maintenance_verbs(spark, tmp_path):
+    """The r10 Jaccard-store verbs through the public API: extend makes
+    the extension visible to the (now live-reading) probe, compact folds
+    it without changing answers."""
+    docs = load_table(spark, "documents", SF)
+    seed = docs.where(F.col("doc_id") % 3 == 1)
+    ext = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    api.build_near_dup_index(seed, idx)
+    api.extend_near_dup_index(spark, idx, ext, epoch=1)
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        incremental_jaccard_pairs,
+        release_cached_frames,
+    )
+
+    want = sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs(
+                seed.select("doc_id", "text").unionByName(ext), batch
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, api.probe_near_dup_index(spark, idx, batch).collect())
+    )
+    assert got == want
+    api.compact_near_dup_index(spark, idx)
+    got2 = sorted(
+        map(tuple, api.probe_near_dup_index(spark, idx, batch).collect())
+    )
+    assert got2 == want
+    release_cached_frames()
+
+
+def test_media_near_dup_api(spark):
+    from cdc_algorithms_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(load_table(spark, "documents", SF).limit(40))
+    clones = media.withColumn("media_id", F.col("media_id") + F.lit(1 << 40))
+    u = media.unionByName(clones)
+    ph = {(r.id_a, r.id_b) for r in api.media_near_dup_pairs(u).collect()}
+    ck = {
+        (r.id_a, r.id_b)
+        for r in api.media_near_dup_pairs(u, method="chunks").collect()
+    }
+    for r in media.select("media_id").collect():
+        assert (r.media_id, r.media_id + (1 << 40)) in ph
+    assert ck  # byte-identical clones pair through the chunk path too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.media_near_dup_pairs(u, method="nope")
+
+
 def test_ann_index_verbs(spark, tmp_path):
     """The r07 durable-ANN verbs: build_ann_index + probe_ann_index
     equal the inline ivf-pq method bit-for-bit, and
