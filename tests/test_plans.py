@@ -882,3 +882,58 @@ def test_hybrid_rrf_indexed_probes_are_pruned(spark):
     ]
     assert not unpruned, f"store scans without pruning: {unpruned}"
     assert P.python_eval_count(df) == 0
+
+
+def test_media_phash_pairs_is_banded_equi_join(spark):
+    """Media perceptual near-dup must candidate via the 4x16 band
+    equality join — no cartesian product — with the hamming verify a
+    JVM bit_count, and the only Python the fingerprint UDF itself."""
+    df = _q(spark, "media_phash_pairs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "bit_count" in plan
+
+
+def test_live_jaccard_probe_keeps_bucket_pruning(spark, tmp_path):
+    """The LIVE store read (base + extend epochs) must keep the static
+    bucket pruning on EVERY generation's scan — the partition filter
+    pushes through the union into base and delta branches alike."""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seed = docs.where(F.col("doc_id") % 3 == 1)
+    ext = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    idx = dd.jaccard_prefix_index(seed, n=3, threshold=0.8)
+    dd.write_jaccard_index(idx, str(tmp_path))
+    idx[1].unpersist()
+    dd.extend_jaccard_index(spark, str(tmp_path), ext, epoch=1, n=3, threshold=0.8)
+
+    rows = seed.select("doc_id", "text").limit(2).collect()
+    batch = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text) for r in rows],
+        "doc_id long, text string",
+    )
+    probe = dd.incremental_jaccard_pairs_indexed(
+        dd.read_jaccard_index_live(spark, str(tmp_path)), batch,
+        n=3, threshold=0.8,
+    )
+    assert probe.count() >= 2  # clones pair with their sources
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    index_scans = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and str(tmp_path) in line
+    ]
+    # base prefix/sets + epoch_1 prefix/sets + df — at least 4 scans
+    assert len(index_scans) >= 4, f"expected base+delta scans, got {index_scans}"
+    unpruned = [
+        s[:160] for s in index_scans
+        if "PartitionFilters: [" not in s
+        or ("INSET" not in s and " IN (" not in s)
+    ]
+    assert not unpruned, f"live-store scans without bucket pruning: {unpruned}"
+    dd.release_cached_frames()
