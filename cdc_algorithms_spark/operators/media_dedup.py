@@ -158,6 +158,58 @@ def media_fingerprint_pairs(
     )
 
 
+def _banded(fps: DataFrame) -> DataFrame:
+    return fps.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+
+
+def incremental_media_phash_pairs(
+    index_fps: DataFrame,
+    batch_fps: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup pairs TOUCHING the batch only — batch vs the
+    fingerprint index and batch vs batch, never index vs index: the
+    incremental form a standing media-ingest pipeline runs per
+    micro-batch (streaming/media_index.py wires the durable store).
+    Both frames are (media_id, phash); ids must be disjoint. Same 4×16
+    pigeonhole recall guarantee as :func:`media_fingerprint_pairs` —
+    banding is a pure projection of the stored 8-byte fingerprints, so
+    the index holds one row per media, not four."""
+    if max_hamming >= _PHASH_BANDS:
+        raise ValueError(
+            f"4×16 banding is pigeonhole-complete only for hamming < "
+            f"{_PHASH_BANDS}; got max_hamming={max_hamming}"
+        )
+    a = _banded(batch_fps).alias("a")
+    b = _banded(index_fps.unionByName(batch_fps)).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .select(
+            F.least("a.media_id", "b.media_id").alias("id_a"),
+            F.greatest("a.media_id", "b.media_id").alias("id_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def media_chunk_keys(
     media: DataFrame,
     algo: str = "ae",

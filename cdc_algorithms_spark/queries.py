@@ -1037,6 +1037,7 @@ _VERIFY_WINDOW: list[str] = [
     "media_chunk_overlap_clone_check",
     "streaming_jaccard_index",
     "corpus_build_manifest",
+    "streaming_media_phash_index",
     "media_features",
     "media_phash_pairs",
     "media_chunk_overlap_pairs",
@@ -1082,7 +1083,6 @@ _VERIFY_WINDOW: list[str] = [
     "cdc_apply_check",
     "store_gc_plan_fixed",
     "chunk_version_matrix_fixed",
-    "sync_plan_budgeted_fixed",
 ]
 
 

@@ -650,6 +650,75 @@ def q_media_phash_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One streamed media fingerprint store per (session, corpus dir) — the
+# build (seed fingerprints + two streamed clone epochs + a mid-stream
+# compaction) happens once; every call after re-aggregates the durable
+# pair store, same contract as the BM25/Jaccard stream caches.
+_MEDIA_STREAM_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+@register("streaming_media_phash_index", _MEDIA_PHASH_CLONE_ORACLE)
+def q_streaming_media_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media perceptual near-dup through a STREAM-MAINTAINED fingerprint
+    store (streaming/media_index.py): the store seeds on the full media
+    corpus, then the BYTE-IDENTICAL clones (%13==1, +2^40) and the
+    STUB-RESIZED clones (%13==2, +2^41) arrive as two foreachBatch
+    epochs — each batch fingerprints once, probes the persisted store,
+    emits its pairs, extends the store (with a mid-stream manifest-
+    guarded compaction after the first epoch). Because a pair is found
+    exactly when its later side arrives, the converged pair set contains
+    every (original, clone) pair at hamming EXACTLY 0 — the SAME
+    planted-clone oracle as the batch media_phash_clone_check, shared
+    verbatim (the NN-composition invariance theorem makes the resized
+    family mathematical too)."""
+    from cdc_algorithms_spark.operators.multimodal import resize_media
+    from cdc_algorithms_spark.streaming.media_index import (
+        run_streaming_media_phash_index,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _MEDIA_STREAM_CACHE.get(key)
+    if pairs is None:
+        import tempfile
+
+        exact_clones = media.where(F.col("media_id") % 13 == 1).withColumn(
+            "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)
+        )
+        resized_clones = resize_media(
+            media.where(F.col("media_id") % 13 == 2)
+        ).withColumn(
+            "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_RESIZED_OFFSET)
+        )
+        work = tempfile.mkdtemp(prefix="cdc_media_stream_")
+        pairs = run_streaming_media_phash_index(
+            spark, media, [exact_clones, resized_clones], work,
+            max_hamming=3, compact_after={0},
+        )
+        _MEDIA_STREAM_CACHE.clear()
+        _MEDIA_STREAM_CACHE[key] = pairs
+
+    def clone_stats(mod: int, offset: int, tag: str) -> DataFrame:
+        expected = media.where(F.col("media_id") % 13 == mod).select(
+            F.col("media_id").alias("id_a"),
+            (F.col("media_id") + F.lit(offset)).alias("id_b"),
+        )
+        got = expected.join(pairs, ["id_a", "id_b"], "left")
+        return got.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}_clones"),
+            F.sum(F.col("hamming").isNull().cast("long"))
+            .cast("long")
+            .alias(f"n_{tag}_missing"),
+            F.sum((F.coalesce(F.col("hamming"), F.lit(0)) != 0).cast("long"))
+            .cast("long")
+            .alias(f"n_{tag}_nonzero_hamming"),
+        )
+
+    return clone_stats(1, _MEDIA_CLONE_EXACT_OFFSET, "exact").crossJoin(
+        clone_stats(2, _MEDIA_CLONE_RESIZED_OFFSET, "resized")
+    )
+
+
 @register("media_chunk_overlap_pairs")
 def q_media_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (AE cut positions aren't SQL-expressible; the oracle

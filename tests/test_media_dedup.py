@@ -135,6 +135,45 @@ def test_media_chunk_overlap_identical_payloads_score_one(spark):
         assert j is not None and abs(j - 1.0) < 1e-9
 
 
+def test_streaming_media_phash_matches_one_shot(spark, tmp_path):
+    """The streamed fingerprint loop converges to the one-shot pair set
+    touching the stream, however the stream was micro-batched, with a
+    mid-stream compaction changing nothing; a replayed batch (same
+    epoch id) is an idempotent rewrite."""
+    from cdc_algorithms_spark.streaming.media_index import (
+        media_phash_batch,
+        run_streaming_media_phash_index,
+    )
+
+    media = _media(spark)
+    seed = media.where(F.col("media_id") % 3 != 0)
+    stream_docs = media.where(F.col("media_id") % 3 == 0)
+    stages = [
+        stream_docs.where(F.col("media_id") % 2 == par) for par in (0, 1)
+    ]
+    work = str(tmp_path / "ms")
+    pairs = run_streaming_media_phash_index(
+        spark, seed, stages, work, compact_after={0}
+    )
+    got = sorted(map(tuple, pairs.collect()))
+    one_shot = sorted(
+        tuple(r)
+        for r in media_fingerprint_pairs(media).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    )
+    assert got == one_shot
+    # replay of the LAST batch (at-least-once): same epoch id, same
+    # stores — the rewrite must not change the converged pair set
+    media_phash_batch(
+        spark, stages[1].select("media_id", "content"),
+        f"{work}/phash", f"{work}/pairs", 1,
+    )
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{work}/pairs/*").collect())
+    )
+    assert again == one_shot
+
+
 def test_media_chunk_overlap_is_shift_robust(spark):
     """The CDC property, over binary: prepending a header-sized blob
     re-synchronizes within a window, so the perturbed copy still pairs —
