@@ -54,6 +54,8 @@ SHOWCASE = [
     ("dsir_importance_weights", "DSIR weights: token stream folded to counts before any join, quantized-BIGINT exact sums, AQE-sized vocab joins (r08)"),
     ("hybrid_rrf_search", "hybrid retrieval: BM25 + quantized-integer MIPS legs fused by RRF — every stage integer-deterministic (r08)"),
     ("exact_substring_dedup", "span-level dedup: removable-instance cover explode + per-doc rebuild aggregate, no corpus sort (r08)"),
+    ("media_phash_pairs", "media perceptual near-dup: Arrow-UDF fingerprints once, 4×16 band equality joins, JVM bit_count verify — never all-pairs (r10)"),
+    ("corpus_build_manifest", "the full corpus-build pipeline as ONE plan: quality filter → keep-one → DSIR → PPS draw → split → per-split packing; nothing corpus-sized crosses the driver (r10)"),
 ]
 
 
