@@ -879,7 +879,11 @@ def q_corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         ngram_jaccard_pairs(fdocs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
     )
-    kept = (
+    from cdc_algorithms_spark.operators.dedup_docs import _persist
+
+    # persisted: the pair-graph + closure subtree above feeds the DSIR
+    # scorer AND the dedup census — one execution, row count = survivors
+    kept = _persist(
         fdocs.select("doc_id", "lang", "text")
         .join(F.broadcast(comp), "doc_id", "left")
         .where(
@@ -892,12 +896,21 @@ def q_corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("weight") * _CBM_WQ).cast("long").alias("wq")
     )
     wmin = weights.agg(F.min("wq").alias("mn"))
-    pop = weights.crossJoin(F.broadcast(wmin)).select(
-        "doc_id", (F.col("wq") - F.col("mn") + 1).alias("w")
+    # persisted: the PPS draw's bounds collect, prefix sum, and every
+    # downstream consumer (split census, packing, selection census)
+    # would otherwise EACH re-execute the quality→dedup→DSIR subtree —
+    # the pop frame is two longs per surviving doc, the cheapest
+    # checkpoint in the plan
+    pop = _persist(
+        weights.crossJoin(F.broadcast(wmin)).select(
+            "doc_id", (F.col("wq") - F.col("mn") + 1).alias("w")
+        )
     )
-    picked = pps_systematic_sample(
-        pop, "w", k=_CBM_K, id_col="doc_id", seed=_CBM_SEED
-    ).select(F.col("id").alias("doc_id"))
+    picked = _persist(
+        pps_systematic_sample(
+            pop, "w", k=_CBM_K, id_col="doc_id", seed=_CBM_SEED
+        ).select(F.col("id").alias("doc_id"))
+    )
     # cluster-safe by construction: keep-one made every survivor its own
     # component representative, so the split keys off the doc's own id
     carved = split_assignment(
