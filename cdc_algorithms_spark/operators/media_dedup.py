@@ -111,6 +111,7 @@ def media_fingerprints(
 def media_fingerprint_pairs(
     media: DataFrame,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) media pairs with hamming(phash) ≤ max_hamming.
 
@@ -120,6 +121,17 @@ def media_fingerprint_pairs(
     so recall is structural, not probabilistic. Candidates come from 4
     equality joins on (band, band_bits); hamming is verified JVM-side
     with ``bit_count(xor)``.
+
+    ``max_bucket`` is the skew guard (the minhash_lsh_pairs precedent):
+    a band value shared by more than ``max_bucket`` media — boilerplate
+    thumbnails, template renders — is dropped from the candidate join;
+    it contributes O(|bucket|²) pairs of mostly-identical content that
+    the PAIR output shape is wrong for anyway. With the cap, use
+    :func:`media_phash_duplicate_groups` for the mega-cluster members
+    (linear, exact for hamming 0) and this for the near-miss tail —
+    the composition every near-dup tier here uses at 100 TB.
+    ``max_bucket=None`` (default) keeps the unconditional pigeonhole
+    completeness guarantee.
     """
     if max_hamming >= _PHASH_BANDS:
         raise ValueError(
@@ -127,18 +139,15 @@ def media_fingerprint_pairs(
             f"{_PHASH_BANDS}; got max_hamming={max_hamming}"
         )
     fps = media_fingerprints(media).persist()
-    banded = fps.select(
-        "media_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("band", "band_bits"),
-    )
+    banded = _banded(fps)
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "band_bits")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket)
+            .select("band", "band_bits")
+        )
+        banded = banded.join(keep, ["band", "band_bits"], "left_semi")
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -155,6 +164,31 @@ def media_fingerprint_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def media_phash_duplicate_groups(media: DataFrame) -> DataFrame:
+    """(media_id, canonical_id, group_size) — exact perceptual-duplicate
+    groups (hamming 0): min-id canonical per identical fingerprint, the
+    ``exact_dedup`` shape over the 64-bit phash.
+
+    This is the SCALE-SAFE output for the dominant real-world media-dup
+    pattern (byte-identical re-uploads, stub-resized re-encodes —
+    both fingerprint IDENTICALLY by the invariance theorem): a
+    boilerplate cluster of m media yields m rows, where the pair form
+    yields m(m−1)/2. Work is one fingerprint pass + one hash
+    aggregation — linear, no self-join at all. Compose with a
+    ``max_bucket``-capped :func:`media_fingerprint_pairs` for the
+    hamming 1–3 near-miss tail.
+    """
+    from pyspark.sql import Window
+
+    fps = media_fingerprints(media)
+    w = Window.partitionBy("phash")
+    return fps.select(
+        "media_id",
+        F.min("media_id").over(w).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
 
 
@@ -177,6 +211,7 @@ def incremental_media_phash_pairs(
     index_fps: DataFrame,
     batch_fps: DataFrame,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual near-dup pairs TOUCHING the batch only — batch vs the
     fingerprint index and batch vs batch, never index vs index: the
@@ -185,14 +220,28 @@ def incremental_media_phash_pairs(
     Both frames are (media_id, phash); ids must be disjoint. Same 4×16
     pigeonhole recall guarantee as :func:`media_fingerprint_pairs` —
     banding is a pure projection of the stored 8-byte fingerprints, so
-    the index holds one row per media, not four."""
+    the index holds one row per media, not four. ``max_bucket`` is the
+    same skew guard (counted over index ∪ batch; dropped buckets lose
+    their mega-cluster candidates — pair with the linear
+    :func:`media_phash_duplicate_groups` for those)."""
     if max_hamming >= _PHASH_BANDS:
         raise ValueError(
             f"4×16 banding is pigeonhole-complete only for hamming < "
             f"{_PHASH_BANDS}; got max_hamming={max_hamming}"
         )
-    a = _banded(batch_fps).alias("a")
-    b = _banded(index_fps.unionByName(batch_fps)).alias("b")
+    union = _banded(index_fps.unionByName(batch_fps))
+    a = _banded(batch_fps)
+    if max_bucket is not None:
+        keep = (
+            union.groupBy("band", "band_bits")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket)
+            .select("band", "band_bits")
+        )
+        union = union.join(keep, ["band", "band_bits"], "left_semi")
+        a = a.join(keep, ["band", "band_bits"], "left_semi")
+    a = a.alias("a")
+    b = union.alias("b")
     return (
         a.join(
             b,

@@ -1029,6 +1029,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 _ROWS_ONLY_WINDOW_TAIL: frozenset[str] = frozenset({
     "media_features",
     "media_phash_pairs",
+    "media_phash_dup_groups",
     "media_chunk_overlap_pairs",
 })
 
@@ -1038,8 +1039,10 @@ _VERIFY_WINDOW: list[str] = [
     "streaming_jaccard_index",
     "corpus_build_manifest",
     "streaming_media_phash_index",
+    "media_phash_group_clone_check",
     "media_features",
     "media_phash_pairs",
+    "media_phash_dup_groups",
     "media_chunk_overlap_pairs",
     "ann_drift_check",
     "streaming_dsir_weights",
@@ -1081,8 +1084,6 @@ _VERIFY_WINDOW: list[str] = [
     "snapshot_diff_ae_localization_check",
     "doc_table_diff",
     "cdc_apply_check",
-    "store_gc_plan_fixed",
-    "chunk_version_matrix_fixed",
 ]
 
 

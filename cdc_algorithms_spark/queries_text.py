@@ -650,6 +650,90 @@ def q_media_phash_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_phash_dup_groups")
+def q_media_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (phash values aren't SQL-expressible; the oracle
+    conversion is media_phash_group_clone_check). The SCALE-SAFE
+    duplicate output: linear groups, not quadratic pairs — a
+    boilerplate media cluster of m yields m rows."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_phash_duplicate_groups,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    return media_phash_duplicate_groups(media)
+
+
+_MEDIA_GROUP_CLONE_ORACLE = """
+SELECT CAST(SUM(CASE WHEN doc_id % 13 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_clones,
+       CAST(0 AS BIGINT) AS n_exact_misgrouped,
+       CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resized_clones,
+       CAST(0 AS BIGINT) AS n_resized_misgrouped
+FROM documents
+"""
+
+
+@register("media_phash_group_clone_check", _MEDIA_GROUP_CLONE_ORACLE)
+def q_media_phash_group_clone_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle conversion for media_phash_dup_groups: every planted
+    byte-identical clone (%13==1, +2^40) and stub-resized clone
+    (%13==2, +2^41) must land in ITS ORIGINAL'S group (same
+    canonical_id) — both mathematical: identical bytes fingerprint
+    identically, and the stub resize is exactly fingerprint-invariant
+    (NN-composition theorem). DuckDB independently counts the planted
+    clones; any grouping split shows as a misgrouped count."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_phash_duplicate_groups,
+    )
+    from cdc_algorithms_spark.operators.multimodal import resize_media
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    exact_clones = media.where(F.col("media_id") % 13 == 1).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)
+    )
+    resized_clones = resize_media(
+        media.where(F.col("media_id") % 13 == 2)
+    ).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_RESIZED_OFFSET)
+    )
+    groups = media_phash_duplicate_groups(
+        media.unionByName(exact_clones).unionByName(resized_clones)
+    ).select("media_id", "canonical_id")
+
+    def stats(mod: int, offset: int, tag: str) -> DataFrame:
+        expected = media.where(F.col("media_id") % 13 == mod).select(
+            F.col("media_id").alias("base_id"),
+            (F.col("media_id") + F.lit(offset)).alias("clone_id"),
+        )
+        gb = groups.withColumnRenamed("media_id", "base_id").withColumnRenamed(
+            "canonical_id", "base_canon"
+        )
+        gc_ = groups.withColumnRenamed(
+            "media_id", "clone_id"
+        ).withColumnRenamed("canonical_id", "clone_canon")
+        j = expected.join(gb, "base_id", "left").join(gc_, "clone_id", "left")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}_clones"),
+            F.sum(
+                (
+                    F.col("base_canon").isNull()
+                    | F.col("clone_canon").isNull()
+                    | (F.col("base_canon") != F.col("clone_canon"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"n_{tag}_misgrouped"),
+        )
+
+    return stats(1, _MEDIA_CLONE_EXACT_OFFSET, "exact").crossJoin(
+        stats(2, _MEDIA_CLONE_RESIZED_OFFSET, "resized")
+    )
+
+
 # One streamed media fingerprint store per (session, corpus dir) — the
 # build (seed fingerprints + two streamed clone epochs + a mid-stream
 # compaction) happens once; every call after re-aggregates the durable

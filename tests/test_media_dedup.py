@@ -135,6 +135,68 @@ def test_media_chunk_overlap_identical_payloads_score_one(spark):
         assert j is not None and abs(j - 1.0) < 1e-9
 
 
+def test_phash_duplicate_groups_are_linear_and_exact(spark):
+    """Groups put every identical-fingerprint media in one min-id
+    cluster — and resized clones land in their original's group
+    (the invariance theorem through the GROUP shape)."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_phash_duplicate_groups,
+    )
+
+    media = _media(spark, limit=80)
+    exact = media.withColumn("media_id", F.col("media_id") + F.lit(1 << 40))
+    resized = resize_media(media).withColumn(
+        "media_id", F.col("media_id") + F.lit(1 << 41)
+    )
+    g = {
+        r.media_id: (r.canonical_id, r.group_size)
+        for r in media_phash_duplicate_groups(
+            media.unionByName(exact).unionByName(resized)
+        ).collect()
+    }
+    for r in media.select("media_id").collect():
+        base = g[r.media_id]
+        assert g[r.media_id + (1 << 40)] == base
+        assert g[r.media_id + (1 << 41)] == base
+        assert base[0] == r.media_id  # min id canonical
+        assert base[1] >= 3  # base + exact + resized at least
+
+
+def test_phash_pairs_max_bucket_drops_mega_clusters_only(spark):
+    """The skew cap: a planted mega-cluster (many identical payloads)
+    stops contributing O(m²) pairs, while pairs outside capped buckets
+    survive. Uncapped output must be a superset of the capped one."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_fingerprint_pairs,
+    )
+
+    media = _media(spark, limit=40)
+    template = media.limit(1).select("content").collect()[0][0]
+    mega = spark.range(2000, 2040).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(bytes(template)).alias("content"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,duration_ms:int,format:string>"
+        ).alias("meta"),
+    )
+    corpus = media.unionByName(mega)
+    uncapped = {
+        (r.id_a, r.id_b) for r in media_fingerprint_pairs(corpus).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in media_fingerprint_pairs(corpus, max_bucket=10).collect()
+    }
+    assert capped <= uncapped
+    mega_ids = set(range(2000, 2040))
+    assert not any(
+        a in mega_ids and b in mega_ids for a, b in capped
+    ), "capped join still emits mega-cluster-internal pairs"
+    # the mega cluster dominates the uncapped output
+    assert len(uncapped) - len(capped) >= (40 * 39) // 2
+
+
 def test_streaming_media_phash_matches_one_shot(spark, tmp_path):
     """The streamed fingerprint loop converges to the one-shot pair set
     touching the stream, however the stream was micro-batched, with a
