@@ -138,7 +138,11 @@ def media_fingerprint_pairs(
             f"4×16 banding is pigeonhole-complete only for hamming < "
             f"{_PHASH_BANDS}; got max_hamming={max_hamming}"
         )
-    fps = media_fingerprints(media).persist()
+    # registered with dedup_docs' cache registry so the standard
+    # release_cached_frames() sweep discipline reclaims it
+    from cdc_algorithms_spark.operators.dedup_docs import _persist
+
+    fps = _persist(media_fingerprints(media))
     banded = _banded(fps)
     if max_bucket is not None:
         keep = (
