@@ -85,6 +85,19 @@ def gc_folded_epochs(
             fs.delete(st.getPath(), True)
 
 
+def _try_rename(fs, src, dst) -> bool:
+    """Rename that reports failure instead of raising: Hadoop's
+    FileSystem contract is a boolean, but RawLocalFileSystem THROWS for
+    a missing source (it falls back to a copy that stats the src) — an
+    install rename that raises would skip the rollback branch and
+    strand the store parked at ``*_old``, the exact failure the
+    rollback exists to prevent."""
+    try:
+        return bool(fs.rename(src, dst))
+    except Exception:
+        return False
+
+
 def install_staged_store(
     spark: SparkSession, path: str, kinds: list[str]
 ) -> None:
@@ -115,8 +128,8 @@ def install_staged_store(
         fs.delete(old, True)
         if not fs.rename(P(f"{path}/{kind}"), old):
             raise IOError(f"could not park the old {kind} store")
-        if not fs.rename(P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
-            if fs.rename(old, P(f"{path}/{kind}")):
+        if not _try_rename(fs, P(f"{path}/{kind}_tmp"), P(f"{path}/{kind}")):
+            if _try_rename(fs, old, P(f"{path}/{kind}")):
                 raise IOError(
                     f"could not install the compacted {kind} store; the"
                     f" previous store was rolled back into place"
@@ -199,8 +212,8 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
         # rename(tmp, root) would NEST tmp under it — install the staged
         # children into the recreated root instead (the writer's fresh
         # epoch dirs are not in the manifest, so they stay live)
-        if not fs.rename(P(f"{tmp}/seed"), P(f"{store_dir}/seed")):
-            fs.rename(P(old), root)  # best-effort rollback
+        if not _try_rename(fs, P(f"{tmp}/seed"), P(f"{store_dir}/seed")):
+            _try_rename(fs, P(old), root)  # best-effort rollback
             raise IOError(
                 f"could not install the compacted seed into the"
                 f" recreated root; live data parked at {old}"
@@ -208,10 +221,10 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
         fs.delete(P(f"{store_dir}/{MANIFEST}"), False)
         fs.rename(P(f"{tmp}/{MANIFEST}"), P(f"{store_dir}/{MANIFEST}"))
         fs.delete(P(tmp), True)
-    elif not fs.rename(P(tmp), root):
+    elif not _try_rename(fs, P(tmp), root):
         # roll the parked root back so probes keep working; only a
         # double failure strands the store at __compact_old
-        if fs.rename(P(old), root):
+        if _try_rename(fs, P(old), root):
             raise IOError(
                 "could not install the compacted store; the previous"
                 " store was rolled back into place"

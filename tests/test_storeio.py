@@ -206,6 +206,68 @@ def test_compact_epoch_store_installs_into_recreated_root(spark, tmp_path):
     assert ("batch_9", 99) in rows and len(rows) == 3
 
 
+def test_compact_epoch_store_failed_install_rolls_back(spark, tmp_path):
+    """A FAILED install rename (not a crash) must roll the parked root
+    back into place: probes keep working, nothing is lost, and the next
+    compaction attempt succeeds normally."""
+    import pytest
+
+    from cdc_algorithms_spark.operators import storeio
+
+    store = str(tmp_path / "store")
+    _write_epochs(spark, store, {"seed": [1], "batch_0": [2]})
+    before = _rows(spark, store)
+
+    orig = storeio._fs_and_path
+    state = {"failed": False}
+
+    def hooked(sp, p):
+        fs, path = orig(sp, p)
+
+        class FS:
+            def __getattr__(self, a):
+                return getattr(fs, a)
+
+            def rename(self, src, dst):
+                if str(src).endswith("__compact_tmp") and not state["failed"]:
+                    state["failed"] = True
+                    return False
+                return fs.rename(src, dst)
+
+        return FS(), path
+
+    storeio._fs_and_path = hooked
+    try:
+        with pytest.raises(IOError, match="rolled back"):
+            storeio.compact_epoch_store(spark, store)
+    finally:
+        storeio._fs_and_path = orig
+    # the store is back, intact and live
+    assert os.path.isdir(f"{store}/seed") and os.path.isdir(f"{store}/batch_0")
+    assert _rows(spark, store) == before
+    # and the next (unhooked) compaction succeeds
+    assert storeio.compact_epoch_store(spark, store) == 2
+    assert _rows(spark, store) == before
+
+
+def test_install_staged_store_failed_install_rolls_back(spark, tmp_path):
+    """install_staged_store: when the install rename fails (simulated
+    by a missing staged store — a natural failure, no hook needed), the
+    parked {kind}_old must be renamed back so probes keep working."""
+    import pytest
+
+    from cdc_algorithms_spark.operators import storeio
+
+    path = str(tmp_path)
+    spark.createDataFrame([(1,)], "v long").write.parquet(f"{path}/counts")
+    # no {path}/counts_tmp staged → the install rename must fail
+    with pytest.raises(IOError, match="rolled back"):
+        storeio.install_staged_store(spark, path, ["counts"])
+    assert os.path.isdir(f"{path}/counts")
+    assert spark.read.parquet(f"{path}/counts").count() == 1
+    assert not os.path.exists(f"{path}/counts_old")
+
+
 def test_compact_epoch_store_new_batches_keep_folding(spark, tmp_path):
     """Epoch ids advance past a compaction: batch_2 arriving after the
     fold is live, reads union it, and a second compaction folds it in
