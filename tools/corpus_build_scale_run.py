@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""The FLAGSHIP corpus-build pipeline at corpus scale (SCALING.md §27).
+
+`corpus_build_manifest` is driver-verified stage-by-stage against one
+DuckDB oracle at fixture scale; this run measures the COMPOSITION's
+economics on a ~500k-doc corpus (the §15 generator: 20% planted 2%-mutated
+near-dup clones): quality filter → near-dup keep-one → DSIR weights over
+the survivors → realized integer-exact PPS selection → cluster-safe
+split → per-split sequence packing, with per-stage walls and censuses.
+
+One deliberate substitution vs the fixture query: the pair generator is
+the MinHash-LSH tier (exact-Jaccard-verified candidates — identical
+verified pairs, measured at this scale in §15) instead of the exact
+prefix join the small-corpus oracle replays; everything downstream is
+the registered composition verbatim. The selection weight is the same
+shifted quantized DSIR weight (target = the ``src0`` source slice).
+
+Usage::
+
+    python tools/corpus_build_scale_run.py --docs 500000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.corpus_scale_run import build_corpus_df  # noqa: E402
+
+K_FRACTION = 20  # PPS draws = survivors // K_FRACTION
+SEQ_LEN = 2048
+SEED = 29
+WQ = 1_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--avg-tokens", type=int, default=700)
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--qmin", type=float, default=0.5)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--driver-mem", default="48g")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", args.driver_mem)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+    from cdc_algorithms_spark.operators.packing import sequence_packing
+    from cdc_algorithms_spark.operators.sampling import pps_systematic_sample
+    from cdc_algorithms_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+    from cdc_algorithms_spark.operators.splits import split_assignment
+    from cdc_algorithms_spark.operators.textstats import quality_scores
+
+    report: dict = {"n_docs": args.docs, "qmin": args.qmin}
+    corpus_dir = tempfile.mkdtemp(prefix="cdc_cbuild_corpus_")
+    try:
+        t0 = time.monotonic()
+        build_corpus_df(
+            spark, args.docs, args.avg_tokens, args.partitions
+        ).write.mode("overwrite").parquet(corpus_dir)
+        docs = spark.read.parquet(corpus_dir)
+        report["corpus_gib"] = round(
+            docs.agg(F.sum("n_chars")).first()[0] / 2**30, 2
+        )
+        report["gen_write_s"] = round(time.monotonic() - t0, 1)
+
+        # JIT warm-up
+        docs.limit(50_000).select(
+            F.size(F.split("text", r"\s+")).alias("s")
+        ).agg(F.sum("s")).count()
+
+        # 1. quality filter (map-only scoring)
+        t0 = time.monotonic()
+        good = quality_scores(docs).where(
+            F.col("quality_score") >= args.qmin
+        ).select("doc_id")
+        fdocs = docs.join(good, "doc_id", "left_semi").persist()
+        report["n_quality_kept"] = fdocs.count()
+        report["quality_s"] = round(time.monotonic() - t0, 1)
+
+        # 2. near-dup keep-one (LSH tier: verified-exact pairs, §15)
+        t0 = time.monotonic()
+        pairs = dd.minhash_lsh_pairs(
+            fdocs, n=3, num_hashes=32, bands=8, threshold=0.8,
+            max_bucket=1000,
+        )
+        comp = dd.connected_components(pairs.select("id_a", "id_b"))
+        kept = (
+            fdocs.select("doc_id", "source", "text")
+            .join(comp, "doc_id", "left")
+            .where(
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            )
+            .drop("component_id")
+            .persist()
+        )
+        report["n_dedup_kept"] = kept.count()
+        report["dedup_s"] = round(time.monotonic() - t0, 1)
+
+        # 3. DSIR weights over the survivors (target = src0 slice; the
+        # operator carries a `lang` column through its output, so the
+        # generator's `source` rides under that name)
+        t0 = time.monotonic()
+        weights = dsir_importance_weights(
+            kept.select("doc_id", F.col("source").alias("lang"), "text"),
+            F.col("lang") == "src0",
+            text_col="text",
+        ).select(
+            "doc_id",
+            F.round(F.col("weight") * WQ).cast("long").alias("wq"),
+        )
+        # normalize to 64 integer levels: the PPS guard needs
+        # W·k·PHASE_M < 2**61, and raw micro-quantized weights over a
+        # 500k corpus blow it; inclusion probabilities depend only on
+        # weight RATIOS, so a monotone min-max rescale is the
+        # documented remedy ("rescale the weights", sampling.py)
+        wb = weights.agg(
+            F.min("wq").alias("mn"), F.max("wq").alias("mx")
+        )
+        pop = (
+            weights.crossJoin(F.broadcast(wb))
+            .select(
+                "doc_id",
+                (
+                    ((F.col("wq") - F.col("mn")) * 64)
+                    / (F.col("mx") - F.col("mn") + 1)
+                    + 1
+                ).cast("long").alias("w"),
+            )
+            .persist()
+        )
+        n_pop = pop.count()
+        report["dsir_s"] = round(time.monotonic() - t0, 1)
+
+        # 4. realized PPS selection
+        t0 = time.monotonic()
+        k = max(1, n_pop // K_FRACTION)
+        picked = (
+            pps_systematic_sample(pop, "w", k=k, id_col="doc_id", seed=SEED)
+            .select(F.col("id").alias("doc_id"))
+            .persist()
+        )
+        report["n_selected"] = picked.count()
+        report["pps_k"] = k
+        report["pps_s"] = round(time.monotonic() - t0, 1)
+
+        # 5+6. cluster-safe split (survivors are their own reps) and
+        # per-split packing
+        t0 = time.monotonic()
+        carved = split_assignment(
+            picked.join(docs.select("doc_id", "text"), "doc_id"),
+            (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+            seed=11,
+        )
+        pack = sequence_packing(carved, SEQ_LEN, group_cols=["split"])
+        manifest = {
+            r["split"]: (r["n_sequences"], r["n_tokens"])
+            for r in pack.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_sequences"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .collect()
+        }
+        report["split_pack_s"] = round(time.monotonic() - t0, 1)
+        report["manifest"] = {
+            s: {"n_sequences": int(a), "n_tokens": int(b)}
+            for s, (a, b) in sorted(manifest.items())
+        }
+        report["total_s"] = round(
+            report["quality_s"] + report["dedup_s"] + report["dsir_s"]
+            + report["pps_s"] + report["split_pack_s"], 1,
+        )
+        print(json.dumps(report))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
