@@ -771,6 +771,20 @@ def media_near_dup_pairs(
     raise ValueError(f"unknown media near-dup method {method!r}")
 
 
+def media_dup_groups(media: DataFrame) -> DataFrame:
+    """Exact perceptual-duplicate groups over binary media payloads
+    (operators/media_dedup.py::media_phash_duplicate_groups):
+    ``(media_id, canonical_id, group_size)`` — the linear,
+    mega-cluster-safe output for identical-fingerprint media (m rows,
+    never m² pairs); compose with ``media_near_dup_pairs(...,
+    max_bucket=…)`` for the hamming 1–3 near-miss tail."""
+    from cdc_algorithms_spark.operators.media_dedup import (
+        media_phash_duplicate_groups,
+    )
+
+    return media_phash_duplicate_groups(media)
+
+
 def release_probe_frames() -> int:
     """Unpersist every batch-scoped frame the near-dup probe family has
     persisted and clear the registry; returns the count released. Call
