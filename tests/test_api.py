@@ -244,6 +244,10 @@ def test_media_near_dup_api(spark):
 
     with _pytest.raises(ValueError):
         api.media_near_dup_pairs(u, method="nope")
+    # the linear group verb: every clone shares its base's canonical id
+    groups = {r.media_id: r.canonical_id for r in api.media_dup_groups(u).collect()}
+    for r in media.select("media_id").collect():
+        assert groups[r.media_id + (1 << 40)] == groups[r.media_id]
 
 
 def test_ann_index_verbs(spark, tmp_path):
