@@ -184,15 +184,26 @@ def media_phash_duplicate_groups(media: DataFrame) -> DataFrame:
     aggregation — linear, no self-join at all. Compose with a
     ``max_bucket``-capped :func:`media_fingerprint_pairs` for the
     hamming 1–3 near-miss tail.
-    """
-    from pyspark.sql import Window
 
-    fps = media_fingerprints(media)
-    w = Window.partitionBy("phash")
-    return fps.select(
-        "media_id",
-        F.min("media_id").over(w).cast("long").alias("canonical_id"),
-        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    Plan shape (pinned in tests/test_plans.py): ``groupBy("phash")`` +
+    join back, NEVER ``Window.partitionBy("phash")`` — a window exec
+    sorts each fingerprint cluster inside ONE task, so the boilerplate
+    mega-cluster this operator exists for (995k of 1M payloads in
+    SCALING §26) would single-task multi-GB at 100×. The aggregate
+    gets map-side partial combine (the hot key collapses to one row
+    per task before the exchange) and the join back is an AQE-skew-
+    splittable equi-join; the fingerprint pass is persisted so payload
+    bytes are fingerprinted once, not once per join side.
+    """
+    from cdc_algorithms_spark.operators.dedup_docs import _persist
+
+    fps = _persist(media_fingerprints(media))
+    groups = fps.groupBy("phash").agg(
+        F.min("media_id").cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return fps.join(groups, "phash").select(
+        "media_id", "canonical_id", "group_size"
     )
 
 

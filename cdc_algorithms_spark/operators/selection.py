@@ -65,7 +65,13 @@ FINGERPRINT_AUTO_DOCS = 200_000
 # memoized auto-switch decisions keyed by (analyzed plan semantic hash,
 # threshold): repeated default calls over the same input (the common
 # measure-then-transform pattern: cross_doc_dup_fraction followed by
-# remove_duplicate_spans) pay the probe once, not per call
+# remove_duplicate_spans) pay the probe once, not per call.
+# ACCEPTED staleness: a semantically-identical file-source plan whose
+# underlying files GREW past the threshold mid-session keeps its cached
+# "small" decision until the session (or the 256-entry bound) clears
+# the memo — the switch is a performance guard, not a correctness gate,
+# so a stale decision costs shuffle headroom, never wrong results;
+# callers racing a growing source pass ``fingerprint=`` explicitly.
 _FP_DECISIONS: dict[tuple[int, int], bool] = {}
 
 
@@ -91,11 +97,18 @@ def _resolve_fingerprint(docs: DataFrame, fingerprint: bool | None) -> bool:
     # exact-string to collision-bounded fingerprint grams — documented
     # in the module docstring and README; results at scale differ from
     # fingerprint=False by at most the 2^-128 collision mass.
+    # The stats rowCount is an UPPER BOUND, not an actual count — the
+    # size-only visitor reports a GlobalLimit's cap even when the child
+    # count is unknown, and stale CBO stats over-report. An upper bound
+    # is only trustworthy in the "small" direction (rc < threshold ⇒
+    # actual < threshold); an rc >= threshold could be a limit(N) over a
+    # tiny input, so that direction always re-checks with the bounded
+    # count probe.
     decided: bool | None = None
     try:
         rc = docs._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        if rc.isDefined():
-            decided = int(rc.get().longValue()) >= FINGERPRINT_AUTO_DOCS
+        if rc.isDefined() and int(rc.get().longValue()) < FINGERPRINT_AUTO_DOCS:
+            decided = False
     except Exception:
         decided = None
     if decided is None:

@@ -27,8 +27,11 @@ existing monotonic-epoch contract of the ``extend_*`` writers
 from __future__ import annotations
 
 import json
+import logging
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 MANIFEST = "_folded_epochs.json"
 
@@ -219,7 +222,18 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
                 f" recreated root; live data parked at {old}"
             )
         fs.delete(P(f"{store_dir}/{MANIFEST}"), False)
-        fs.rename(P(f"{tmp}/{MANIFEST}"), P(f"{store_dir}/{MANIFEST}"))
+        if not _try_rename(
+            fs, P(f"{tmp}/{MANIFEST}"), P(f"{store_dir}/{MANIFEST}")
+        ):
+            # without the manifest a replay of a folded batch_<id> would
+            # go live again and double-count; keep tmp (it still holds
+            # the manifest) and fail loudly instead of GC-ing it
+            raise IOError(
+                f"installed the compacted seed but could not install its"
+                f" manifest; staged manifest left at {tmp}/{MANIFEST} —"
+                f" the store double-counts folded epochs until it is"
+                f" moved to {store_dir}/{MANIFEST}"
+            )
         fs.delete(P(tmp), True)
     elif not _try_rename(fs, P(tmp), root):
         # roll the parked root back so probes keep working; only a
@@ -236,9 +250,17 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
     # rescue concurrent-extend epochs that travelled with the parked
     # root: any generation in the parked copy that is neither in the
     # fold snapshot nor already folded arrived during the swap — rename
-    # it into the installed root (not in the manifest ⇒ still live)
+    # it into the installed root (not in the manifest ⇒ still live).
+    # Each rescue rename is CHECKED: an unchecked rename followed by an
+    # unconditional delete of the parked root would silently destroy a
+    # live epoch when the rename fails (e.g. an at-least-once replay
+    # already re-created store_dir/<n> inside the swap window, where
+    # Hadoop rename-into-existing either returns false or nests src
+    # under dst). On any failure the entry stays parked and the root
+    # survives with a logged warning — never data loss.
     oldp = P(old)
     if fs.exists(oldp):
+        stranded: list[str] = []
         for st in fs.listStatus(oldp):
             n = st.getPath().getName()
             if (
@@ -247,8 +269,30 @@ def compact_epoch_store(spark: SparkSession, store_dir: str) -> int:
                 and n not in names
                 and n not in new_manifest
             ):
-                fs.rename(st.getPath(), P(f"{store_dir}/{n}"))
-        fs.delete(oldp, True)
+                dst = P(f"{store_dir}/{n}")
+                if fs.exists(dst) or not _try_rename(fs, st.getPath(), dst):
+                    stranded.append(n)
+        if stranded:
+            # delete only what is provably garbage (generations whose
+            # rows are inside the installed seed); leave the stranded
+            # live epochs parked for manual inspection
+            for st in fs.listStatus(oldp):
+                n = st.getPath().getName()
+                if st.isDirectory() and _is_generation(n) and (
+                    n in names or n in new_manifest
+                ):
+                    fs.delete(st.getPath(), True)
+            _LOG.warning(
+                "compact_epoch_store: could not rescue concurrent-extend"
+                " epoch(s) %s into %s (destination exists or rename"
+                " failed); they remain parked under %s and are NOT"
+                " probed — reconcile by hand",
+                sorted(stranded),
+                store_dir,
+                old,
+            )
+        else:
+            fs.delete(oldp, True)
     return len(live)
 
 

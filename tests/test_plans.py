@@ -937,3 +937,36 @@ def test_live_jaccard_probe_keeps_bucket_pruning(spark, tmp_path):
     ]
     assert not unpruned, f"live-store scans without bucket pruning: {unpruned}"
     dd.release_cached_frames()
+
+
+def test_media_phash_dup_groups_has_no_phash_window(spark):
+    """The exact-duplicate groups must come from groupBy(phash) + join
+    back — NEVER Window.partitionBy(phash), which sorts every member of
+    one fingerprint cluster inside a single task. The module's own
+    scale evidence (SCALING §26) shows 995k of 1M payloads in identical
+    -fingerprint clusters; a window over that key single-tasks exactly
+    the mega-cluster the operator exists to handle. The aggregate gets
+    map-side partial combine; the join back is AQE-skew splittable."""
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+
+    df = _q(spark, "media_phash_dup_groups")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "phash-partitioned window reintroduced"
+    assert "HashAggregate" in plan  # the partial+final combine pair
+    assert "partial_min" in plan and "partial_count" in plan, (
+        "map-side combine lost — the hot phash key must collapse "
+        "before the exchange"
+    )
+    assert "CartesianProduct" not in plan
+    # the fingerprint UDF runs ONCE: both join branches must read the
+    # persisted frame (InMemoryTableScan). Every MapInPandas printed in
+    # the plan belongs to an InMemoryRelation's stored child plan (each
+    # relation prints its cached plan once), so live occurrences are
+    # the difference.
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "join branches must share the persisted fingerprint pass"
+    )
+    assert plan.count("MapInPandas") <= plan.count("InMemoryRelation"), (
+        "fingerprint UDF re-runs outside the persisted frame"
+    )
+    dd.release_cached_frames()
