@@ -971,6 +971,71 @@ register("corpus_build_manifest", _build_corpus_build_oracle())(
 )
 
 
+# One stream-maintained corpus-build store per (session, corpus dir) —
+# the build (3 foreachBatch epochs incl. a mid-stream compaction of
+# both durable stores) happens once; every call after folds the
+# standing stores, same contract as the jaccard/BM25 stream caches.
+_CORPUS_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_streaming_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship corpus build as a STANDING PIPELINE
+    (streaming/corpus_build.py): documents arrive in three foreachBatch
+    epochs (doc_id %3 = 1, 2, 0); each batch is quality-filtered
+    map-only, probes-then-extends the durable Jaccard prefix index
+    (pair deltas accumulate to the exact one-shot pair graph — a pair
+    surfaces at its later member's epoch), extends the durable DSIR
+    count store, and lands per-epoch doc-term/doc-meta deltas; both
+    stores are compacted mid-stream while the stream is quiesced. The
+    fold then computes keep-one components from the accumulated pairs,
+    derives the SURVIVOR model by integer subtraction of the dropped
+    docs' stored term counts (the corpus text is never re-read), scores
+    through the shared _dsir_score tree, and reuses the batch
+    PPS/split/packing tail — so this row shares the one-shot
+    corpus_build_manifest oracle VERBATIM, no approximation tier.
+    Replay idempotence is pinned in tests/test_streaming.py."""
+    from cdc_algorithms_spark.queries_text import (
+        _SPLIT_FRACTIONS,
+        _SPLIT_SEED,
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+    from cdc_algorithms_spark.streaming.corpus_build import (
+        corpus_build_manifest_from_store,
+        run_streaming_corpus_build,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _CORPUS_STREAM_CACHE.get(key)
+    if root is None:
+        import tempfile
+
+        stages = [
+            docs.select("doc_id", "lang", "text").where(
+                F.col("doc_id") % 3 == m
+            )
+            for m in (1, 2, 0)
+        ]
+        root = tempfile.mkdtemp(prefix="cdc_corpus_stream_") + "/store"
+        run_streaming_corpus_build(
+            spark, stages, root,
+            qmin=_CBM_QMIN, n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        )
+        _CORPUS_STREAM_CACHE.clear()
+        _CORPUS_STREAM_CACHE[key] = root
+    return corpus_build_manifest_from_store(
+        spark, root,
+        k=_CBM_K, wq=_CBM_WQ, seq_len=_CBM_SEQ, pps_seed=_CBM_SEED,
+        split_fractions=_SPLIT_FRACTIONS, split_seed=_SPLIT_SEED,
+    )
+
+
+register("streaming_corpus_build", _build_corpus_build_oracle())(
+    q_streaming_corpus_build
+)
+
+
 # ---------------------------------------------------------------------------
 # Layout pruning gain: Z-order vs 1-D sort, quantified
 # ---------------------------------------------------------------------------

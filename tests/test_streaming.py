@@ -1087,3 +1087,101 @@ def test_compact_epoch_store_folds_without_changing_answers(spark, tmp_path):
     live_after = _list_store_subdirs(spark, index_dir, "")
     assert live_after == live_before  # ...but the name stays dead
     assert spark.read.parquet(*live_after).count() == n_before
+
+
+def test_streaming_corpus_build_equals_batch_and_replays(spark, tmp_path):
+    """The standing corpus-build loop (streaming/corpus_build.py) folds
+    to the one-shot corpus_build_manifest BIT-identically, and an
+    at-least-once replay of BOTH the seed epoch and the last extend
+    epoch leaves the fold unchanged — per-epoch artifacts are overwrite-
+    idempotent and the seed marker routes a seed replay back through the
+    (overwriting) seed path instead of appending a duplicate extend."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.queries_extras import (
+        _CBM_K,
+        _CBM_QMIN,
+        _CBM_SEED,
+        _CBM_SEQ,
+        _CBM_WQ,
+    )
+    from cdc_algorithms_spark.queries_text import (
+        _SPLIT_FRACTIONS,
+        _SPLIT_SEED,
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+    )
+    from cdc_algorithms_spark.streaming.corpus_build import (
+        corpus_build_manifest_from_store,
+        process_corpus_batch,
+        run_streaming_corpus_build,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "lang", "text"
+    )
+    stages = [docs.where(F.col("doc_id") % 3 == m) for m in (1, 2, 0)]
+    root = str(tmp_path / "store")
+    run_streaming_corpus_build(
+        spark, stages, root,
+        qmin=_CBM_QMIN, n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+    )
+
+    def fold():
+        out = corpus_build_manifest_from_store(
+            spark, root,
+            k=_CBM_K, wq=_CBM_WQ, seq_len=_CBM_SEQ, pps_seed=_CBM_SEED,
+            split_fractions=_SPLIT_FRACTIONS, split_seed=_SPLIT_SEED,
+        )
+        rows = sorted(tuple(r) for r in out.collect())
+        release_cached_frames()
+        return rows
+
+    want = sorted(
+        tuple(r)
+        for r in SPARK_QUERIES["corpus_build_manifest"](
+            spark, SF_DIR
+        ).collect()
+    )
+    release_cached_frames()
+    first = fold()
+    assert first == want, "stream fold != one-shot batch manifest"
+    assert first[0][5] == 500  # census: every input doc counted
+
+    # replay the LAST extend epoch (batch id 2) — the at-least-once
+    # recovery path a running stream actually takes
+    process_corpus_batch(
+        spark, root, stages[2], 2,
+        qmin=_CBM_QMIN, n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+    )
+    assert fold() == first, "extend-epoch replay changed the manifest"
+
+    # seed-epoch replay: only the LAST uncommitted batch ever replays,
+    # so a seed replay happens strictly BEFORE any extend commits (and
+    # therefore before any compaction could fold an extend into the
+    # base the seed path rewrites — module docstring). Pin that path on
+    # a fresh store via a full STATE snapshot: seed, snapshot, replay
+    # the seed, and every artifact — pair/doctf/docmeta/census deltas,
+    # jaccard base, DSIR counts+meta — must be row-identical (stronger
+    # than fold equality, and no second clean store needed).
+    s0 = docs.where(F.col("doc_id") % 2 == 1)
+    kw = dict(qmin=_CBM_QMIN, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    replayed = str(tmp_path / "replayed")
+
+    def snapshot():
+        parts = []
+        for rel in (
+            "pairs_delta/epoch_0", "doctf_delta/epoch_0",
+            "docs_delta/epoch_0", "census_delta/epoch_0",
+            "jaccard/df", "jaccard/sets", "jaccard/prefix",
+            "dsir/counts", "dsir/meta",
+        ):
+            rows = spark.read.parquet(f"{replayed}/{rel}").collect()
+            parts.append(sorted(tuple(r) for r in rows))
+        return parts
+
+    process_corpus_batch(spark, replayed, s0, 0, **kw)
+    state1 = snapshot()
+    process_corpus_batch(spark, replayed, s0, 0, **kw)  # seed replay
+    assert snapshot() == state1, "seed-epoch replay changed store state"
