@@ -335,6 +335,7 @@ def jaccard_prefix_index(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    elements: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Persistable exact-Jaccard corpus index — the batch-proportional
     answer to :func:`incremental_jaccard_pairs`'s per-call corpus
@@ -359,8 +360,23 @@ def jaccard_prefix_index(
     extension of the order to unseen shingles — batch-time ordering
     (``df`` absent → 0, i.e. new shingles are rarest) extends, never
     contradicts, the frozen order.
+
+    ``elements`` overrides the text shingling with a PRE-COMPUTED
+    ``(doc_id, shingle)`` frame, distinct per doc, any orderable type —
+    how the media tier indexes 8-byte CDC chunk identities
+    (operators/media_dedup.py): the prefix-filter theorem is about SETS
+    under a fixed total order, not about strings, so every downstream
+    verb (write/extend/compact/probe) works unchanged. ``corpus``,
+    ``n``, ``text_col`` are ignored when ``elements`` is given.
     """
-    sh = doc_shingles(corpus, n, id_col, text_col)
+    sh = (
+        elements.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col("shingle"),
+        )
+        if elements is not None
+        else doc_shingles(corpus, n, id_col, text_col)
+    )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (
         sh.join(df_counts, "shingle")
@@ -502,6 +518,7 @@ def extend_jaccard_index(
     id_buckets: int = JACCARD_ID_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    elements: DataFrame | None = None,
 ) -> None:
     """Add a batch of documents to a durable Jaccard index WITHOUT
     rebuilding it — the maintenance verb this store was missing (every
@@ -527,8 +544,18 @@ def extend_jaccard_index(
     ``threshold`` and the bucket counts must match the writer's
     (prefix length depends on the threshold — same prober contract as
     :func:`incremental_jaccard_pairs_indexed`).
+
+    ``elements``: pre-computed ``(doc_id, shingle)`` batch frame, same
+    contract as :func:`jaccard_prefix_index` — must match the store's
+    element type.
     """
-    batch_sh = doc_shingles(batch, n, id_col, text_col).persist()
+    batch_sh = (
+        elements.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col("shingle")
+        )
+        if elements is not None
+        else doc_shingles(batch, n, id_col, text_col)
+    ).persist()
     try:
         buckets = [
             r[0]
@@ -653,6 +680,7 @@ def incremental_jaccard_pairs_indexed(
     text_col: str = "text",
     sh_buckets: int = JACCARD_SH_BUCKETS,
     id_buckets: int = JACCARD_ID_BUCKETS,
+    elements: DataFrame | None = None,
 ) -> DataFrame:
     """Exact incremental near-dup against a persisted
     :func:`jaccard_prefix_index` — Jaccard pairs touching the NEW batch
@@ -682,10 +710,19 @@ def incremental_jaccard_pairs_indexed(
 
     ``id_col`` values must be disjoint between corpus and batch.
     ``sh_buckets`` / ``id_buckets`` must match the writer's values.
+    ``elements``: pre-computed ``(doc_id, shingle)`` batch frame, same
+    contract as :func:`jaccard_prefix_index` — must match the store's
+    element type.
     """
     df_index, sets_index, prefix_index = index
     pruned = "sh_bucket" in prefix_index.columns
-    batch_sh = doc_shingles(batch, n, id_col, text_col)
+    batch_sh = (
+        elements.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col("shingle")
+        )
+        if elements is not None
+        else doc_shingles(batch, n, id_col, text_col)
+    )
     if pruned:
         # persisted: feeds the bucket-set collect AND the ranking join
         batch_sh = _persist(batch_sh)

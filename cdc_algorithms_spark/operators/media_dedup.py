@@ -343,6 +343,25 @@ def media_chunk_keys(
     )
 
 
+def media_chunk_elements(
+    media: DataFrame,
+    algo: str = "ae",
+    expected_size: int = 320,
+    seed: int = 0,
+) -> DataFrame:
+    """(doc_id, shingle) — each media's DISTINCT 8-byte CDC chunk
+    identities in the element-frame shape the durable Jaccard-store
+    verbs accept (``dedup_docs.jaccard_prefix_index(elements=...)``):
+    the adapter that gives the media chunk-overlap tier a STANDING
+    index (streaming/media_chunk_index.py) instead of re-chunking the
+    corpus per resemblance query. Payload bytes are chunked once,
+    scan-side; only the 8-byte keys enter the store."""
+    chunks = media_chunk_keys(media, algo, expected_size, seed)
+    return chunks.select(
+        F.col("src_id").alias("doc_id"), F.col("ck").alias("shingle")
+    ).distinct()
+
+
 def media_chunk_overlap_pairs(
     media: DataFrame,
     algo: str = "ae",

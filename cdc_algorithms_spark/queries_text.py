@@ -868,6 +868,80 @@ def q_media_chunk_overlap_clone_check(
     )
 
 
+# One stream-maintained media chunk-key index per (session, corpus dir)
+# — the build (seed + two streamed extension epochs + one mid-stream
+# compaction) happens once; every call after probes the durable store.
+_MEDIA_CHUNK_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register("streaming_media_chunk_index", _MEDIA_OVERLAP_CLONE_ORACLE)
+def q_streaming_media_chunk_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC chunk-overlap resemblance through a STREAM-MAINTAINED durable
+    chunk-key index (streaming/media_chunk_index.py): the index seeds on
+    the media_id %3 != 0 two-thirds, the %3 == 0 third arrives as two
+    foreachBatch epochs (chunked once, scan-side; only 8-byte keys land,
+    bucket-partitioned), with a mid-stream compaction folding the first
+    epoch. Planted byte-identical clones (+2^40) of every %13==1
+    nonempty payload then PROBE the live store — AE cuts are a pure
+    function of bytes, so each clone must pair with its original at
+    chunk-set jaccard EXACTLY 1.0, whichever epoch the original arrived
+    in. Shares the batch media_chunk_overlap_clone_check oracle
+    VERBATIM (exact verification, no approximation tier)."""
+    from cdc_algorithms_spark.streaming.media_chunk_index import (
+        incremental_media_chunk_pairs,
+        run_streaming_media_chunk_index,
+    )
+
+    media = synthesize_media(load_table(spark, "documents", sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MEDIA_CHUNK_STREAM_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        seed = media.where(F.col("media_id") % 3 != 0)
+        stages = [
+            media.where(
+                (F.col("media_id") % 3 == 0) & (F.col("media_id") % 2 == par)
+            )
+            for par in (0, 1)
+        ]
+        path = tempfile.mkdtemp(prefix="cdc_mediachunk_stream_") + "/index"
+        run_streaming_media_chunk_index(
+            spark, seed, stages, path, algo="ae", expected_size=320,
+            threshold=0.3,
+        )
+        _MEDIA_CHUNK_STREAM_CACHE.clear()
+        _MEDIA_CHUNK_STREAM_CACHE[key] = path
+    clones = media.where(F.col("media_id") % 13 == 1).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)
+    )
+    ov = incremental_media_chunk_pairs(
+        spark, path, clones, algo="ae", expected_size=320, threshold=0.3
+    )
+    expected = media.where(
+        (F.col("media_id") % 13 == 1) & (F.length("content") > 0)
+    ).select(
+        F.col("media_id").alias("id_a"),
+        (F.col("media_id") + F.lit(_MEDIA_CLONE_EXACT_OFFSET)).alias("id_b"),
+    )
+    got = expected.join(ov, ["id_a", "id_b"], "left").select("id_a", "jaccard")
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone_pairs"),
+        F.sum(F.col("jaccard").isNull().cast("long"))
+        .cast("long")
+        .alias("n_clone_pairs_missing"),
+        F.sum(
+            (F.coalesce(F.abs(F.col("jaccard") - 1.0), F.lit(0.0)) > 1e-9).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_clone_pairs_inexact"),
+    )
+
+
 # --- ANN quality metrics (recall vs exact top-k) ---------------------------
 
 

@@ -261,3 +261,46 @@ def test_media_chunk_overlap_is_shift_robust(spark):
     found = expected & got
     # every shifted copy must still pair at jaccard ≥ 0.3
     assert found == expected
+
+
+def test_durable_chunk_index_probe_equals_batch_pairs(spark, tmp_path):
+    """The stream-maintained chunk-key index (seed + streamed extend +
+    mid-stream compaction) probed with a batch must return EXACTLY the
+    one-shot media_chunk_overlap_pairs restricted to pairs touching the
+    batch — the stream == one-shot contract the jaccard text store
+    pins, over 8-byte CDC chunk identities."""
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        release_cached_frames,
+    )
+    from cdc_algorithms_spark.streaming.media_chunk_index import (
+        incremental_media_chunk_pairs,
+        run_streaming_media_chunk_index,
+    )
+
+    media = _media(spark)
+    seed = media.where(F.col("media_id") % 3 == 1)
+    stages = [
+        media.where(
+            (F.col("media_id") % 3 == 2) & (F.col("media_id") % 2 == p)
+        )
+        for p in (0, 1)
+    ]
+    batch = media.where(F.col("media_id") % 3 == 0)
+    path = str(tmp_path / "index")
+    run_streaming_media_chunk_index(spark, seed, stages, path)
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_media_chunk_pairs(spark, path, batch).collect()
+    )
+    release_cached_frames()
+    batch_ids = {
+        r.media_id for r in batch.select("media_id").collect()
+    }
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in media_chunk_overlap_pairs(media, "ae", 320, 0.3).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    )
+    release_cached_frames()
+    assert got == want and got, "stream probe != one-shot pairs touching batch"

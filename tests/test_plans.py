@@ -970,3 +970,66 @@ def test_media_phash_dup_groups_has_no_phash_window(spark):
         "fingerprint UDF re-runs outside the persisted frame"
     )
     dd.release_cached_frames()
+
+
+def test_media_chunk_probe_never_rechunks_corpus_and_prunes(spark, tmp_path):
+    """The durable media chunk-overlap probe's 100 TB contract: the
+    RESIDENT corpus's payload bytes are chunked once at store-build
+    time and NEVER re-read by a probe — the probe plan may scan only
+    the batch's own payloads and the (bucket-pruned) 8-byte key store.
+    (Within the probe, the batch chunker pass is persisted — textual
+    MapInPandas counts are meaningless here because the plan printer
+    expands shared cached subtrees per reference.)"""
+    from pyspark.sql import functions as F
+
+    from cdc_algorithms_spark.operators import dedup_docs as dd
+    from cdc_algorithms_spark.queries_text import synthesize_media
+    from cdc_algorithms_spark.streaming.media_chunk_index import (
+        incremental_media_chunk_pairs,
+        run_streaming_media_chunk_index,
+    )
+
+    media = synthesize_media(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    seed = media.where(F.col("media_id") % 3 != 0)
+    stages = [media.where(F.col("media_id") % 3 == 0)]
+    path = str(tmp_path / "index")
+    run_streaming_media_chunk_index(
+        spark, seed, stages, path, compact_after_stage=None
+    )
+    # materialize the arriving batch so "batch payloads" and "resident
+    # corpus payloads" are distinguishable scans in the plan
+    batch_dir = str(tmp_path / "batch")
+    (
+        media.where((F.col("media_id") % 13 == 1) & (F.length("content") > 0))
+        .withColumn("media_id", F.col("media_id") + F.lit(1 << 40))
+        .limit(5)
+        .select("media_id", "content")
+        .write.parquet(batch_dir)
+    )
+    probe = incremental_media_chunk_pairs(
+        spark, path, spark.read.parquet(batch_dir)
+    )
+    assert probe.count() >= 1  # clones pair with their sources
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, (
+        "probe re-reads resident corpus payloads"
+    )
+    # identify store scans by their partition columns (the plan printer
+    # truncates Location paths, so path matching is unreliable here)
+    index_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line
+        and ("sh_bucket" in line or "id_bucket" in line)
+    ]
+    assert len(index_scans) >= 3, f"expected df/prefix/sets scans: {index_scans}"
+    unpruned = [
+        s[:160]
+        for s in index_scans
+        if "PartitionFilters: [" not in s
+        or ("INSET" not in s and " IN (" not in s)
+    ]
+    assert not unpruned, f"store scans without bucket pruning: {unpruned}"
+    dd.release_cached_frames()
