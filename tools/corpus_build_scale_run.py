@@ -47,6 +47,15 @@ def main() -> None:
     ap.add_argument("--avg-tokens", type=int, default=700)
     ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--qmin", type=float, default=0.5)
+    ap.add_argument(
+        "--dsir",
+        choices=("indexed", "oneshot"),
+        default="indexed",
+        help="DSIR stage form: 'indexed' builds the durable term-count "
+        "store once (the standing-pipeline amortized cost) and scores "
+        "through dsir_weights_indexed (the recurring per-build wall); "
+        "'oneshot' re-models the corpus inline (the r10 §27 shape)",
+    )
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--driver-mem", default="48g")
     args = ap.parse_args()
@@ -68,12 +77,16 @@ def main() -> None:
     from cdc_algorithms_spark.operators.sampling import pps_systematic_sample
     from cdc_algorithms_spark.operators.selection import (
         dsir_importance_weights,
+        dsir_weights_indexed,
+        write_dsir_counts,
     )
     from cdc_algorithms_spark.operators.splits import split_assignment
     from cdc_algorithms_spark.operators.textstats import quality_scores
 
-    report: dict = {"n_docs": args.docs, "qmin": args.qmin}
+    report: dict = {"n_docs": args.docs, "qmin": args.qmin,
+                    "dsir_mode": args.dsir}
     corpus_dir = tempfile.mkdtemp(prefix="cdc_cbuild_corpus_")
+    dsir_store = None
     try:
         t0 = time.monotonic()
         build_corpus_df(
@@ -121,16 +134,34 @@ def main() -> None:
 
         # 3. DSIR weights over the survivors (target = src0 slice; the
         # operator carries a `lang` column through its output, so the
-        # generator's `source` rides under that name)
-        t0 = time.monotonic()
-        weights = dsir_importance_weights(
-            kept.select("doc_id", F.col("source").alias("lang"), "text"),
-            F.col("lang") == "src0",
-            text_col="text",
-        ).select(
+        # generator's `source` rides under that name). Indexed mode is
+        # the standing-pipeline split: the term-count store build is the
+        # amortized one-time (or per-batch-extended) cost, the indexed
+        # scoring pass is the recurring per-build wall — and because the
+        # store holds exact integer counts over the SAME survivor corpus
+        # the one-shot form models, the weights are bit-identical
+        # (selection.py::dsir_weights_indexed contract).
+        kept_l = kept.select("doc_id", F.col("source").alias("lang"), "text")
+        if args.dsir == "indexed":
+            dsir_root = tempfile.mkdtemp(prefix="cdc_cbuild_dsir_")
+            dsir_store = dsir_root + "/dsir"
+            t0 = time.monotonic()
+            write_dsir_counts(kept_l, F.col("lang") == "src0", dsir_store)
+            report["dsir_store_build_s"] = round(time.monotonic() - t0, 1)
+            t0 = time.monotonic()
+            weights_raw = dsir_weights_indexed(spark, dsir_store, kept_l)
+        else:
+            t0 = time.monotonic()
+            weights_raw = dsir_importance_weights(
+                kept_l, F.col("lang") == "src0", text_col="text"
+            )
+        # persisted: the min/max probe and the rescale projection below
+        # both consume this frame — without it the whole scoring pass
+        # (tokenize + model join) runs twice
+        weights = weights_raw.select(
             "doc_id",
             F.round(F.col("weight") * WQ).cast("long").alias("wq"),
-        )
+        ).persist()
         # normalize to 64 integer levels: the PPS guard needs
         # W·k·PHASE_M < 2**61, and raw micro-quantized weights over a
         # 500k corpus blow it; inclusion probabilities depend only on
@@ -189,6 +220,10 @@ def main() -> None:
             s: {"n_sequences": int(a), "n_tokens": int(b)}
             for s, (a, b) in sorted(manifest.items())
         }
+        # recurring per-build wall: in indexed mode dsir_s is the
+        # store-probe scoring pass; the one-time store build is reported
+        # separately (dsir_store_build_s) — the amortization the
+        # standing pipeline (streaming/corpus_build.py) realizes
         report["total_s"] = round(
             report["quality_s"] + report["dedup_s"] + report["dsir_s"]
             + report["pps_s"] + report["split_pack_s"], 1,
@@ -196,6 +231,8 @@ def main() -> None:
         print(json.dumps(report))
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        if dsir_store is not None:
+            shutil.rmtree(os.path.dirname(dsir_store), ignore_errors=True)
         spark.stop()
 
 
