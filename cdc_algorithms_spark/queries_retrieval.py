@@ -814,6 +814,59 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENCODE_ORACLE = f"""
+WITH {_WORDS_CTE},
+wf AS (
+  SELECT lower(u.word) AS word, COUNT(*) AS wc
+  FROM w, UNNEST(w.words) AS u(word) GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wc * length(word)) AS BIGINT) AS char_occurrences,
+       CAST(SUM(wc * length(word)) AS BIGINT) AS token_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok
+FROM wf
+"""
+
+
+@register("bpe_encode_check", _BPE_ENCODE_ORACLE)
+def q_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer loop, driver-verified end to end
+    (operators/bpe.py::bpe_encode): learn the full merge table, encode
+    the distinct-word vocabulary with it, and report the two encoder
+    invariants as quantities the oracle recomputes INDEPENDENTLY of any
+    merge choice — ``token_chars`` (corpus character occurrences summed
+    THROUGH the emitted tokens, weighted by word frequency) must equal
+    the oracle's ``SUM(wc·length(word))``, and every word must
+    reassemble exactly from its token sequence (``n_roundtrip_ok`` =
+    ``n_words``) — the byte-conservation strategy the CDC concat checks
+    use, applied to subword tokenization. The merge-dependent
+    quantities (token ids, per-word token counts) stay pinned against
+    the independent reference implementation in tests/test_bpe.py;
+    this row proves the ENCODER run on the real corpus is lossless and
+    character-conserving, which no wrong merge application can fake
+    (a dropped/duplicated symbol breaks conservation, a misordered
+    merge breaks reassembly)."""
+    from cdc_algorithms_spark.operators.bpe import bpe_encode, learn_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = learn_bpe(docs, _BPE_MERGES)
+    enc = bpe_encode(docs, merges)
+    tok_chars = F.aggregate(
+        "tokens", F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("wc") * F.length("word")).cast("long").alias(
+            "char_occurrences"
+        ),
+        F.sum(F.col("wc") * tok_chars).cast("long").alias("token_chars"),
+        F.sum(
+            F.when(F.concat_ws("", F.col("tokens")) == F.col("word"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_roundtrip_ok"),
+    )
+
+
 _NEG_K = 10
 _NEG_SEM_K = 10
 
