@@ -835,6 +835,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "compaction_plan",
     "compaction_rewrite_check",
     "contrastive_hard_negatives",
+    "corpus_build_manifest",
     "cross_doc_dup_fraction",
     "curation_pipeline",
     "curriculum_order",
@@ -880,8 +881,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "lang_marker_hits",
     "language_id",
     "lm_bigram_scores",
+    "media_chunk_overlap_clone_check",
     "media_features_check",
     "media_frame_counts",
+    "media_phash_clone_check",
+    "media_phash_group_clone_check",
     "media_resized_summary",
     "media_summary",
     "minhash_lsh_pairs",
@@ -964,6 +968,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_ingest_disorder_check",
     "streaming_ingest_novelty",
     "streaming_ingest_pipeline",
+    "streaming_jaccard_index",
+    "streaming_media_phash_index",
     "streaming_near_dup_compacted",
     "streaming_near_dup_index",
     "streaming_novel_chunks_by_lang",
@@ -1034,16 +1040,15 @@ _ROWS_ONLY_WINDOW_TAIL: frozenset[str] = frozenset({
 })
 
 _VERIFY_WINDOW: list[str] = [
+    "streaming_media_chunk_index",
+    "streaming_corpus_build",
+    "bpe_encode_check",
     "media_phash_clone_check",
     "media_chunk_overlap_clone_check",
     "streaming_jaccard_index",
     "corpus_build_manifest",
     "streaming_media_phash_index",
     "media_phash_group_clone_check",
-    "media_features",
-    "media_phash_pairs",
-    "media_phash_dup_groups",
-    "media_chunk_overlap_pairs",
     "ann_drift_check",
     "streaming_dsir_weights",
     "hybrid_rrf_indexed",
@@ -1073,10 +1078,10 @@ _VERIFY_WINDOW: list[str] = [
     "dedup_stats_by_lang",
     "parallel_ae_concat_check",
     "parallel_ae_tiling_check",
-    "parallel_rabin_tiling_check",
-    "parallel_rabin_concat_check",
-    "incremental_ingest_stats",
-    "dedup_sketch_report_fixed",
+    "embedding_clusters",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "semantic_dedup_check",
     "snapshot_diff_fixed",
     "change_ratio_fixed",
     "sync_plan_fixed",
@@ -1084,6 +1089,7 @@ _VERIFY_WINDOW: list[str] = [
     "snapshot_diff_ae_localization_check",
     "doc_table_diff",
     "cdc_apply_check",
+    "store_gc_plan_fixed",
 ]
 
 
