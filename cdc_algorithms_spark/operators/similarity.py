@@ -457,36 +457,37 @@ def pq_codebooks(
     footprint is the m x ksub x (dim/m) codebook matrix — a few KB —
     while every data-side step stays a DataFrame expression.
 
-    Init matches the per-subspace form: subspace j's codewords are the
-    ksub sub-vectors ranked first by ``xxhash64(id, seed + j)`` —
-    stable across runs and partitionings, computed in one pass via a
-    per-subspace rank window over the exploded slices."""
+    Init: the ksub corpus vectors ranked first by ``xxhash64(id,
+    seed)`` — the same deterministic pseudo-random draw as the coarse
+    init — sliced per subspace (subspace j's codewords are those rows'
+    j-th sub-vectors). One TakeOrderedAndProject job: map-side partial
+    top-ksub + driver merge, NO shuffle sort — a per-subspace rank
+    window would ``partitionBy`` a column with only m distinct values
+    and sort the whole corpus inside m tasks, the hot-key-window shape
+    this repo bans (COVERAGE §2.5 skew row). Cross-subspace init
+    correlation (the m sub-inits come from the same ksub rows) is
+    harmless: each subspace's Lloyd recurrence runs independently and
+    its init is still ksub iid pseudo-random draws from that
+    subspace's marginal."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    from pyspark.sql import Window
-
     sub = dim // m
-    slices = corpus.select(
-        F.posexplode(
-            F.array(*[
-                F.struct(
-                    F.xxhash64(F.col(corpus_id), F.lit(seed + j)).alias("h"),
-                    F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
-                )
-                for j in range(m)
-            ])
-        ).alias("j", "s")
-    ).select("j", F.col("s.h").alias("h"), F.col("s.sv").alias("sv"))
-    rank = F.row_number().over(Window.partitionBy("j").orderBy("h"))
     init = (
-        slices.withColumn("rn", rank)
-        .where(F.col("rn") <= ksub)
-        .select("j", "rn", "sv")
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(corpus_id), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(ksub)
         .collect()
     )
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(init, key=lambda r: (r["j"], r["rn"])):
-        books[r["j"]].append(list(map(float, r["sv"])))
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["v"][j * sub : (j + 1) * sub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
     if not books[0]:  # empty corpus: no codewords anywhere
         return books
     for _ in range(iters):
