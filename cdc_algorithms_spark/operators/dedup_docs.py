@@ -1333,9 +1333,29 @@ def connected_components(
     # the edge table, the big side at scale, shuffles zero times in the
     # loop. (distinct() hash-partitions on (src, dst); one extra
     # repartition here buys shuffle-free iterations.)
+    #
+    # Symmetrize with ONE pass over ``pairs`` (posexplode of the two
+    # directed copies), not union(pairs, pairs.reversed): Catalyst does
+    # not share a subtree across union branches, so the union form
+    # executed the entire upstream pair pipeline (shingle + candidate
+    # join + exact verification) TWICE per edge build — measured 14.6 s
+    # of the 16.5 s executor CPU of dedup_components at sf0.1 in one
+    # doubled stage (guide §2.4: remove recomputation before tuning
+    # anything else).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .repartition("src")
         .persist()
@@ -1422,14 +1442,24 @@ def connected_components_star(
     minimum. Use min-label for shallow near-dup clusters (fewer, lighter
     rounds); use this for adversarial shapes.
     """
+    # one-pass symmetrization (see connected_components: a union of two
+    # selects over ``pairs`` executes the upstream pair pipeline twice)
     sym = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("__e")
         )
+        .select("__e.u", "__e.v")
         .distinct()
     )
+    # NOTE: self-loop pairs are kept here on purpose — they contribute
+    # their node to ``nodes`` (an isolated self-paired doc must still
+    # come out labeled with itself); _star's ``directed`` drops them
+    # from propagation exactly as before.
     nodes = sym.select(F.col("u").alias("doc_id")).distinct()
 
     def _edge_sig(e: DataFrame):

@@ -63,6 +63,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{evdir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,11 +87,19 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ------------------------------------------
-    path = None
-    for f in os.listdir(evdir):
+    # Spark 4 default: rolling layout eventlog_v2_<appid>/events_* files
+    paths: list[str] = []
+    for f in sorted(os.listdir(evdir)):
+        full = os.path.join(evdir, f)
         if f.startswith(app_id):
-            path = os.path.join(evdir, f)
-    if path is None:
+            paths.append(full)
+        elif f == f"eventlog_v2_{app_id}" and os.path.isdir(full):
+            paths.extend(
+                os.path.join(full, g)
+                for g in sorted(os.listdir(full))
+                if g.startswith("events_")
+            )
+    if not paths:
         print(f"no event log found in {evdir}", file=sys.stderr)
         sys.exit(1)
 
@@ -99,8 +109,13 @@ def main() -> None:
     stages: dict[int, dict] = {}
     task_metrics: dict[int, dict] = {}
 
-    with open(path) as f:
-        for line in f:
+    def _lines():
+        for p in paths:
+            with open(p) as f:
+                yield from f
+
+    for line in _lines():
+        if True:
             ev = json.loads(line)
             et = ev.get("Event")
             if et == "SparkListenerJobStart":
