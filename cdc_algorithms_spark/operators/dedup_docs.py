@@ -171,6 +171,30 @@ def doc_shingles(
     )
 
 
+def _hashed_doc_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, shingle: long) — doc_shingles with each shingle replaced
+    by its xxhash64. The exact-Jaccard family only ever compares
+    shingles for equality and counts them (df ranking, intersection
+    size) — it never emits shingle text — so an 8-byte key carries the
+    full computation at a fraction of the 20-40 byte string's cost:
+    smaller shuffles and a smaller durable index (guide §2.3 "narrower
+    types"), and array_sort / array_intersect over longs instead of
+    strings in the CPU-dense verification tail. Results are unchanged
+    absent an xxhash64 collision between two shingles of the same
+    document pair (~n²/2⁶⁴; the oracle value-hash at every driver SF
+    pins the equality, same engineering budget as the minhash and
+    128-bit fingerprint tiers). Ties in the rarest-first (df, shingle)
+    order now break by hash rather than by string — a different frozen
+    total order, which the prefix-filter theorem explicitly allows
+    (candidate supersets differ; exact verification decides
+    membership)."""
+    return doc_shingles(docs, n, id_col, text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+
+
 def _shingle_sets(
     docs: DataFrame,
     n: int,
@@ -183,7 +207,7 @@ def _shingle_sets(
     rarest-first shingle arrays (verification sets) and their prefix
     explode (candidate-join probe). See ngram_jaccard_pairs for the
     prefix-filter argument."""
-    sh = doc_shingles(docs, n, id_col, text_col)
+    sh = _hashed_doc_shingles(docs, n, id_col, text_col)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -375,7 +399,7 @@ def jaccard_prefix_index(
             F.col("shingle"),
         )
         if elements is not None
-        else doc_shingles(corpus, n, id_col, text_col)
+        else _hashed_doc_shingles(corpus, n, id_col, text_col)
     )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (
@@ -554,7 +578,7 @@ def extend_jaccard_index(
             F.col(id_col).cast("long").alias("doc_id"), F.col("shingle")
         )
         if elements is not None
-        else doc_shingles(batch, n, id_col, text_col)
+        else _hashed_doc_shingles(batch, n, id_col, text_col)
     ).persist()
     try:
         buckets = [
@@ -721,7 +745,7 @@ def incremental_jaccard_pairs_indexed(
             F.col(id_col).cast("long").alias("doc_id"), F.col("shingle")
         )
         if elements is not None
-        else doc_shingles(batch, n, id_col, text_col)
+        else _hashed_doc_shingles(batch, n, id_col, text_col)
     )
     if pruned:
         # persisted: feeds the bucket-set collect AND the ranking join
@@ -802,7 +826,12 @@ def incremental_jaccard_pairs_indexed(
         sets_index = sets_index.where(
             F.col("id_bucket").isin(id_bs)
         ).drop("id_bucket")
-    sets = (
+    # persisted: _verify_pairs consumes this frame TWICE (the id_a and
+    # id_b sides) and Catalyst shares nothing across join branches — the
+    # unpersisted form re-ran the union + semi-join and re-scanned the
+    # sets_index parquet once per side (guide §2.4). The frame is
+    # candidate-sized (semi-joined), so the cache is tiny.
+    sets = _persist(
         sets_index.select("doc_id", "sh")
         .unionByName(batch_sets.select("doc_id", "sh"))
         .join(cand_ids, "doc_id", "left_semi")

@@ -563,7 +563,7 @@ def test_bucketed_index_probe_reads_only_matching_buckets(spark, tmp_path):
     # and a strict subset of the index
     buckets = {
         r[0]
-        for r in dd.doc_shingles(batch, 3, "doc_id", "text")
+        for r in dd._hashed_doc_shingles(batch, 3, "doc_id", "text")
         .select(dd._sh_bucket("shingle", dd.JACCARD_SH_BUCKETS).alias("b"))
         .distinct()
         .collect()
