@@ -124,9 +124,14 @@ def split_leakage(
     """
     from cdc_algorithms_spark.operators.dedup_docs import _persist
 
-    touched = pairs.select(F.col(id_a).alias(id_col)).unionByName(
-        pairs.select(F.col(id_b).alias(id_col))
-    ).distinct()
+    # one explode, not union(select(a), select(b)): the union form
+    # executes the (often expensive, unpersisted) pair pipeline once per
+    # branch — same fix as connected_components' edge symmetrization
+    touched = (
+        pairs.select(
+            F.explode(F.array(F.col(id_a), F.col(id_b))).alias(id_col)
+        ).distinct()
+    )
     # persisted: `small` feeds BOTH broadcast sides below — without it
     # each side re-executes the lineage, scanning the corpus-sized
     # assignment twice. It is pair-list-sized, so the cache is tiny
