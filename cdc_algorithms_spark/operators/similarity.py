@@ -74,15 +74,45 @@ def _hyperplanes(dim: int, bits: int, seed: int):
     return rng.uniform(-1.0, 1.0, (bits, dim)).tolist()
 
 
+def _planes_sql(planes: list[list[float]]) -> str:
+    """Nested ``array(array(...D, ...), ...)`` SQL literal for a plane /
+    centroid matrix. ``repr`` round-trips Python floats exactly, so the
+    parsed doubles are bit-identical to the F.lit form."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+        )
+        + ")"
+    )
+
+
+def _vec_sql(vec_col) -> str:
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    return f"cast(`{name}` as array<double>)"
+
+
 def lsh_bucket(vec_col, dim: int, bits: int, seed: int = 42):
     """Sign-LSH bucket id: bit b = sign(v · plane_b). Pure expression
-    over literal plane arrays — reproducible across runs and engines."""
+    over literal plane arrays — reproducible across runs and engines.
+
+    Built as ONE ``F.expr`` over a nested array literal: the per-bit
+    Python loop of dot_product + when + lit calls cost ~1.2 s of
+    driver-side py4j roundtrips PER CONSTRUCTION (measured; the bench
+    re-constructs every query per timed run, and lsh_topk builds this
+    twice). Same zip_with/aggregate float ops in the same order, so
+    bucket ids are unchanged."""
     planes = _hyperplanes(dim, bits, seed)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        d = dot_product(vec_col, F.lit(planes[b]))
-        acc = acc + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return acc
+    v = _vec_sql(vec_col)
+    return F.expr(
+        "aggregate("
+        f"  zip_with({_planes_sql(planes)}, sequence(0, {bits - 1}),"
+        "    (p, b) -> IF("
+        f"      aggregate(zip_with({v}, p, (x, y) -> x * y), 0.0D,"
+        "        (acc, val) -> acc + val) >= 0,"
+        "      shiftleft(1L, b), 0L)),"
+        "  0L, (acc, x) -> acc + x)"
+    )
 
 
 def _sq_dist_to(vec_col, centroid: list[float]):
@@ -269,8 +299,12 @@ def lsh_topk(
     its one bucket group.
     """
     planes = _hyperplanes(dim, bits, seed)
-    margins = F.array(
-        *[F.abs(dot_product(F.col("qv"), F.lit(planes[b]))) for b in range(bits)]
+    # one F.expr over the plane literal (see lsh_bucket: the unrolled
+    # per-bit form cost ~0.3 s of py4j construction per call)
+    margins = F.expr(
+        f"transform({_planes_sql(planes)},"
+        f"  p -> abs(aggregate(zip_with({_vec_sql(vec_col)}, p,"
+        "    (x, y) -> x * y), 0.0D, (acc, val) -> acc + val)))"
     )
     q0 = queries.select(
         F.col(query_id).cast("long").alias("query_id"),

@@ -30,6 +30,17 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Lazy-PLAN cache: (applicationId, sf_dir, name) -> the unresolved scan
+# DataFrame. spark.read.parquet pays driver-side footer/schema inference
+# on EVERY call (~50-150 ms of py4j + file I/O per table); a suite that
+# constructs hundreds of queries over the same ten fixture tables paid
+# that per construction (guide §7.3 — driver-side planning work). The
+# cached object is a LAZY plan over immutable fixture files: every
+# action still scans parquet, nothing about results is memoized, and a
+# new session (new applicationId) re-infers from disk.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one fixture table as a DataFrame (parquet scan, pruned lazily).
 
@@ -38,6 +49,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     at µs precision here so downstream queries see a timestamp column.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
@@ -54,6 +69,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
         for c in ntz_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if len(_TABLE_PLAN_CACHE) > 64:  # bound: stale sessions' keys are dead
+        _TABLE_PLAN_CACHE.clear()
+    _TABLE_PLAN_CACHE[key] = df
     return df
 
 
