@@ -30,6 +30,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Python worker daemon with pandas/pyarrow preloaded and zipimport
+    # cache invalidation frozen (cdc_algorithms_spark/daemon_preload.py):
+    # measured ~0.5 s import chain per fresh worker and ~230 ms of
+    # zip-directory re-reads per TASK without it (guide §4.5 — init
+    # heavyweight state once). The daemon resolves the module with the
+    # worker interpreter, which inherits this process's env — pin the
+    # package root onto PYTHONPATH BEFORE the JVM launches so the
+    # daemon import works regardless of the driver's cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -62,5 +77,12 @@ def get_spark(
         # has 128 GiB; on a real cluster this maps to executor memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.python.daemon.module",
+            "cdc_algorithms_spark.daemon_preload",
+        )
+        # cluster posture: executors don't inherit the driver's env, so
+        # ship the package root explicitly for the daemon import
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     return builder.getOrCreate()
