@@ -76,7 +76,7 @@ FROM keyed
 
 @register("exact_dedup_docs", _EXACT_DEDUP_ORACLE)
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, "documents", sf_dir))
+    return exact_dedup(load_table(spark, "documents", sf_dir, spread=True))
 
 
 # --- Exact n-gram Jaccard near-dup (inverted index join) -------------------
@@ -103,7 +103,7 @@ SELECT * FROM (
 @register("ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir),
+        load_table(spark, "documents", sf_dir, spread=True),
         n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,
     )
@@ -131,7 +131,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     A genuine recall regression (banding bug, seed drift) fails this
     oracle loudly."""
     return minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir),
+        load_table(spark, "documents", sf_dir, spread=True),
         n=JACCARD_N,
         num_hashes=32,
         bands=8,
@@ -142,7 +142,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs")
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+    return simhash_pairs(load_table(spark, "documents", sf_dir, spread=True), max_hamming=3)
 
 
 # --- Embedding near-dup + similarity search --------------------------------
@@ -381,7 +381,7 @@ FROM feat
 
 @register("quality_scores", _QUALITY_ORACLE)
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(load_table(spark, "documents", sf_dir))
+    return quality_scores(load_table(spark, "documents", sf_dir, spread=True))
 
 
 _TOKENS_ORACLE = r"""
@@ -397,7 +397,7 @@ FROM documents
 
 @register("token_counts", _TOKENS_ORACLE)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(load_table(spark, "documents", sf_dir))
+    return token_counts(load_table(spark, "documents", sf_dir, spread=True))
 
 
 @register("doc_fingerprints")
@@ -407,7 +407,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/textstats.py::doc_fingerprints_fast)."""
     from cdc_algorithms_spark.operators.textstats import doc_fingerprints_fast
 
-    return doc_fingerprints_fast(load_table(spark, "documents", sf_dir))
+    return doc_fingerprints_fast(load_table(spark, "documents", sf_dir, spread=True))
 
 
 # --- Multimodal plumbing ---------------------------------------------------
@@ -1397,7 +1397,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup_docs import connected_components
 
     pairs = ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir),
+        load_table(spark, "documents", sf_dir, spread=True),
         n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,
     )
@@ -1499,7 +1499,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only its local top-k per language BEFORE the exchange, so the
     final per-language sort sees ≤ k·partitions rows, never the whole
     vocabulary (pinned in test_plans.py)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     doc_term = (
         docs.select("doc_id", "lang", F.explode(words("text")).alias("word"))
         .select("doc_id", "lang", F.lower("word").alias("term"))
@@ -1692,7 +1692,7 @@ FROM c GROUP BY 1, 2
 def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import repetition_ratios
 
-    return repetition_ratios(load_table(spark, "documents", sf_dir), ns=(2, 5))
+    return repetition_ratios(load_table(spark, "documents", sf_dir, spread=True), ns=(2, 5))
 
 
 # --- end-to-end curation pipeline ------------------------------------------
@@ -1775,7 +1775,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       the tiny aggregated frame, broadcast back, local running sum
       within each bounded bucket — no whole-language single-task window.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     good_ids = (
         quality_scores(docs)
         .where(F.col("quality_score") >= 0.5)
@@ -1843,7 +1843,7 @@ FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup_docs import decontaminate
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     bench = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
     train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
     return decontaminate(train, bench, n=DECONTAM_N)
@@ -1976,7 +1976,7 @@ GROUP BY bi.doc_id
 def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import lm_bigram_scores
 
-    return lm_bigram_scores(load_table(spark, "documents", sf_dir))
+    return lm_bigram_scores(load_table(spark, "documents", sf_dir, spread=True))
 
 
 # --- character-entropy scoring ----------------------------------------------
@@ -2003,7 +2003,7 @@ FROM freq GROUP BY doc_id
 def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import char_entropy_scores
 
-    return char_entropy_scores(load_table(spark, "documents", sf_dir))
+    return char_entropy_scores(load_table(spark, "documents", sf_dir, spread=True))
 
 
 # --- dedup cluster representatives ------------------------------------------
@@ -2049,7 +2049,7 @@ GROUP BY c.component_id""",
 def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup_docs import connected_components
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     comp = connected_components(
         ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
     )
@@ -2104,7 +2104,7 @@ FROM aug
 def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import pii_scrub
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -2163,7 +2163,7 @@ WHERE q.quality_score >= t.p10 AND q.quality_score <= t.p90
 
 @register("quality_band_by_lang", _QUALITY_BAND_ORACLE)
 def q_quality_band_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     scored = quality_scores(docs).select("doc_id", "quality_score").join(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"), "doc_id"
     )
@@ -2255,7 +2255,7 @@ FROM (
 def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import clean_text
 
-    return clean_text(load_table(spark, "documents", sf_dir))
+    return clean_text(load_table(spark, "documents", sf_dir, spread=True))
 
 
 # --- per-group sequence packing ---------------------------------------------

@@ -41,15 +41,31 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    spread: bool = False,
+) -> DataFrame:
     """Load one fixture table as a DataFrame (parquet scan, pruned lazily).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as a
     long only (``nanosAsLong``, session.py); convert to a proper timestamp
     at µs precision here so downstream queries see a timestamp column.
+
+    ``spread=True`` is for per-row CPU-HEAVY consumers (regex quality
+    scoring, n-gram/fingerprint transforms): a small parquet file is one
+    row group, so its scan is ONE task no matter how many cores exist,
+    and everything fused into that scan single-threads (guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"). When the file is smaller than one scan split
+    (``spark.sql.files.maxPartitionBytes``) the frame is hash-
+    repartitioned over ``defaultParallelism``; at production sizes the
+    condition is false and this is a no-op — scale-adaptive by
+    construction, never a constant tuned to this box.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
     cached = _TABLE_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -69,6 +85,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
         for c in ntz_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if spread:
+        try:
+            fsize = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+            max_split = int(
+                str(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                ).rstrip("b")
+            )
+        except (OSError, ValueError):
+            fsize, max_split = 0, 1
+        if fsize < max_split:
+            first = df.columns[0]
+            df = df.repartition(
+                spark.sparkContext.defaultParallelism, first
+            )
     if len(_TABLE_PLAN_CACHE) > 64:  # bound: stale sessions' keys are dead
         _TABLE_PLAN_CACHE.clear()
     _TABLE_PLAN_CACHE[key] = df
