@@ -59,7 +59,7 @@ FROM documents d, UNNEST(range(0, d.n_chars, {FIXED_SIZE})) AS u(off)
 
 @register("fixed_chunks", _FIXED_CHUNKS_ORACLE)
 def q_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     return fixed_chunks(docs, FIXED_SIZE)
 
 
@@ -86,7 +86,7 @@ FROM per_key GROUP BY algo
 
 @register("fixed_dedup_stats", _FIXED_DEDUP_ORACLE)
 def q_fixed_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     return dedup_stats(fixed_chunks(docs, FIXED_SIZE))
 
 
@@ -210,7 +210,7 @@ def q_dedup_stats_all_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check (CDC cuts aren't SQL-expressible; each
     branch's own *_dedup_stats / concat invariants are checked
     separately)."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     out = dedup_stats(fixed_chunks(docs, FIXED_SIZE))
     for conf in CDC_CONFIGS.values():
         out = out.unionByName(dedup_stats(cdc_chunks(docs, **conf)))
@@ -237,7 +237,7 @@ FROM chunks GROUP BY algo, bucket_lo
 def q_chunk_size_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup import chunk_size_histogram
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     return chunk_size_histogram(fixed_chunks(docs, FIXED_SIZE), _HIST_BUCKET)
 
 
@@ -282,7 +282,7 @@ def q_dedup_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension joins in from documents (the fact/dim shape at scale)."""
     from cdc_algorithms_spark.operators.dedup import dedup_stats_by
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     chunks = fixed_chunks(docs, FIXED_SIZE)
     labeled = chunks.join(
         F.broadcast(docs.select(F.col("doc_id").alias("src_id"), "lang")),
@@ -322,7 +322,7 @@ def documents_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a test-scale convenience; at 100 TB blobs arrive pre-formed from
     ``binaryFile`` sources.
     """
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     return (
         docs.agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("arr")
@@ -524,7 +524,7 @@ FROM marked
 def q_incremental_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.ingest import chunk_index, ingest_stats
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     chunks = fixed_chunks(docs, FIXED_SIZE)
     index = chunk_index(
         chunks.where(F.col("src_id") % _INGEST_MOD != 0), key_col="chunk_text"
@@ -605,7 +605,7 @@ def _with_exact_unique(per_and_glob: DataFrame, chunks: DataFrame) -> DataFrame:
 def q_dedup_sketch_report_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.sketches import sketch_dedup_report
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     chunks = fixed_chunks(docs, FIXED_SIZE).join(
         docs.select(F.col("doc_id").alias("src_id"), "lang"), "src_id"
     )
@@ -685,7 +685,7 @@ FROM documents d JOIN r ON r.src_id = d.doc_id
 def q_reconstruct_docs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup import reconstruct_docs
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     chunks = fixed_chunks(docs, FIXED_SIZE).withColumn(
         "hash", F.xxhash64("chunk_text")
     )
@@ -730,7 +730,7 @@ LIMIT {_BOILERPLATE_TOPK}
 
 @register("boilerplate_chunks", _BOILERPLATE_ORACLE)
 def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     per_chunk = (
         fixed_chunks(docs, FIXED_SIZE)
         .groupBy("chunk_text")
@@ -781,7 +781,7 @@ HAVING COUNT(*) >= 2
 def q_duplicated_spans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup import duplicated_spans
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     return duplicated_spans(fixed_chunks(docs, FIXED_SIZE), min_chunks=2)
 
 

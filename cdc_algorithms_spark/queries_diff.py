@@ -82,7 +82,7 @@ FROM j GROUP BY src_id
 
 @register("snapshot_diff_fixed", _DIFF_SUMMARY_ORACLE)
 def snapshot_diff_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     return snapshot_diff_summary(old, new)
@@ -90,7 +90,7 @@ def snapshot_diff_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("change_ratio_fixed", _CHANGE_RATIO_ORACLE)
 def change_ratio_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     return change_ratio(old, new)
@@ -132,7 +132,7 @@ FROM ranked GROUP BY src_id
 def sync_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-sync transfer plan: bytes to ship per source when the old
     snapshot's content store already exists (operators/diff.py::sync_plan)."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     return sync_plan(old, new)
@@ -144,7 +144,7 @@ def snapshot_diff_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     AE cut positions aren't SQL-expressible; byte conservation through
     the same diff is oracle-checked by snapshot_diff_ae_conservation,
     and the CDC-vs-fixed contrast is asserted in tests/test_diff.py)."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = cdc_chunks(docs, "ae", 320)
     new = cdc_chunks(perturb_documents(docs), "ae", 320)
     return snapshot_diff_summary(old, new)
@@ -172,7 +172,7 @@ def snapshot_diff_ae_conservation(spark: SparkSession, sf_dir: str) -> DataFrame
     computed corpus sizes."""
     from cdc_algorithms_spark.operators.diff import snapshot_diff
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = cdc_chunks(docs, "ae", 320)
     new = cdc_chunks(perturb_documents(docs), "ae", 320)
     d = snapshot_diff(old, new)
@@ -223,7 +223,7 @@ def snapshot_diff_ae_localization_check(
     the three byte columns are exact values DuckDB recomputes."""
     from cdc_algorithms_spark.operators.diff import snapshot_diff
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = cdc_chunks(docs, "ae", 320)
     new = cdc_chunks(perturb_documents(docs), "ae", 320)
     d = snapshot_diff(old, new)
@@ -313,7 +313,7 @@ FROM j GROUP BY status
 def q_doc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.diff import table_diff_summary
 
-    old = load_table(spark, "documents", sf_dir, spread=True)
+    old = load_table(spark, "documents", sf_dir)
     base = perturb_documents(old)
     new = (
         base.where(F.col("doc_id") % 17 != 3)
@@ -348,7 +348,7 @@ def q_cdc_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the contract: n_docs rows, zero mismatches."""
     from cdc_algorithms_spark.operators.diff import apply_changes, table_changes
 
-    old = load_table(spark, "documents", sf_dir, spread=True)
+    old = load_table(spark, "documents", sf_dir)
     base = perturb_documents(old)
     new = (
         base.where(F.col("doc_id") % 17 != 3)
@@ -420,7 +420,7 @@ def store_gc_plan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the 8-byte xxhash64 identity."""
     from cdc_algorithms_spark.operators.dedup import store_gc_plan
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     store = (
@@ -497,7 +497,7 @@ def chunk_version_matrix_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     r are exactly what a retention drop of snapshots < r reclaims."""
     from cdc_algorithms_spark.operators.diff import chunk_version_matrix
 
-    v0 = load_table(spark, "documents", sf_dir, spread=True)
+    v0 = load_table(spark, "documents", sf_dir)
     v1 = perturb_documents(v0)
     v2 = perturb_documents(v1)
     return chunk_version_matrix(
@@ -579,7 +579,7 @@ def sync_plan_budgeted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes, boundary class taken by closed-form count."""
     from cdc_algorithms_spark.operators.diff import sync_plan_budgeted
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     old = fixed_chunks(docs, _SIZE)
     new = fixed_chunks(perturb_documents(docs), _SIZE)
     return sync_plan_budgeted(old, new, _SYNC_BUDGET)

@@ -76,7 +76,7 @@ FROM keyed
 
 @register("exact_dedup_docs", _EXACT_DEDUP_ORACLE)
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, "documents", sf_dir, spread=True))
+    return exact_dedup(load_table(spark, "documents", sf_dir))
 
 
 # --- Exact n-gram Jaccard near-dup (inverted index join) -------------------
@@ -381,7 +381,7 @@ FROM feat
 
 @register("quality_scores", _QUALITY_ORACLE)
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(load_table(spark, "documents", sf_dir, spread=True))
+    return quality_scores(load_table(spark, "documents", sf_dir))
 
 
 _TOKENS_ORACLE = r"""
@@ -397,7 +397,7 @@ FROM documents
 
 @register("token_counts", _TOKENS_ORACLE)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(load_table(spark, "documents", sf_dir, spread=True))
+    return token_counts(load_table(spark, "documents", sf_dir))
 
 
 @register("doc_fingerprints")
@@ -1499,7 +1499,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only its local top-k per language BEFORE the exchange, so the
     final per-language sort sees ≤ k·partitions rows, never the whole
     vocabulary (pinned in test_plans.py)."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     doc_term = (
         docs.select("doc_id", "lang", F.explode(words("text")).alias("word"))
         .select("doc_id", "lang", F.lower("word").alias("term"))
@@ -1976,7 +1976,7 @@ GROUP BY bi.doc_id
 def q_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import lm_bigram_scores
 
-    return lm_bigram_scores(load_table(spark, "documents", sf_dir, spread=True))
+    return lm_bigram_scores(load_table(spark, "documents", sf_dir))
 
 
 # --- character-entropy scoring ----------------------------------------------
@@ -2003,7 +2003,7 @@ FROM freq GROUP BY doc_id
 def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import char_entropy_scores
 
-    return char_entropy_scores(load_table(spark, "documents", sf_dir, spread=True))
+    return char_entropy_scores(load_table(spark, "documents", sf_dir))
 
 
 # --- dedup cluster representatives ------------------------------------------
@@ -2104,7 +2104,7 @@ FROM aug
 def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import pii_scrub
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -2255,7 +2255,7 @@ FROM (
 def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.textstats import clean_text
 
-    return clean_text(load_table(spark, "documents", sf_dir, spread=True))
+    return clean_text(load_table(spark, "documents", sf_dir))
 
 
 # --- per-group sequence packing ---------------------------------------------
