@@ -172,20 +172,20 @@ FROM documents WHERE n_chars > 0
 
 def _register_cdc(name: str, conf: dict) -> None:
     def q_chunks(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
-        return cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **_c)
+        return cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
 
     def q_concat(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
-        chunks = cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **_c)
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
         return chunks.groupBy("src_id").agg(
             F.sum("length").cast("long").alias("total_len")
         )
 
     def q_stats(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
-        chunks = cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **_c)
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
         return dedup_stats(chunks)
 
     def q_tiling(spark: SparkSession, sf_dir: str, _c=conf) -> DataFrame:
-        chunks = cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **_c)
+        chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **_c)
         return _tiling_check(chunks, per_src=True)
 
     SPARK_QUERIES[f"{name}_chunks"] = q_chunks
@@ -247,7 +247,7 @@ def q_chunk_size_histogram_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamp shows up as a long right tail vs Rabin/FastCDC)."""
     from cdc_algorithms_spark.operators.dedup import chunk_size_histogram
 
-    chunks = cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **CDC_CONFIGS["ae"])
+    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS["ae"])
     return chunk_size_histogram(chunks, _HIST_BUCKET)
 
 
@@ -299,7 +299,7 @@ def q_ae_dedup_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_ops.py."""
     from cdc_algorithms_spark.operators.dedup import approx_dedup_stats
 
-    chunks = cdc_chunks(load_table(spark, "documents", sf_dir, spread=True), **CDC_CONFIGS["ae"])
+    chunks = cdc_chunks(load_table(spark, "documents", sf_dir), **CDC_CONFIGS["ae"])
     return approx_dedup_stats(chunks)
 
 

@@ -152,9 +152,16 @@ def process_corpus_batch(
     good = quality_scores(batch).where(
         F.col("quality_score") >= qmin
     ).select("doc_id")
-    fdocs = batch.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
-    ).join(good, "doc_id", "left_semi")
+    # persisted: six consumers (probe, extend, DSIR extend, doc-tf,
+    # docs delta, plus the seed path's index build) would otherwise each
+    # re-run the quality regex pass over the batch
+    fdocs = (
+        batch.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+        )
+        .join(good, "doc_id", "left_semi")
+        .persist()
+    )
 
     seed_epoch = _read_seed_epoch(spark, root)
     seeding = seed_epoch is None or seed_epoch == epoch
@@ -173,20 +180,33 @@ def process_corpus_batch(
     else:
         # probe BEFORE extending (a replay's store already holds this
         # epoch's ids — same ids ⇒ the candidate distinct dedupes to
-        # the same pair set, keeping the rewritten delta value-equal)
+        # the same pair set, keeping the rewritten delta value-equal).
+        # The batch's hashed shingle set is computed ONCE and passed to
+        # both the probe and the extend as the `elements` frame — the
+        # two verbs otherwise re-run the identical tokenize + shingle +
+        # hash pass per epoch.
+        from cdc_algorithms_spark.operators.dedup_docs import (
+            _hashed_doc_shingles,
+        )
+
+        batch_sh = _hashed_doc_shingles(
+            fdocs, n, "doc_id", "text"
+        ).persist()
         pairs = incremental_jaccard_pairs_indexed(
             read_jaccard_index_live(spark, jpath),
             fdocs.select("doc_id", "text"),
             n=n,
             threshold=threshold,
+            elements=batch_sh,
         )
         pairs.write.mode("overwrite").parquet(
             f"{root}/pairs_delta/epoch_{epoch}"
         )
         extend_jaccard_index(
             spark, jpath, fdocs.select("doc_id", "text"), epoch,
-            n=n, threshold=threshold,
+            n=n, threshold=threshold, elements=batch_sh,
         )
+        batch_sh.unpersist()
         extend_dsir_counts(
             spark, f"{root}/dsir", fdocs, target_pred, epoch
         )
@@ -208,6 +228,7 @@ def process_corpus_batch(
         "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
     ).write.mode("overwrite").parquet(f"{root}/docs_delta/epoch_{epoch}")
     # the probe's internal persists served their writes — reclaim
+    fdocs.unpersist()
     release_cached_frames()
 
 
