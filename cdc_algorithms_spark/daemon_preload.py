@@ -45,17 +45,34 @@ for _mod in (
 # shipping relies on — is left untouched.
 # ---------------------------------------------------------------------------
 try:
+    import os
     import sys
     import zipimport
 
+    _orig_invalidate = zipimport.zipimporter.invalidate_caches
+
+    def _invalidate_unless_spark_install(self):  # type: ignore[no-untyped-def]
+        """Skip invalidation ONLY for the immutable Spark-install
+        archives (pyspark.zip, py4j-*.zip): those can never change
+        under a running application, so re-reading their central
+        directory per task is pure waste. Any OTHER zip — e.g. one
+        shipped via ``sc.addPyFile``/``--py-files`` that an application
+        could legitimately re-ship mid-run — falls through to the
+        original method, so dynamic code shipping keeps its stock
+        invalidation semantics."""
+        base = os.path.basename(getattr(self, "archive", "") or "")
+        if base == "pyspark.zip" or (
+            base.startswith("py4j-") and base.endswith(".zip")
+        ):
+            return
+        _orig_invalidate(self)
+
     zipimport.zipimporter.invalidate_caches = (  # type: ignore[method-assign]
-        lambda self: None
+        _invalidate_unless_spark_install
     )
     # drop sys.path zip entries that do not exist (a stale
     # lib/python311.zip ships in this interpreter's default path):
     # every per-task invalidate/stat cycle probes them for nothing
-    import os
-
     sys.path[:] = [
         p
         for p in sys.path

@@ -54,7 +54,19 @@ _CACHED_FRAMES: list[DataFrame] = []
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    """persist() + register with the module cache registry."""
+    """persist() + register with the module cache registry.
+
+    A frame whose logical plan is ALREADY cached is returned as-is:
+    ``df.storageLevel`` consults the session CacheManager by
+    plan-equality, so re-building the identical plan (the bench
+    constructs each query fresh per timed run over plan-cached scans)
+    previously re-persisted the same entry — the JVM warned "Asked to
+    cache already cached data" and the registry double-counted it,
+    making :func:`release_cached_frames` accounting inexact (the second
+    unpersist was a no-op on an already-freed entry)."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
     df = df.persist()
     _CACHED_FRAMES.append(df)
     return df
@@ -430,6 +442,77 @@ def jaccard_prefix_index(
 JACCARD_SH_BUCKETS = 64
 JACCARD_ID_BUCKETS = 16
 
+# Format marker for the durable Jaccard index (r11 ADVICE): the r11
+# switch to xxhash64 shingles changed the on-disk shingle column from
+# string to bigint — a pre-existing string index probed/extended by new
+# code would either fail with an opaque parquet schema mismatch or
+# silently join string-vs-bigint under implicit coercion (empty
+# candidate sets = missed duplicates). The marker makes the mismatch a
+# loud, named error; the dtype cross-check below catches it even for
+# marker-less legacy stores.
+JACCARD_INDEX_META = "_index_meta.json"
+_JACCARD_FORMAT_VERSION = 2  # v1: string shingles (≤r10); v2: xxhash64 longs
+
+
+def _write_jaccard_index_meta(
+    spark, path: str, shingle_type: str, sh_buckets: int, id_buckets: int
+) -> None:
+    import json as _json
+
+    from cdc_algorithms_spark.operators.storeio import _fs_and_path
+
+    fs, p = _fs_and_path(spark, f"{path}/{JACCARD_INDEX_META}")
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(
+                    {
+                        "format_version": _JACCARD_FORMAT_VERSION,
+                        "shingle_type": shingle_type,
+                        "sh_buckets": int(sh_buckets),
+                        "id_buckets": int(id_buckets),
+                    }
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
+
+
+def _read_jaccard_index_meta(spark, path: str) -> dict | None:
+    import json as _json
+
+    from cdc_algorithms_spark.operators.storeio import _fs_and_path
+
+    fs, p = _fs_and_path(spark, f"{path}/{JACCARD_INDEX_META}")
+    if not fs.exists(p):
+        return None  # legacy store (pre-marker); dtype checks still apply
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return _json.loads(text)
+
+
+def _assert_shingle_type(store_type: str, batch_type: str, context: str) -> None:
+    """Loud failure for the silent-coercion trap: a store and a probe
+    batch whose shingle columns are different types can only ever join
+    under implicit casts — producing EMPTY candidate sets (missed
+    duplicate pairs), not an error. Raise with a rebuild hint instead."""
+    if store_type != batch_type:
+        raise ValueError(
+            f"jaccard index shingle type mismatch in {context}: the store "
+            f"carries shingle: {store_type} but the batch computes "
+            f"shingle: {batch_type}. This index was built by an "
+            "incompatible version (r11 changed shingles from string to "
+            "xxhash64 bigint) — rebuild it with write_jaccard_index, or "
+            "probe it with the code that built it."
+        )
+
 
 def _sh_bucket(col: str | Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
@@ -489,6 +572,13 @@ def write_jaccard_index(
         .partitionBy("sh_bucket")
         .parquet(f"{path}/prefix")
     )
+    _write_jaccard_index_meta(
+        df_counts.sparkSession,
+        path,
+        dict(df_counts.dtypes)["shingle"],
+        sh_buckets,
+        id_buckets,
+    )
 
 
 def read_jaccard_index(
@@ -498,9 +588,17 @@ def read_jaccard_index(
     their ``sh_bucket`` / ``id_bucket`` partition columns — their
     presence is what switches :func:`incremental_jaccard_pairs_indexed`
     onto the bucket-pruned probe path."""
-    return tuple(
+    out = tuple(
         spark.read.parquet(f"{path}/{name}") for name in ("df", "sets", "prefix")
     )
+    meta = _read_jaccard_index_meta(spark, path)
+    if meta is not None:
+        _assert_shingle_type(
+            meta["shingle_type"],
+            dict(out[0].dtypes)["shingle"],
+            f"read_jaccard_index({path})",
+        )
+    return out
 
 
 def read_jaccard_index_live(
@@ -517,6 +615,13 @@ def read_jaccard_index_live(
     from cdc_algorithms_spark.operators.storeio import live_epoch_dirs
 
     df_counts = spark.read.parquet(f"{path}/df")
+    meta = _read_jaccard_index_meta(spark, path)
+    if meta is not None:
+        _assert_shingle_type(
+            meta["shingle_type"],
+            dict(df_counts.dtypes)["shingle"],
+            f"read_jaccard_index_live({path})",
+        )
     out = [df_counts]
     for kind in ("sets", "prefix"):
         frame = spark.read.parquet(f"{path}/{kind}")
@@ -593,6 +698,11 @@ def extend_jaccard_index(
             spark.read.parquet(f"{path}/df")
             .where(F.col("sh_bucket").isin(buckets))
             .drop("sh_bucket")
+        )
+        _assert_shingle_type(
+            dict(df_index.dtypes)["shingle"],
+            dict(batch_sh.dtypes)["shingle"],
+            f"extend_jaccard_index({path})",
         )
         ranked = batch_sh.join(df_index, "shingle", "left").select(
             "doc_id", "shingle", F.coalesce("df", F.lit(0)).alias("df")
@@ -767,6 +877,11 @@ def incremental_jaccard_pairs_indexed(
         ).drop("sh_bucket")
     # frozen-order rank: corpus df, or 0 (rarest) for never-seen
     # shingles — an ORDER-EXTENSION, so corpus-time prefixes stay valid
+    _assert_shingle_type(
+        dict(df_index.dtypes)["shingle"],
+        dict(batch_sh.dtypes)["shingle"],
+        "incremental_jaccard_pairs_indexed",
+    )
     ranked = batch_sh.join(df_index, "shingle", "left").select(
         "doc_id", "shingle", F.coalesce("df", F.lit(0)).alias("df")
     )
@@ -1389,11 +1504,19 @@ def connected_components(
         .repartition("src")
         .persist()
     )
+    # LAZY checkpoints throughout the loop (eager=False): an eager
+    # localCheckpoint is its own job, so every round paid TWO job
+    # submissions (materialize new_labels, then count the changed rows).
+    # Lazily-marked RDDs are checkpointed by the first job that computes
+    # them — the convergence count below — so each round is ONE job and
+    # later rounds still read the materialized blocks, never the lineage
+    # (guide §7.3: driver-side job overhead is pure per-round floor at
+    # any scale; the O(diameter) loop pays it ~3-5x per query).
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 0
     converged = False
@@ -1417,8 +1540,11 @@ def connected_components(
                 ).alias("component_id"),
                 (F.col("neighbor_min") < F.col("component_id")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # this count materializes the lazy checkpoint above in the SAME
+        # job (LogicalRDD is opaque to Catalyst — the filter cannot be
+        # pushed below the checkpoint, so all columns/rows are saved)
         changed = new_labels.where(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
@@ -1523,10 +1649,12 @@ def connected_components_star(
                 directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .distinct()
-            .localCheckpoint()
+            # lazy: materialized by the round's _edge_sig collect — one
+            # job per round instead of three (see connected_components)
+            .localCheckpoint(eager=False)
         )
 
-    edges = sym.localCheckpoint()
+    edges = sym.localCheckpoint(eager=False)
     sig = _edge_sig(edges)
     converged = False
     for rounds in range(1, max_iter + 1):

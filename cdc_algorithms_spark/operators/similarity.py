@@ -31,7 +31,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_algorithms_spark.functions.arrays import cosine_similarity, dot_product
+from cdc_algorithms_spark.functions.arrays import dot_product, l2_norm
+
+
+def _paired_cosine() -> "F.Column":
+    """cosine over pre-computed per-side norms: ``dot(qv, cv) / (__qn *
+    __cn)``. BIT-IDENTICAL to ``cosine_similarity("qv", "cv")`` — the
+    same float ops on the same arrays, only the two ``l2_norm``
+    aggregates are evaluated once per ROW (in the projection below each
+    join input) instead of once per PAIR. The higher-order aggregates
+    are interpreted (CodegenFallback), so a broadcast-join pair scoring
+    previously paid 3 interpreted array reductions per pair; now 1
+    (guide §1.2 step 2 — per-task work; the projections sit below the
+    join, so CollapseProject cannot re-inline them into the pair
+    expression)."""
+    return F.round(
+        dot_product("qv", "cv") / (F.col("__qn") * F.col("__cn")), 6
+    )
 
 
 def brute_force_topk(
@@ -44,14 +60,14 @@ def brute_force_topk(
 ) -> DataFrame:
     q = queries.select(
         F.col(query_id).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("__qn", l2_norm("qv"))
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("vec_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("__cn", l2_norm("cv"))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        _paired_cosine().alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -88,8 +104,20 @@ def _planes_sql(planes: list[list[float]]) -> str:
 
 
 def _vec_sql(vec_col) -> str:
-    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
-    return f"cast(`{name}` as array<double>)"
+    """SQL fragment referencing a TOP-LEVEL column by name. The single-
+    F.expr LSH construction (r11: kills ~1.2 s of per-bit py4j expression
+    building) requires a plain column name it can backtick-quote — a
+    computed Column, struct field path, or Connect Column would yield
+    invalid SQL here, so reject those loudly instead (r11 ADVICE):
+    project the expression to a named column first."""
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "lsh_bucket/lsh_topk vec_col must be a top-level column NAME "
+            f"(str), got {type(vec_col).__name__}: select/alias the "
+            "expression to a column first, e.g. "
+            "df.withColumn('v', <expr>) then vec_col='v'"
+        )
+    return f"cast(`{vec_col}` as array<double>)"
 
 
 def lsh_bucket(vec_col, dim: int, bits: int, seed: int = 42):
@@ -248,7 +276,7 @@ def ivf_topk(
         F.col(corpus_id).cast("long").alias("vec_id"),
         F.col(vec_col).alias("cv"),
         _nearest_cell(F.col(vec_col), cents).alias("cell"),
-    )
+    ).withColumn("__cn", l2_norm("cv"))
     dists = _dists_to_all(F.col("qv"), cents)
     # nprobe nearest cells: sort (distance, index) pairs, keep the head.
     # named_struct via SQL — Column.alias inside HOF lambdas is rejected.
@@ -260,12 +288,13 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("__qn"),
         dists.alias("__d"),
-    ).select("query_id", "qv", F.explode(probes).alias("cell"))
+    ).select("query_id", "qv", "__qn", F.explode(probes).alias("cell"))
     scored = F.broadcast(q).join(c, "cell").select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        _paired_cosine().alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -309,6 +338,7 @@ def lsh_topk(
     q0 = queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("__qn"),
         lsh_bucket(vec_col, dim, bits, seed).alias("__bucket"),
         margins.alias("__m"),
     )
@@ -321,17 +351,17 @@ def lsh_topk(
         "i -> __bucket ^ cast(pow(2, i) as bigint)))"
     )
     q = q0.select(
-        "query_id", "qv", F.explode(probes).alias("bucket")
+        "query_id", "qv", "__qn", F.explode(probes).alias("bucket")
     )
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("vec_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col, dim, bits, seed).alias("bucket"),
-    )
+    ).withColumn("__cn", l2_norm("cv"))
     scored = F.broadcast(q).join(c, "bucket").select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        _paired_cosine().alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -738,9 +768,10 @@ def _pq_query_probes(
     return queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("__qn"),
         dt.alias("dt"),
         cell_dists.alias("__d"),
-    ).select("query_id", "qv", "dt", F.explode(probes).alias("cell"))
+    ).select("query_id", "qv", "__qn", "dt", F.explode(probes).alias("cell"))
 
 
 def _pq_score(
@@ -763,19 +794,25 @@ def _pq_score(
         for j in range(m)
     ])
     scored = F.broadcast(q).join(codes, "cell").select(
-        "query_id", "qv", "vec_id", adc.alias("adc")
+        "query_id", "qv", "__qn", "vec_id", adc.alias("adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     cand = (
         scored.withColumn("__r", F.row_number().over(wa))
         .where(F.col("__r") <= rerank * k)
-        .select("query_id", "qv", "vec_id")
+        .select("query_id", "qv", "__qn", "vec_id")
     )
-    # exact re-rank: only the surviving candidates ever read vectors
+    # exact re-rank: only the surviving candidates ever read vectors.
+    # __qn is pre-computed once per query (see _paired_cosine); the cv
+    # norm stays post-join on purpose — a below-join projection would
+    # evaluate it for EVERY corpus vector, not just the candidate-
+    # proportional matches. Bit-identical float ops either way.
     rer = cand.join(vecs, "vec_id").select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(
+            dot_product("qv", "cv") / (F.col("__qn") * l2_norm("cv")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -892,23 +892,33 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two multi-distinct aggregates on one groupBy would compile to an
     # Expand (doubling every fact row before the shuffle). Collapsing to
     # per-(order, supplier) first makes both "distinct" counts plain
-    # counts, the (orderkey, suppkey) grouping pre-partitions the later
-    # orderkey and suppkey aggregations, and the late-line re-join
-    # disappears: the sole late supplier IS the per-supplier row with
-    # any_late once the order qualifies.
-    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("any_late")
+    # counts. The explicit repartition on l_orderkey makes BOTH
+    # aggregations reuse ONE exchange: HashPartitioning(l_orderkey)
+    # satisfies the (l_orderkey, l_suppkey) grouping's clustered
+    # distribution AND the per-order rollup's, so the previous shape's
+    # second exchange + window sort (per-supp rows re-shuffled by
+    # orderkey, sorted, counted over a frame) collapses into a plain
+    # aggregate (guide §2.4 "two operations keyed the same way can
+    # share one exchange"). The sole late supplier of a qualifying
+    # order (n_late_supp == 1) is picked up by a conditional max in the
+    # same pass — no window function, no second shuffle of the fact
+    # rows; only the tiny per-order frame re-shuffles to suppliers.
+    per_supp = (
+        lines.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("any_late"))
     )
-    w = Window.partitionBy("l_orderkey")
-    qualified = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
-        "n_late_supp", F.sum(F.col("any_late").cast("int")).over(w)
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("int")).alias("n_late_supp"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
-    sole_late = qualified.where(
-        F.col("any_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    sole_late = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        sole_late.groupBy("l_suppkey")
+        sole_late.groupBy("late_supp")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .select(F.col("s_name").alias("supplier"), "numwait")
     )

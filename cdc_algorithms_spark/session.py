@@ -38,12 +38,23 @@ def get_spark(
     # worker interpreter, which inherits this process's env — pin the
     # package root onto PYTHONPATH BEFORE the JVM launches so the
     # daemon import works regardless of the driver's cwd.
+    #
+    # GUARD: a custom ``spark.python.daemon.module`` that the worker
+    # interpreter cannot import is a HARD worker-start failure, not a
+    # slow path. This factory builds local-mode sessions (workers fork
+    # on the driver host, so the path check below is exactly the check
+    # the worker would make); on a cluster WITHOUT a shared filesystem
+    # the module must be shipped (--py-files / container image) — if
+    # the file is not where we would point PYTHONPATH, fall back to the
+    # stock daemon and merely lose the preload speedup.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
-        )
+    daemon_ok = _daemon_module_available(pkg_root)
+    if daemon_ok:
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+            )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -77,12 +88,25 @@ def get_spark(
         # has 128 GiB; on a real cluster this maps to executor memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        .config(
+    )
+    if daemon_ok:
+        builder = builder.config(
             "spark.python.daemon.module",
             "cdc_algorithms_spark.daemon_preload",
+        ).config(
+            # cluster posture: executors don't inherit the driver's env,
+            # so ship the package root explicitly for the daemon import
+            "spark.executorEnv.PYTHONPATH",
+            os.environ["PYTHONPATH"],
         )
-        # cluster posture: executors don't inherit the driver's env, so
-        # ship the package root explicitly for the daemon import
-        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
-    )
     return builder.getOrCreate()
+
+
+def _daemon_module_available(pkg_root: str) -> bool:
+    """True when the preload daemon module exists at the path the worker
+    interpreter will import it from (see the guard note in get_spark).
+    Overridable for tests; a deleted/relocated package root must degrade
+    to the stock pyspark daemon, never fail worker creation."""
+    return os.path.isfile(
+        os.path.join(pkg_root, "cdc_algorithms_spark", "daemon_preload.py")
+    )

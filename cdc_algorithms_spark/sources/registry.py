@@ -30,15 +30,18 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-# Lazy-PLAN cache: (applicationId, sf_dir, name) -> the unresolved scan
-# DataFrame. spark.read.parquet pays driver-side footer/schema inference
-# on EVERY call (~50-150 ms of py4j + file I/O per table); a suite that
-# constructs hundreds of queries over the same ten fixture tables paid
-# that per construction (guide §7.3 — driver-side planning work). The
-# cached object is a LAZY plan over immutable fixture files: every
+# Lazy-PLAN cache: (applicationId, sf_dir, name, spread) -> the
+# unresolved scan DataFrame. spark.read.parquet pays driver-side
+# footer/schema inference on EVERY call (~50-150 ms of py4j + file I/O
+# per table); a suite that constructs hundreds of queries over the same
+# ten fixture tables paid that per construction (guide §7.3 —
+# driver-side planning work). The cached object is a LAZY plan over
+# fixture files assumed IMMUTABLE for the session (replacing a fixture
+# file in-place mid-session would serve a stale file listing — re-create
+# the session, or clear this dict, after swapping fixtures): every
 # action still scans parquet, nothing about results is memoized, and a
 # new session (new applicationId) re-infers from disk.
-_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
 def load_table(
@@ -65,6 +68,11 @@ def load_table(
     construction, never a constant tuned to this box.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    if spread and os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        # ops escape hatch (and the A/B lever tools/ab_spread.py uses):
+        # disable the small-file repartition globally without editing
+        # call sites. Default (unset) keeps the declared behavior.
+        spread = False
     key = (spark.sparkContext.applicationId, sf_dir, name, spread)
     cached = _TABLE_PLAN_CACHE.get(key)
     if cached is not None:

@@ -138,3 +138,51 @@ def test_streaming_loop_matches_batch_path(spark, tmp_path):
         )
     )
     assert _probe(spark, path, batch) == want
+
+
+def test_index_meta_marker_and_type_mismatch_fail_loudly(spark, tmp_path):
+    """r11 ADVICE: the shingle-format switch (string -> xxhash64 bigint)
+    must be detectable. write_jaccard_index records the shingle type in
+    _index_meta.json; a probe/extend whose batch shingle type differs
+    from the store's raises a named ValueError instead of silently
+    joining under implicit coercion (empty candidates = missed dups)."""
+    import json
+
+    import pytest
+
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        JACCARD_INDEX_META,
+        read_jaccard_index,
+    )
+
+    seed, ext, batch = _splits(spark)
+    path = str(tmp_path / "jidx_meta")
+    _build(spark, path, seed)
+    with open(f"{path}/{JACCARD_INDEX_META}") as f:
+        meta = json.load(f)
+    assert meta["shingle_type"] == "bigint"
+    assert meta["format_version"] >= 2
+    # reading a consistent store is fine
+    read_jaccard_index(spark, path)
+
+    # a stale-format store: meta says string, data is bigint -> loud
+    # (rewrite through the same Hadoop FS helper — the local FS keeps
+    # .crc sidecars a plain open() rewrite would invalidate)
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        _write_jaccard_index_meta,
+    )
+
+    _write_jaccard_index_meta(spark, path, "string", 64, 16)
+    with pytest.raises(ValueError, match="shingle type mismatch"):
+        read_jaccard_index(spark, path)
+
+    # extend with a mismatched element type (string shingles against the
+    # bigint store) must also fail loudly, not write a poisoned delta
+    str_elements = ext.select(
+        F.col("doc_id"), F.col("text").substr(1, 8).alias("shingle")
+    )
+    with pytest.raises(ValueError, match="shingle type mismatch"):
+        extend_jaccard_index(
+            spark, path, ext, epoch=9, n=N, threshold=T,
+            elements=str_elements,
+        )

@@ -61,6 +61,13 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # the bench's preloaded worker daemon (session.get_spark) — without
+        # it profiles include worker import/zip-scan overhead the bench no
+        # longer pays (r11 ADVICE)
+        .config(
+            "spark.python.daemon.module",
+            "cdc_algorithms_spark.daemon_preload",
+        )
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{evdir}")
         .config("spark.eventLog.compress", "false")
@@ -115,46 +122,48 @@ def main() -> None:
                 yield from f
 
     for line in _lines():
-        if True:
+        try:
             ev = json.loads(line)
-            et = ev.get("Event")
-            if et == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                desc = (ev.get("Properties") or {}).get(
-                    "spark.job.description", ""
-                )
-                job_desc[jid] = desc
-                for sid in ev.get("Stage IDs", []):
-                    stage_job[sid] = jid
-            elif et == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si.get("Stage Name", ""),
-                    "ntasks": si.get("Number of Tasks", 0),
-                    "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
-                    / 1000.0,
-                }
-            elif et == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                tm = ev.get("Task Metrics") or {}
-                agg = task_metrics.setdefault(
-                    sid,
-                    {"run": 0.0, "cpu": 0.0, "gc": 0.0, "sr": 0, "sw": 0,
-                     "input": 0, "pyser": 0.0},
-                )
-                agg["run"] += tm.get("Executor Run Time", 0) / 1000.0
-                agg["cpu"] += tm.get("Executor CPU Time", 0) / 1e9
-                agg["gc"] += tm.get("JVM GC Time", 0) / 1000.0
-                agg["sr"] += (tm.get("Shuffle Read Metrics") or {}).get(
-                    "Total Bytes Read",
-                    (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0)
-                    + (tm.get("Shuffle Read Metrics") or {}).get("Local Bytes Read", 0),
-                )
-                agg["sw"] += (tm.get("Shuffle Write Metrics") or {}).get(
-                    "Shuffle Bytes Written", 0
-                )
-                agg["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+        except json.JSONDecodeError:
+            continue  # truncated tail line of a live/rolled log
+        et = ev.get("Event")
+        if et == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            desc = (ev.get("Properties") or {}).get(
+                "spark.job.description", ""
+            )
+            job_desc[jid] = desc
+            for sid in ev.get("Stage IDs", []):
+                stage_job[sid] = jid
+        elif et == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            stages[sid] = {
+                "name": si.get("Stage Name", ""),
+                "ntasks": si.get("Number of Tasks", 0),
+                "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
+                / 1000.0,
+            }
+        elif et == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            tm = ev.get("Task Metrics") or {}
+            agg = task_metrics.setdefault(
+                sid,
+                {"run": 0.0, "cpu": 0.0, "gc": 0.0, "sr": 0, "sw": 0,
+                 "input": 0, "pyser": 0.0},
+            )
+            agg["run"] += tm.get("Executor Run Time", 0) / 1000.0
+            agg["cpu"] += tm.get("Executor CPU Time", 0) / 1e9
+            agg["gc"] += tm.get("JVM GC Time", 0) / 1000.0
+            agg["sr"] += (tm.get("Shuffle Read Metrics") or {}).get(
+                "Total Bytes Read",
+                (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0)
+                + (tm.get("Shuffle Read Metrics") or {}).get("Local Bytes Read", 0),
+            )
+            agg["sw"] += (tm.get("Shuffle Write Metrics") or {}).get(
+                "Shuffle Bytes Written", 0
+            )
+            agg["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
 
     for name in args.names:
         print(f"\n=== {name}  (best timed wall {windows[name][2]:.2f}s) ===")
