@@ -130,8 +130,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     + fixed hash seeds make the result deterministic round-over-round.
     A genuine recall regression (banding bug, seed drift) fails this
     oracle loudly."""
+    # spread REVERTED (r12): driver r11 measured 0.7->1.4 s and the
+    # quiet-host isolated A/B agrees at 32c (off 0.78 vs on 1.12
+    # min-of-5) — the banded-signature path's per-row work is too light
+    # to amortize the exchange at this size (tools/ab_spread.py).
     return minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir, spread=True),
+        load_table(spark, "documents", sf_dir),
         n=JACCARD_N,
         num_hashes=32,
         bands=8,
@@ -142,6 +146,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs")
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spread KEPT on r12 re-adjudication (VERDICT r11 task 1 allowed
+    keeping sites that win a quiet-host min-of-N A/B at BOTH core
+    counts): 8c on 0.48 vs off 0.59, 32c wash 0.45 vs 0.46 min-of-5
+    (tools/ab_spread.py; the driver's r11 0.5->0.6 was one 0.1 s
+    quantization step)."""
     return simhash_pairs(load_table(spark, "documents", sf_dir, spread=True), max_hamming=3)
 
 
@@ -1774,8 +1783,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-(lang, bucket) partial sums, cumulative offsets computed on
       the tiny aggregated frame, broadcast back, local running sum
       within each bounded bucket — no whole-language single-task window.
+
+    spread REVERTED (r12): driver r11 measured 0.7->1.0 s and the
+    quiet-host isolated A/B is a wash at BOTH core counts (32c on 0.86
+    vs off 0.85, 8c 0.65 vs 0.66 min-of-5, tools/ab_spread.py) — the
+    exchange buys nothing here.
     """
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir)
     good_ids = (
         quality_scores(docs)
         .where(F.col("quality_score") >= 0.5)
@@ -2049,7 +2063,12 @@ GROUP BY c.component_id""",
 def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_algorithms_spark.operators.dedup_docs import connected_components
 
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    # spread REVERTED (r12): driver r11 measured 1.7->1.9 s and the
+    # quiet-host isolated A/B has spread losing slightly at both core
+    # counts (32c 1.49 vs 1.43, 8c 1.32 vs 1.31 min-of-5,
+    # tools/ab_spread.py) — the CC loop dominates; the extra exchange
+    # only costs.
+    docs = load_table(spark, "documents", sf_dir)
     comp = connected_components(
         ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD)
     )
@@ -2163,6 +2182,10 @@ WHERE q.quality_score >= t.p10 AND q.quality_score <= t.p90
 
 @register("quality_band_by_lang", _QUALITY_BAND_ORACLE)
 def q_quality_band_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spread KEPT on r12 re-adjudication: quiet-host min-of-5 A/B wins
+    at BOTH core counts (32c on 0.64 vs off 0.80, 8c 0.63 vs 0.80 —
+    tools/ab_spread.py), the criterion VERDICT r11 task 1 set; the
+    driver's 0.9->1.0 was one 0.1 s quantization step."""
     docs = load_table(spark, "documents", sf_dir, spread=True)
     scored = quality_scores(docs).select("doc_id", "quality_score").join(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang"), "doc_id"

@@ -62,6 +62,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) collapses small CPU-DENSE
+        # shuffles to one task: the exact-Jaccard verify stage (0.83 MB
+        # of hashed-shingle arrays whose array_sort/intersect cost ~0.7 s
+        # of CPU) ran single-threaded. 256k keeps such stages parallel
+        # while remaining a sane small-fetch floor; it is a LOWER bound
+        # used only when coalescing, so at production shuffle sizes
+        # (partitions >= the 64m advisory) it never binds — measured
+        # A/B (r12): incremental_jaccard 1.76->1.16 s, minhash
+        # 0.81->0.63, ngram 0.47->0.40, CC family/q21/tfidf unchanged;
+        # 64k over-splits and regresses those. Env-overridable for
+        # cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` under
