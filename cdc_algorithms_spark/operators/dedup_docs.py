@@ -434,13 +434,37 @@ def jaccard_prefix_index(
     return df_counts, sets, prefix
 
 
-# Bucket counts for the DURABLE (parquet) form of the Jaccard index.
-# Writer and prober must agree; both default here. The shingle bucket is
-# pmod(xxhash64(shingle), SH) — a deterministic function of the value, so
-# a batch can compute which buckets its own shingles fall in and read
-# ONLY those partition directories (static partition pruning).
+# Bucket-count CAPS for the DURABLE (parquet) form of the Jaccard index.
+# Writer and prober must agree; since r12 the write derives the actual
+# counts from the corpus size (see _adaptive_buckets), records them in
+# the store's ``_index_meta.json``, and every extend/probe resolves them
+# from there — so the agreement is structural, not a convention. The
+# shingle bucket is pmod(xxhash64(shingle), SH) — a deterministic
+# function of the value, so a batch can compute which buckets its own
+# shingles fall in and read ONLY those partition directories (static
+# partition pruning). Raise the caps for a 100 TB corpus (finer
+# pruning, same plan shape).
 JACCARD_SH_BUCKETS = 64
 JACCARD_ID_BUCKETS = 16
+
+
+def _adaptive_buckets(
+    n_docs: int,
+    sh_cap: int = JACCARD_SH_BUCKETS,
+    id_cap: int = JACCARD_ID_BUCKETS,
+) -> tuple[int, int]:
+    """Bucket counts sized to the corpus (r12, VERDICT r11 task 6): the
+    fixed 64/16 counts made every write/extend of a TINY corpus pay 64
+    + 16 partition directories of file + commit overhead PER EPOCH —
+    the dominant cost of the streaming loops' sweep walls at fixture
+    sizes — while buying pruning granularity the corpus cannot use (a
+    500-doc store has ~8 docs per shingle bucket). Scale with the data:
+    ≥64 docs per shingle bucket and ≥256 per id bucket, capped at the
+    production counts, floor 1 — at real corpus sizes the caps engage
+    and the layout is exactly the fixed one."""
+    sh = max(1, min(int(sh_cap), n_docs // 64))
+    idb = max(1, min(int(id_cap), n_docs // 256))
+    return sh, idb
 
 # Format marker for the durable Jaccard index (r11 ADVICE): the r11
 # switch to xxhash64 shingles changed the on-disk shingle column from
@@ -518,11 +542,48 @@ def _sh_bucket(col: str | Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
+def _resolve_buckets(
+    spark,
+    path: str,
+    sh_buckets: int | None,
+    id_buckets: int | None,
+    context: str,
+) -> tuple[int, int]:
+    """Bucket counts for a DURABLE store verb: the store's own meta when
+    present (the structural writer/prober agreement), else the module
+    caps (marker-less legacy stores — the pre-r12 fixed convention).
+    Explicit caller values that CONTRADICT the meta are the
+    silently-wrong-pruning trap (a probe hashing shingles modulo the
+    wrong count reads the wrong directories and misses pairs) — fail
+    loudly instead."""
+    meta = _read_jaccard_index_meta(spark, path)
+    m_sh = meta.get("sh_buckets") if meta else None
+    m_id = meta.get("id_buckets") if meta else None
+    for given, recorded, name in (
+        (sh_buckets, m_sh, "sh_buckets"),
+        (id_buckets, m_id, "id_buckets"),
+    ):
+        if given is not None and recorded is not None and given != recorded:
+            raise ValueError(
+                f"{context}({path}): {name}={given} contradicts the "
+                f"store's recorded {name}={recorded} — bucket-pruned "
+                "reads would silently miss data. Drop the explicit "
+                "argument (the store meta is authoritative) or rebuild "
+                "the index with the new count."
+            )
+    return (
+        sh_buckets if sh_buckets is not None
+        else (m_sh if m_sh is not None else JACCARD_SH_BUCKETS),
+        id_buckets if id_buckets is not None
+        else (m_id if m_id is not None else JACCARD_ID_BUCKETS),
+    )
+
+
 def write_jaccard_index(
     index: tuple[DataFrame, DataFrame, DataFrame],
     path: str,
-    sh_buckets: int = JACCARD_SH_BUCKETS,
-    id_buckets: int = JACCARD_ID_BUCKETS,
+    sh_buckets: int | None = None,
+    id_buckets: int | None = None,
 ) -> None:
     """Persist a :func:`jaccard_prefix_index` as partition-pruned parquet
     — the durable form of the standing-pipeline contract:
@@ -541,8 +602,18 @@ def write_jaccard_index(
     ``repartition`` on the partition column first ⇒ one writer task per
     directory (no small-file explosion). At 100 TB raise the bucket
     counts (finer pruning, same plan shape).
+
+    ``sh_buckets`` / ``id_buckets`` default to size-adaptive counts
+    (:func:`_adaptive_buckets` over the corpus doc count — ``sets`` is
+    persisted, so the count is one cheap job) and are recorded in the
+    store's ``_index_meta.json``; extends and probes resolve the counts
+    from there, so writer/prober agreement is structural.
     """
     df_counts, sets, prefix = index
+    if sh_buckets is None or id_buckets is None:
+        a_sh, a_id = _adaptive_buckets(sets.count())
+        sh_buckets = a_sh if sh_buckets is None else sh_buckets
+        id_buckets = a_id if id_buckets is None else id_buckets
     (
         df_counts.select(
             "shingle", "df", _sh_bucket("shingle", sh_buckets).alias("sh_bucket")
@@ -581,13 +652,33 @@ def write_jaccard_index(
     )
 
 
+class JaccardIndex(tuple):
+    """The ``(df, sets, prefix)`` frame triple of a durable Jaccard
+    index, with the store's ``_index_meta.json`` dict attached as
+    ``.meta`` (None for marker-less legacy stores). Unpacks exactly like
+    the plain tuple it subclasses; the meta is how probes and extends
+    resolve the store's bucket counts without the caller threading them
+    through (writer/prober agreement is structural, never a
+    convention)."""
+
+    meta: dict | None = None
+
+    @staticmethod
+    def of(frames, meta: dict | None) -> "JaccardIndex":
+        out = JaccardIndex(frames)
+        out.meta = meta
+        return out
+
+
 def read_jaccard_index(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Load a :func:`write_jaccard_index` store. The returned frames keep
     their ``sh_bucket`` / ``id_bucket`` partition columns — their
     presence is what switches :func:`incremental_jaccard_pairs_indexed`
-    onto the bucket-pruned probe path."""
+    onto the bucket-pruned probe path — and carry the store meta
+    (:class:`JaccardIndex`) so the probe prunes with the writer's bucket
+    counts."""
     out = tuple(
         spark.read.parquet(f"{path}/{name}") for name in ("df", "sets", "prefix")
     )
@@ -598,7 +689,7 @@ def read_jaccard_index(
             dict(out[0].dtypes)["shingle"],
             f"read_jaccard_index({path})",
         )
-    return out
+    return JaccardIndex.of(out, meta)
 
 
 def read_jaccard_index_live(
@@ -633,7 +724,7 @@ def read_jaccard_index_live(
                 spark.read.schema(frame.schema).parquet(d)
             )
         out.append(frame)
-    return tuple(out)
+    return JaccardIndex.of(out, meta)
 
 
 def extend_jaccard_index(
@@ -643,8 +734,8 @@ def extend_jaccard_index(
     epoch: int,
     n: int = 3,
     threshold: float = 0.8,
-    sh_buckets: int = JACCARD_SH_BUCKETS,
-    id_buckets: int = JACCARD_ID_BUCKETS,
+    sh_buckets: int | None = None,
+    id_buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     elements: DataFrame | None = None,
@@ -678,6 +769,9 @@ def extend_jaccard_index(
     contract as :func:`jaccard_prefix_index` — must match the store's
     element type.
     """
+    sh_buckets, id_buckets = _resolve_buckets(
+        spark, path, sh_buckets, id_buckets, "extend_jaccard_index"
+    )
     batch_sh = (
         elements.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col("shingle")
@@ -812,8 +906,8 @@ def incremental_jaccard_pairs_indexed(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    sh_buckets: int = JACCARD_SH_BUCKETS,
-    id_buckets: int = JACCARD_ID_BUCKETS,
+    sh_buckets: int | None = None,
+    id_buckets: int | None = None,
     elements: DataFrame | None = None,
 ) -> DataFrame:
     """Exact incremental near-dup against a persisted
@@ -849,6 +943,23 @@ def incremental_jaccard_pairs_indexed(
     element type.
     """
     df_index, sets_index, prefix_index = index
+    # bucket counts: explicit arg > the store meta riding on the index
+    # frames (JaccardIndex — how adaptive-bucket stores stay consistent
+    # between writer and prober) > the module caps (legacy stores). An
+    # explicit value contradicting the meta would silently prune the
+    # wrong directories — fail loudly.
+    meta = getattr(index, "meta", None) or {}
+    for given, key in ((sh_buckets, "sh_buckets"), (id_buckets, "id_buckets")):
+        if given is not None and key in meta and given != meta[key]:
+            raise ValueError(
+                f"incremental_jaccard_pairs_indexed: {key}={given} "
+                f"contradicts the store's recorded {key}={meta[key]} — "
+                "bucket-pruned reads would silently miss data."
+            )
+    if sh_buckets is None:
+        sh_buckets = meta.get("sh_buckets", JACCARD_SH_BUCKETS)
+    if id_buckets is None:
+        id_buckets = meta.get("id_buckets", JACCARD_ID_BUCKETS)
     pruned = "sh_bucket" in prefix_index.columns
     batch_sh = (
         elements.select(

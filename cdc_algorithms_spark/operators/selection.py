@@ -297,7 +297,53 @@ def _dsir_score(
 # fold exactly; a term may appear in several generations (grouped at
 # read). Per-epoch overwrite keeps foreachBatch replay idempotent.
 
-DSIR_BUCKETS = 32
+DSIR_BUCKETS = 32  # CAP since r12; actual counts are size-adaptive
+
+# Store-layout marker (r12, same discipline as the Jaccard index's
+# _index_meta.json): the writer derives a size-adaptive bucket count,
+# records it here, and every extend resolves it from the store — a tiny
+# corpus writes a couple of partition directories per epoch instead of
+# 32 (the per-epoch directory/commit overhead dominated the streaming
+# loops' sweep walls at fixture sizes), while at real corpus sizes the
+# cap engages and the layout is exactly the fixed one. Readers are
+# unaffected: they fold the whole vocabulary-sized store and never
+# prune by bucket (see dsir_weights_indexed).
+DSIR_STORE_META = "_store_meta.json"
+
+
+def _adaptive_dsir_buckets(n_docs: int, cap: int = DSIR_BUCKETS) -> int:
+    return max(1, min(int(cap), n_docs // 64))
+
+
+def _write_dsir_store_meta(spark, path: str, buckets: int) -> None:
+    import json as _json
+
+    from cdc_algorithms_spark.operators.storeio import _fs_and_path
+
+    fs, p = _fs_and_path(spark, f"{path}/{DSIR_STORE_META}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps({"buckets": int(buckets)}).encode()))
+    finally:
+        out.close()
+
+
+def _read_dsir_store_meta(spark, path: str) -> dict | None:
+    import json as _json
+
+    from cdc_algorithms_spark.operators.storeio import _fs_and_path
+
+    fs, p = _fs_and_path(spark, f"{path}/{DSIR_STORE_META}")
+    if not fs.exists(p):
+        return None  # legacy store: the fixed pre-r12 convention
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return _json.loads(text)
 
 
 def _dsir_term_frame(
@@ -337,9 +383,13 @@ def write_dsir_counts(
     target_pred: Column,
     path: str,
     text_col: str = "text",
-    buckets: int = DSIR_BUCKETS,
+    buckets: int | None = None,
 ) -> None:
-    """Write the base DSIR term-count store (layout comment above)."""
+    """Write the base DSIR term-count store (layout comment above).
+    ``buckets`` defaults to a size-adaptive count recorded in the
+    store's ``_store_meta.json`` (see DSIR_STORE_META)."""
+    if buckets is None:
+        buckets = _adaptive_dsir_buckets(docs.count())
     (
         _dsir_term_frame(docs, target_pred, text_col, buckets)
         .repartition("bucket")
@@ -350,6 +400,7 @@ def write_dsir_counts(
     _dsir_meta_frame(docs, target_pred, text_col).write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
+    _write_dsir_store_meta(docs.sparkSession, path, buckets)
 
 
 def extend_dsir_counts(
@@ -359,7 +410,7 @@ def extend_dsir_counts(
     target_pred: Column,
     epoch: int,
     text_col: str = "text",
-    buckets: int = DSIR_BUCKETS,
+    buckets: int | None = None,
 ) -> None:
     """Fold a document batch into the standing unigram models WITHOUT
     touching resident counts: the batch's term counts land bucket-
@@ -368,7 +419,23 @@ def extend_dsir_counts(
     tokenize + one hash exchange over the batch alone); because counts
     are integers, the folded store equals a one-shot build over
     seed ∪ batches BIT-identically — same contract as the BM25 store,
-    stronger than the PQ store's frozen-model tier."""
+    stronger than the PQ store's frozen-model tier.
+
+    ``buckets`` defaults to the store's recorded count (the writer's
+    size-adaptive choice); an explicit value contradicting the record
+    keeps the epochs' bucket VALUES inconsistent with the base — still
+    read-exact (readers fold by term, never by bucket) but it defeats
+    the one-writer-task-per-directory layout, so it fails loudly."""
+    meta = _read_dsir_store_meta(spark, path)
+    recorded = meta.get("buckets") if meta else None
+    if buckets is not None and recorded is not None and buckets != recorded:
+        raise ValueError(
+            f"extend_dsir_counts({path}): buckets={buckets} contradicts "
+            f"the store's recorded buckets={recorded}; drop the explicit "
+            "argument or rebuild the store."
+        )
+    if buckets is None:
+        buckets = recorded if recorded is not None else DSIR_BUCKETS
     (
         _dsir_term_frame(batch_docs, target_pred, text_col, buckets)
         .repartition("bucket")

@@ -51,14 +51,17 @@ def run_streaming_dsir_counts(
     stages (a doc arrives exactly once — the dedup operators own the
     other case)."""
     from cdc_algorithms_spark.operators.selection import (
-        DSIR_BUCKETS,
         extend_dsir_counts,
         write_dsir_counts,
     )
 
     if not batch_stages:
         raise ValueError("need at least one batch stage")
-    b = DSIR_BUCKETS if buckets is None else buckets
+    # buckets=None → write_dsir_counts derives a size-adaptive count and
+    # records it in the store meta; the per-epoch extends below resolve
+    # it from there (passing None), so writer/extender agreement is
+    # structural either way
+    b = buckets
     shutil.rmtree(path, ignore_errors=True)
     write_dsir_counts(seed_docs, target_pred, path, buckets=b)
 

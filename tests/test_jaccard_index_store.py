@@ -186,3 +186,74 @@ def test_index_meta_marker_and_type_mismatch_fail_loudly(spark, tmp_path):
             spark, path, ext, epoch=9, n=N, threshold=T,
             elements=str_elements,
         )
+
+
+def test_adaptive_bucket_counts_recorded_and_resolved(spark, tmp_path):
+    """r12 (VERDICT r11 task 6): write_jaccard_index sizes bucket counts
+    to the corpus, records them in _index_meta.json, and extend + probe
+    resolve them from the store — a tiny corpus writes a few partition
+    directories per epoch instead of 64+16, and explicit contradicting
+    counts fail loudly instead of silently pruning wrong."""
+    import json
+
+    import pytest
+
+    from cdc_algorithms_spark.operators.dedup_docs import (
+        JACCARD_INDEX_META,
+        _adaptive_buckets,
+        read_jaccard_index,
+    )
+
+    # the derivation: floors, scaling, caps
+    assert _adaptive_buckets(0) == (1, 1)
+    assert _adaptive_buckets(500) == (7, 1)
+    assert _adaptive_buckets(10**9) == (64, 16)
+
+    seed, ext, batch = _splits(spark)  # 166/167/167 docs at sf0.001
+    path = str(tmp_path / "jidx_adaptive")
+    _build(spark, path, seed)
+    with open(f"{path}/{JACCARD_INDEX_META}") as f:
+        meta = json.load(f)
+    n_seed = seed.count()
+    assert meta["sh_buckets"] == max(1, n_seed // 64)
+    assert meta["id_buckets"] == max(1, n_seed // 256)
+    # the store wrote exactly that many shingle-bucket directories
+    sh_dirs = [d for d in os.listdir(f"{path}/prefix") if d.startswith("sh_bucket=")]
+    assert len(sh_dirs) <= meta["sh_buckets"]
+
+    # extend resolves the counts from the meta (no args) and the delta
+    # directories agree with the base layout
+    extend_jaccard_index(spark, path, ext, epoch=1, n=N, threshold=T)
+    delta_dirs = [
+        d for d in os.listdir(f"{path}/prefix_delta/epoch_1")
+        if d.startswith("sh_bucket=")
+    ]
+    assert delta_dirs
+    assert {d.split("=")[1] for d in delta_dirs} <= {
+        str(b) for b in range(meta["sh_buckets"])
+    }
+
+    # probe resolves from the attached meta and stays EXACT vs one-shot
+    got = _probe(spark, path, batch)
+    want = sorted(
+        map(
+            tuple,
+            incremental_jaccard_pairs(
+                seed.unionByName(ext), batch, n=N, threshold=T
+            ).collect(),
+        )
+    )
+    assert want and got == want
+
+    # explicit contradicting counts fail loudly (probe and extend)
+    idx = read_jaccard_index_live(spark, path)
+    with pytest.raises(ValueError, match="contradicts the store"):
+        incremental_jaccard_pairs_indexed(
+            idx, batch, n=N, threshold=T,
+            sh_buckets=meta["sh_buckets"] + 1,
+        )
+    with pytest.raises(ValueError, match="contradicts the store"):
+        extend_jaccard_index(
+            spark, path, batch, epoch=2, n=N, threshold=T,
+            sh_buckets=meta["sh_buckets"] + 1,
+        )

@@ -528,8 +528,19 @@ def test_bucketed_index_probe_reads_only_matching_buckets(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     corpus = docs.where(F.col("doc_id") % 3 != 0)
     idx = dd.jaccard_prefix_index(corpus, n=3, threshold=0.8)
-    dd.write_jaccard_index(idx, str(tmp_path))
+    # explicit production-cap counts: this test pins the 100 TB pruning
+    # contract (a small batch touches a strict SUBSET of directories),
+    # which needs production granularity — the adaptive default would
+    # size a 333-doc store to ~5 buckets, where a 2-doc batch's
+    # shingles legitimately span every bucket. The probe resolves the
+    # counts from the store meta (JaccardIndex), so this also exercises
+    # the writer->meta->prober consistency path end to end.
+    dd.write_jaccard_index(
+        idx, str(tmp_path),
+        sh_buckets=dd.JACCARD_SH_BUCKETS, id_buckets=dd.JACCARD_ID_BUCKETS,
+    )
     stored = dd.read_jaccard_index(spark, str(tmp_path))
+    assert stored.meta["sh_buckets"] == dd.JACCARD_SH_BUCKETS
 
     # a SMALL standing batch — two new docs built from corpus text so
     # some near-dup pairs exist; ids disjoint from the corpus
@@ -552,11 +563,19 @@ def test_bucketed_index_probe_reads_only_matching_buckets(spark, tmp_path):
         if "FileScan" in line and str(tmp_path) in line
     ]
     assert index_scans, "probe does not read the durable index"
-    unpruned = [
-        s[:160] for s in index_scans
-        if "PartitionFilters: [" not in s
-        or ("INSET" not in s and " IN (" not in s)
-    ]
+    # the bucket predicate appears as INSET/IN for multi-bucket stores;
+    # an ADAPTIVE store small enough to resolve to one bucket (r12:
+    # write_jaccard_index sizes counts to the corpus) folds the
+    # single-value isin to an equality — still static pruning
+    import re as _re
+
+    def _bucket_pruned(scan_line: str) -> bool:
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", scan_line)
+        return bool(m) and bool(
+            _re.search(r"_bucket#\d+ (IN|INSET|=) ", m.group(1))
+        )
+
+    unpruned = [s[:160] for s in index_scans if not _bucket_pruned(s)]
     assert not unpruned, f"index scans without bucket pruning: {unpruned}"
 
     # the directories actually read are exactly the batch's buckets —
