@@ -572,23 +572,89 @@ def q_media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Media near-dup: multimodal content through the dedup machinery --------
 #
 # Perceptual-fingerprint LSH pairs and CDC chunk-overlap resemblance over
-# binary payloads (operators/media_dedup.py). The pairs queries are
-# rows-only by construction (blockhash bits / AE cut positions aren't
-# SQL-expressible); each has a planted-clone oracle twin in the
-# chunk_overlap_ae_clone_check style whose guarantees are mathematical:
-# byte-identical payloads fingerprint/chunk identically, and the stub
-# resize is EXACTLY fingerprint-invariant (PHASH_RESAMPLE divides the
-# resize target — the NN-composition theorem in media_dedup.py).
+# binary payloads (operators/media_dedup.py). The chunk-overlap pairs
+# query stays rows-only (AE cut positions aren't SQL-expressible, its
+# oracle twin is the planted-clone check below); the PHASH family is
+# fully oracle-backed since r12 — the blockhash fingerprint IS
+# SQL-expressible (VERDICT r11 task 7): the payload is encode(text),
+# byte i comes out of hex(blob) via a strpos nibble table, the NN
+# resample is exact integer index arithmetic, and both the bucket and
+# global means are integer sums divided by powers of two — exact dyadic
+# rationals in double, so the strict > comparisons cannot be
+# float-order sensitive and DuckDB reproduces numpy's bits EXACTLY
+# (validated bit-for-bit at sf0.001/0.01/0.1). Bit 0 (value 2^63) is
+# added as the int64 two's-complement MIN to match numpy's
+# uint64->int64 view without overflow.
+
+_PHASH_CTE = """
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+canon AS (
+  SELECT media_id,
+         CASE WHEN n = 0 THEN NULL ELSE
+           list_transform(range(0, 256), i ->
+             CAST((strpos('0123456789ABCDEF',
+                          substr(hx, 2*least((i*n)//256, n-1)+1, 1))-1)*16
+                + (strpos('0123456789ABCDEF',
+                          substr(hx, 2*least((i*n)//256, n-1)+2, 1))-1)
+                  AS DOUBLE))
+         END AS c
+  FROM raw
+),
+ph AS (
+  SELECT media_id,
+         CASE WHEN c IS NULL THEN CAST(0 AS BIGINT) ELSE
+           CAST(list_sum(list_transform(range(1, 64), b ->
+             CASE WHEN (c[4*b+1]+c[4*b+2]+c[4*b+3]+c[4*b+4])/4.0
+                       > list_sum(c)/256.0
+                  THEN CAST(1 AS BIGINT) << (63 - b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN (c[1]+c[2]+c[3]+c[4])/4.0 > list_sum(c)/256.0
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+         END AS phash
+  FROM canon
+)
+"""
+
+# The pair set equals ALL pairs at hamming <= 3: the Spark side's 4x16
+# banding is pigeonhole-COMPLETE for hamming < 4, so the band join is
+# an optimization, never a filter — DuckDB can verify with the plain
+# quadratic form (oracle-side O(n^2) is the accepted pattern, see
+# embedding_near_dup).
+_MEDIA_PHASH_PAIRS_ORACLE = f"""
+WITH {_PHASH_CTE}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+_MEDIA_PHASH_GROUPS_ORACLE = f"""
+WITH {_PHASH_CTE},
+g AS (
+  SELECT phash, MIN(media_id) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM ph GROUP BY phash
+)
+SELECT ph.media_id, g.canonical_id, g.group_size
+FROM ph JOIN g USING (phash)
+"""
 
 _MEDIA_CLONE_EXACT_OFFSET = 1 << 40
 _MEDIA_CLONE_RESIZED_OFFSET = 1 << 41
 
 
-@register("media_phash_pairs")
+@register("media_phash_pairs", _MEDIA_PHASH_PAIRS_ORACLE)
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (perceptual-hash bits aren't SQL-expressible; the
-    oracle conversion is media_phash_clone_check). Banded 4×16
-    pigeonhole join — never an all-pairs product."""
+    """Oracle-backed since r12 (the blockhash bits ARE SQL-expressible —
+    see _PHASH_CTE; media_phash_clone_check remains the planted-clone
+    invariant twin). Banded 4×16 pigeonhole join — never an all-pairs
+    product; the oracle verifies with the quadratic form, which the
+    pigeonhole completeness theorem makes set-equal."""
     from cdc_algorithms_spark.operators.media_dedup import (
         media_fingerprint_pairs,
     )
@@ -659,11 +725,11 @@ def q_media_phash_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_phash_dup_groups")
+@register("media_phash_dup_groups", _MEDIA_PHASH_GROUPS_ORACLE)
 def q_media_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (phash values aren't SQL-expressible; the oracle
-    conversion is media_phash_group_clone_check). The SCALE-SAFE
-    duplicate output: linear groups, not quadratic pairs — a
+    """Oracle-backed since r12 (see _PHASH_CTE;
+    media_phash_group_clone_check remains the planted-clone twin). The
+    SCALE-SAFE duplicate output: linear groups, not quadratic pairs — a
     boilerplate media cluster of m yields m rows."""
     from cdc_algorithms_spark.operators.media_dedup import (
         media_phash_duplicate_groups,
