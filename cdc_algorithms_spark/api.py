@@ -957,7 +957,7 @@ def search(
     return bm25_topk(docs, query_terms(spark, queries), k=k, **kw)
 
 
-def build_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
+def build_text_index(docs: DataFrame, path: str, buckets: int | None = None) -> None:
     """Write the durable BM25 posting index: term-bucket-partitioned
     postings plus an exact-BIGINT corpus meta row (operators/
     retrieval.py::write_text_index). Probes prune reads to the query's
@@ -969,7 +969,7 @@ def build_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
 
 
 def extend_text_index(spark, path: str, batch_docs: DataFrame, epoch: int,
-                      buckets: int = 32) -> None:
+                      buckets: int | None = None) -> None:
     """Append a document batch to a durable text index as an epoch
     delta — batch-proportional cost, replay-idempotent, and probes stay
     EXACT across generations because global stats are derived at read

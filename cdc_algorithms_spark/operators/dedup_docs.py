@@ -481,45 +481,26 @@ _JACCARD_FORMAT_VERSION = 2  # v1: string shingles (≤r10); v2: xxhash64 longs
 def _write_jaccard_index_meta(
     spark, path: str, shingle_type: str, sh_buckets: int, id_buckets: int
 ) -> None:
-    import json as _json
+    from cdc_algorithms_spark.operators.storeio import write_store_meta
 
-    from cdc_algorithms_spark.operators.storeio import _fs_and_path
-
-    fs, p = _fs_and_path(spark, f"{path}/{JACCARD_INDEX_META}")
-    out = fs.create(p, True)
-    try:
-        out.write(
-            bytearray(
-                _json.dumps(
-                    {
-                        "format_version": _JACCARD_FORMAT_VERSION,
-                        "shingle_type": shingle_type,
-                        "sh_buckets": int(sh_buckets),
-                        "id_buckets": int(id_buckets),
-                    }
-                ).encode()
-            )
-        )
-    finally:
-        out.close()
+    write_store_meta(
+        spark,
+        path,
+        {
+            "format_version": _JACCARD_FORMAT_VERSION,
+            "shingle_type": shingle_type,
+            "sh_buckets": int(sh_buckets),
+            "id_buckets": int(id_buckets),
+        },
+        name=JACCARD_INDEX_META,
+    )
 
 
 def _read_jaccard_index_meta(spark, path: str) -> dict | None:
-    import json as _json
+    from cdc_algorithms_spark.operators.storeio import read_store_meta
 
-    from cdc_algorithms_spark.operators.storeio import _fs_and_path
-
-    fs, p = _fs_and_path(spark, f"{path}/{JACCARD_INDEX_META}")
-    if not fs.exists(p):
-        return None  # legacy store (pre-marker); dtype checks still apply
-    stream = fs.open(p)
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return _json.loads(text)
+    # None for legacy stores (pre-marker); dtype checks still apply
+    return read_store_meta(spark, path, name=JACCARD_INDEX_META)
 
 
 def _assert_shingle_type(store_type: str, batch_type: str, context: str) -> None:

@@ -205,18 +205,64 @@ def bm25_topk(
 # frozen-model approximation, and it falls out of storing only counts.
 
 
+TEXT_INDEX_BUCKETS = 32  # CAP since r12; actual counts are size-adaptive
+
+
+def _adaptive_text_buckets(
+    n_docs: int, cap: int = TEXT_INDEX_BUCKETS
+) -> int:
+    """Size the posting bucket count to the corpus (r12, same move as
+    the Jaccard/DSIR stores): a tiny corpus paid 32 partition
+    directories of file/commit overhead per write and extend epoch for
+    pruning granularity it cannot use; at real sizes the cap engages
+    and the layout is the fixed one. Raise the cap at 100 TB."""
+    return max(1, min(int(cap), n_docs // 64))
+
+
+def _resolve_text_buckets(
+    spark: SparkSession, path: str, buckets: int | None, context: str
+) -> int:
+    """The store's recorded count (structural writer/prober agreement),
+    else the legacy fixed cap. Probes PRUNE reads modulo this count, so
+    an explicit value contradicting the record would silently read the
+    wrong directories — fail loudly."""
+    from cdc_algorithms_spark.operators.storeio import read_store_meta
+
+    meta = read_store_meta(spark, path)
+    recorded = meta.get("buckets") if meta else None
+    if buckets is not None and recorded is not None and buckets != recorded:
+        raise ValueError(
+            f"{context}({path}): buckets={buckets} contradicts the "
+            f"store's recorded buckets={recorded} — bucket-pruned reads "
+            "would silently miss postings. Drop the explicit argument "
+            "or rebuild the index."
+        )
+    if buckets is not None:
+        return buckets
+    return recorded if recorded is not None else TEXT_INDEX_BUCKETS
+
+
 def _postings_frame(docs: DataFrame, buckets: int) -> DataFrame:
     return doc_term_frame(docs).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
     )
 
 
-def write_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
+def write_text_index(
+    docs: DataFrame, path: str, buckets: int | None = None
+) -> None:
     """Write the base BM25 posting index (see layout comment above).
 
     The bucket count bounds probe fan-in: a q-term query touches ≤ q
     partition directories per generation regardless of corpus size.
+    ``buckets`` defaults to a size-adaptive count recorded in the
+    store's ``_store_meta.json``; probes and extends resolve it from
+    there.
     """
+    from cdc_algorithms_spark.operators.storeio import write_store_meta
+
+    if buckets is None:
+        buckets = _adaptive_text_buckets(docs.count())
     (
         _postings_frame(docs, buckets)
         .repartition("bucket")
@@ -225,6 +271,7 @@ def write_text_index(docs: DataFrame, path: str, buckets: int = 32) -> None:
         .parquet(path + "/postings")
     )
     corpus_meta(docs).write.mode("overwrite").parquet(path + "/meta")
+    write_store_meta(docs.sparkSession, path, {"buckets": int(buckets)})
 
 
 def _text_delta_dirs(spark: SparkSession, path: str, kind: str) -> list[str]:
@@ -242,7 +289,7 @@ def extend_text_index(
     path: str,
     batch_docs: DataFrame,
     epoch: int,
-    buckets: int = 32,
+    buckets: int | None = None,
 ) -> None:
     """Add a batch of new documents to a durable text index WITHOUT
     touching resident postings: the batch's postings land bucket-
@@ -251,7 +298,9 @@ def extend_text_index(
     OVERWRITE keeps foreachBatch's at-least-once replay idempotent.
     Cost tracks the batch (one tokenize + one hash exchange over the
     batch alone); probes stay exact across generations because df and
-    avgdl are derived at read time (see layout comment)."""
+    avgdl are derived at read time (see layout comment). ``buckets``
+    resolves from the store meta (see _resolve_text_buckets)."""
+    buckets = _resolve_text_buckets(spark, path, buckets, "extend_text_index")
     (
         _postings_frame(batch_docs, buckets)
         .repartition("bucket")
@@ -323,7 +372,7 @@ def bm25_topk_indexed(
     k: int = 10,
     k1: float = K1,
     b: float = B,
-    buckets: int = 32,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Probe the durable index: identical output to :func:`bm25_topk`
     over base ∪ every extend epoch.
@@ -333,8 +382,13 @@ def bm25_topk_indexed(
     filters every generation's posting scan on the partition column, so
     Spark prunes each read down to those directories statically
     (PartitionFilters — pinned in tests/test_plans.py and
-    tests/test_retrieval.py).
+    tests/test_retrieval.py). ``buckets`` resolves from the store meta
+    (see _resolve_text_buckets) — pruning with the wrong modulus would
+    silently read the wrong directories.
     """
+    buckets = _resolve_text_buckets(
+        spark, path, buckets, "bm25_topk_indexed"
+    )
     bkts = [
         r["bucket"]
         for r in qterms.select(

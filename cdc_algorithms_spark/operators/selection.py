@@ -316,34 +316,16 @@ def _adaptive_dsir_buckets(n_docs: int, cap: int = DSIR_BUCKETS) -> int:
 
 
 def _write_dsir_store_meta(spark, path: str, buckets: int) -> None:
-    import json as _json
+    from cdc_algorithms_spark.operators.storeio import write_store_meta
 
-    from cdc_algorithms_spark.operators.storeio import _fs_and_path
-
-    fs, p = _fs_and_path(spark, f"{path}/{DSIR_STORE_META}")
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(_json.dumps({"buckets": int(buckets)}).encode()))
-    finally:
-        out.close()
+    write_store_meta(spark, path, {"buckets": int(buckets)})
 
 
 def _read_dsir_store_meta(spark, path: str) -> dict | None:
-    import json as _json
+    from cdc_algorithms_spark.operators.storeio import read_store_meta
 
-    from cdc_algorithms_spark.operators.storeio import _fs_and_path
-
-    fs, p = _fs_and_path(spark, f"{path}/{DSIR_STORE_META}")
-    if not fs.exists(p):
-        return None  # legacy store: the fixed pre-r12 convention
-    stream = fs.open(p)
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return _json.loads(text)
+    # None for legacy stores: the fixed pre-r12 convention
+    return read_store_meta(spark, path)
 
 
 def _dsir_term_frame(

@@ -72,6 +72,41 @@ def write_folded_epochs(
         out.close()
 
 
+# Store-format marker (r12): writers record layout parameters a reader
+# or extender MUST agree with (bucket counts, key types) in one small
+# JSON beside the store. Shared by the Jaccard index (_index_meta.json),
+# the DSIR count store and the BM25 text index (_store_meta.json).
+STORE_META = "_store_meta.json"
+
+
+def write_store_meta(
+    spark: SparkSession, store_root: str, meta: dict, name: str = STORE_META
+) -> None:
+    fs, p = _fs_and_path(spark, f"{store_root}/{name}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def read_store_meta(
+    spark: SparkSession, store_root: str, name: str = STORE_META
+) -> dict | None:
+    """None for stores predating markers (the fixed pre-r12 layouts)."""
+    fs, p = _fs_and_path(spark, f"{store_root}/{name}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def gc_folded_epochs(
     spark: SparkSession, delta_root: str, store_dir: str
 ) -> None:

@@ -45,7 +45,7 @@ def run_streaming_hybrid_index(
     seed_vectors: DataFrame,
     batch_stages: list[DataFrame],
     path: str,
-    buckets: int = 32,
+    buckets: int | None = None,
     dim: int = 64,
     m: int = 8,
     ksub: int = 16,

@@ -38,7 +38,7 @@ def run_streaming_text_index(
     seed_docs: DataFrame,
     batch_stages: list[DataFrame],
     index_path: str,
-    buckets: int = 32,
+    buckets: int | None = None,
 ) -> str:
     """Build + write the base index on ``seed_docs``, then stream the
     stages' (doc_id, text) rows through
