@@ -177,7 +177,11 @@ def main() -> None:
         rows.sort(key=lambda r: -(r[2].get("cpu", 0.0)))
         tot_cpu = sum(m.get("cpu", 0.0) for _, _, m in rows)
         tot_run = sum(m.get("run", 0.0) for _, _, m in rows)
-        print(f"stages={len(rows)} total executorRun={tot_run:.1f}s cpu={tot_cpu:.1f}s")
+        njobs = sum(
+            1 for d in job_desc.values() if d == f"PROFILE:{name}"
+        )
+        print(f"jobs={njobs} stages={len(rows)} "
+              f"total executorRun={tot_run:.1f}s cpu={tot_cpu:.1f}s")
         for sid, st, m in rows[: args.top]:
             print(
                 f"  s{sid:<5} tasks={st['ntasks']:<4} wall={st['wall']:.2f}s "
