@@ -35,12 +35,25 @@ def test_daemon_module_available_false_for_missing_root(tmp_path):
 def test_get_spark_builds_without_daemon_module(monkeypatch, spark):
     """With the package root 'renamed' (guard returns False) the factory
     must still return a working session — degraded to the stock daemon,
-    never a failure."""
+    never a failure.
+
+    getOrCreate() on the LIVE test session applies the builder's runtime
+    confs to it — get_spark's default shuffle_partitions (core count)
+    differs from conftest's 8, so snapshot and restore it or every test
+    file after this one runs with leaked partitioning (the exact bug:
+    test_sinks' bucketed-join plan pin and test_sketches' estimator
+    stability both failed under the leaked 32)."""
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_name = spark.conf.get("spark.app.name", "cdc-spark-tests")
     monkeypatch.setattr(
         session_mod, "_daemon_module_available", lambda _root: False
     )
-    s = session_mod.get_spark("daemon-guard-test")
-    assert s.range(3).count() == 3
+    try:
+        s = session_mod.get_spark("daemon-guard-test")
+        assert s.range(3).count() == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.app.name", prev_name)
 
 
 def test_zipimport_patch_scoped_to_spark_install_zips(tmp_path):
